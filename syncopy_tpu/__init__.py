@@ -1,0 +1,129 @@
+# -*- coding: utf-8 -*-
+#
+# syncopy_tpu: TPU-native framework for large-scale electrophysiology data
+# analysis with the capabilities of esi-neuroscience/syncopy.
+#
+# Namespace assembly mirrors reference syncopy/__init__.py:147-228: every
+# subpackage's __all__ is re-exported flat so `spy.freqanalysis(...)` works.
+
+import os
+import sys
+import uuid
+
+__version__ = "0.1.0"
+
+# session identity + temp storage (reference syncopy/__init__.py:112-135)
+__sessionid__ = str(uuid.uuid4())[:8]
+
+from .shared.errors import (  # noqa: F401
+    SPYError,
+    SPYTypeError,
+    SPYValueError,
+    SPYIOError,
+    SPYParallelError,
+    SPYWarning,
+    SPYInfo,
+    SPYLog,
+)
+from .shared.tools import StructDict, SerializableDict, get_defaults, best_match  # noqa: F401
+from .shared.log import (  # noqa: F401
+    setup_logging,
+    get_logger,
+    get_parallel_logger,
+    set_loglevel,
+)
+from .datatype.util import setup_storage, storage_dir  # noqa: F401
+
+#: session-scoped temp-storage directory (reference `__storage__`)
+__storage__ = setup_storage()
+
+setup_logging(session_id=__sessionid__)
+
+from .datatype import (  # noqa: F401
+    AnalogData,
+    SpectralData,
+    CrossSpectralData,
+    TimeLockData,
+    SpikeData,
+    EventData,
+    Selector,
+    definetrial,
+    redefinetrial,
+    selectdata,
+    show,
+    concat,
+)
+from .engine.routine import ComputationalRoutine  # noqa: F401
+from .parallel.mesh import (  # noqa: F401
+    make_mesh,
+    use_mesh,
+    active_mesh,
+    cluster_cleanup,
+    init_distributed,
+)
+from .specest import freqanalysis  # noqa: F401
+from .connectivity import connectivityanalysis  # noqa: F401
+from .preproc import preprocessing, resampledata  # noqa: F401
+from .statistics import (  # noqa: F401
+    mean,
+    std,
+    var,
+    median,
+    itc,
+    spike_psth,
+    timelockanalysis,
+)
+from .io import save, load, load_ft_raw, load_tdt, load_nwb, cleanup, clear  # noqa: F401
+from .io.mne_conv import (  # noqa: F401
+    raw_adata_to_mne_raw,
+    raw_mne_to_adata,
+    tldata_to_mne_epochs,
+    mne_epochs_to_tldata,
+)
+from .plotting import singlepanelplot, multipanelplot  # noqa: F401
+from . import synthdata  # noqa: F401
+
+__all__ = [
+    "AnalogData",
+    "SpectralData",
+    "CrossSpectralData",
+    "TimeLockData",
+    "SpikeData",
+    "EventData",
+    "Selector",
+    "StructDict",
+    "definetrial",
+    "redefinetrial",
+    "selectdata",
+    "show",
+    "concat",
+    "freqanalysis",
+    "connectivityanalysis",
+    "preprocessing",
+    "resampledata",
+    "mean",
+    "std",
+    "var",
+    "median",
+    "itc",
+    "spike_psth",
+    "timelockanalysis",
+    "save",
+    "load",
+    "load_ft_raw",
+    "load_tdt",
+    "load_nwb",
+    "cleanup",
+    "clear",
+    "singlepanelplot",
+    "multipanelplot",
+    "synthdata",
+    "make_mesh",
+    "use_mesh",
+    "cluster_cleanup",
+    "ComputationalRoutine",
+    "get_defaults",
+    "best_match",
+    "setup_logging",
+    "set_loglevel",
+]

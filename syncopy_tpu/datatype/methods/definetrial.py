@@ -1,0 +1,136 @@
+# -*- coding: utf-8 -*-
+#
+# definetrial: (re)define trials of a data object.
+#
+# Parity target: reference syncopy/datatype/methods/definetrial.py:18-392.
+# Supports: explicit trl arrays, "all-in-one" default, and trigger-based
+# definitions from an EventData object (pre/post/trigger or start/stop codes).
+
+import numpy as np
+
+from ...shared.errors import SPYError, SPYTypeError, SPYValueError
+from ...shared.parsers import array_parser
+
+__all__ = ["definetrial"]
+
+
+def definetrial(obj, trialdefinition=None, pre=None, post=None, start=None,
+                trigger=None, stop=None, clip_edges=False):
+    """
+    Encapsulate the payload of `obj` into trials.
+
+    ``trialdefinition`` may be an ``[nTrials x 3+]`` array ``[start, stop,
+    offset(, trialinfo...)]``, another syncopy_tpu object whose
+    trialdefinition should be copied, an ``EventData`` object combined with
+    `pre`/`post`/`trigger` (or `start`/`stop`) event codes, or `None` for one
+    all-encompassing trial.
+    """
+    from ..base_data import BaseData
+    from ..discrete_data import EventData
+
+    if obj.data is None:
+        raise SPYError("Cannot define trials on empty object")
+
+    if trialdefinition is None and start is None and trigger is None:
+        nsamp = _payload_samples(obj)
+        trl = np.array([[0, nsamp, 0]], dtype=float)
+        _attach(obj, trl)
+        return
+
+    if isinstance(trialdefinition, EventData) or (isinstance(trialdefinition, BaseData) and (pre is not None or trigger is not None or start is not None)):
+        evt = trialdefinition
+        trl = _trials_from_events(evt, obj, pre=pre, post=post, start=start,
+                                  trigger=trigger, stop=stop, clip_edges=clip_edges)
+        _attach(obj, trl)
+        return
+
+    if isinstance(trialdefinition, BaseData):
+        src = trialdefinition.trialdefinition
+        if src is None:
+            raise SPYValueError(legal="object with defined trials", varname="trialdefinition")
+        _attach(obj, np.array(src, dtype=float))
+        return
+
+    trl = np.atleast_2d(np.asarray(trialdefinition, dtype=float))
+    if trl.shape[1] < 3:
+        if trl.shape[1] == 2:
+            trl = np.hstack([trl, np.zeros((trl.shape[0], 1))])
+        else:
+            raise SPYValueError(
+                legal="[nTrials x 3] array [start, stop, offset]",
+                varname="trialdefinition",
+                actual=str(trl.shape),
+            )
+    if np.any(trl[:, 1] < trl[:, 0]):
+        raise SPYValueError(legal="stop >= start for all trials", varname="trialdefinition")
+    nsamp = _payload_samples(obj)
+    if np.any(trl[:, 0] < 0) or np.any(trl[:, 1] > nsamp):
+        raise SPYValueError(
+            legal="sample bounds within [0, {}]".format(nsamp),
+            varname="trialdefinition",
+            actual="[{}, {}]".format(trl[:, 0].min(), trl[:, 1].max()),
+        )
+    _attach(obj, trl)
+
+
+def _payload_samples(obj):
+    sdim = obj._stackingDim
+    if "sample" in obj.dimord:
+        smp = np.asarray(obj.data[:, obj.dimord.index("sample")])
+        return int(smp.max()) + 1 if smp.size else 0
+    return obj.data.shape[sdim]
+
+
+def _attach(obj, trl):
+    obj._trialdefinition = np.array(trl, dtype=float)
+    obj._selection = None
+    obj.log = "set trialdefinition ({} trials)".format(trl.shape[0])
+
+
+def _trials_from_events(evt, target, pre=None, post=None, start=None,
+                        trigger=None, stop=None, clip_edges=False):
+    """Build a trl array from EventData trigger codes (reference :200+)."""
+    if evt.samplerate is None or target.samplerate is None:
+        raise SPYError("Both objects need a samplerate for event-based trial definition")
+    data = np.asarray(evt.data)
+    scol = evt.dimord.index("sample")
+    ecol = evt.dimord.index("eventid")
+    samples = data[:, scol].astype(np.int64)
+    codes = data[:, ecol]
+    nsamp_target = _payload_samples(target)
+    rows = []
+
+    if trigger is not None:
+        if pre is None or post is None:
+            raise SPYValueError(legal="both `pre` and `post` with `trigger`", varname="pre/post")
+        pre_smp = int(round(pre * target.samplerate))
+        post_smp = int(round(post * target.samplerate))
+        for smp in samples[codes == trigger]:
+            t_start = smp - pre_smp
+            t_stop = smp + post_smp
+            offset = -pre_smp
+            if t_start < 0 or t_stop > nsamp_target:
+                if not clip_edges:
+                    continue
+                if t_start < 0:
+                    offset += t_start  # shift t0 accordingly
+                    t_start = 0
+                t_stop = min(t_stop, nsamp_target)
+            rows.append([t_start, t_stop, offset])
+    elif start is not None and stop is not None:
+        start_samples = samples[codes == start]
+        stop_samples = samples[codes == stop]
+        for s0 in start_samples:
+            later = stop_samples[stop_samples > s0]
+            if later.size == 0:
+                if clip_edges:
+                    rows.append([s0, nsamp_target, 0])
+                continue
+            rows.append([s0, int(later[0]), 0])
+    else:
+        raise SPYValueError(legal="`trigger` (+pre/post) or `start`+`stop` codes", varname="definetrial")
+
+    if not rows:
+        raise SPYValueError(legal="at least one matching trial", varname="trialdefinition",
+                            actual="no events matched")
+    return np.array(rows, dtype=float)

@@ -1,0 +1,54 @@
+# -*- coding: utf-8 -*-
+#
+# show: materialize (selected) data as a numpy array.
+#
+# Parity target: reference syncopy/datatype/methods/show.py:15.
+
+import numpy as np
+
+from ...shared.errors import SPYInfo
+
+__all__ = ["show"]
+
+
+def show(data, squeeze=True, **kwargs):
+    """
+    Return (selected) data as a numpy array. Any selection kwargs
+    (``trials``, ``channel``, ``latency``, ``frequency``, ...) are applied as
+    a transient in-place selection; an existing in-place selection is
+    honored when no kwargs are given.
+    """
+    from ..selector import Selector
+
+    if data.data is None:
+        return None
+
+    had_selection = data.selection is not None
+    if kwargs:
+        prior = data.selection
+        data.selection = {k: v for k, v in kwargs.items() if v is not None}
+    elif not had_selection:
+        data.selection = {}
+
+    try:
+        sel = data.selection
+        arrs = [sel.select_trial_array(data, k) for k in range(len(sel.trial_ids))]
+    finally:
+        if kwargs:
+            data._selection = prior
+        elif not had_selection:
+            data._selection = None
+
+    if not arrs:
+        return np.empty((0,))
+    sdim = data._stackingDim if "sample" not in data.dimord else 0
+    out = arrs[0] if len(arrs) == 1 else None
+    if out is None:
+        shapes_match = all(
+            [a.shape[:sdim] + a.shape[sdim + 1:] == arrs[0].shape[:sdim] + arrs[0].shape[sdim + 1:] for a in arrs]
+        )
+        if shapes_match:
+            out = np.concatenate(arrs, axis=sdim)
+        else:
+            return [np.squeeze(a) if squeeze else a for a in arrs]
+    return np.squeeze(out) if squeeze else out

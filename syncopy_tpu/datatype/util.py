@@ -1,0 +1,157 @@
+# -*- coding: utf-8 -*-
+#
+# Storage-session runtime + lazy indexers.
+#
+# Parity target: reference syncopy/datatype/util.py:16-189 (TrialIndexer,
+# TimeIndexer, setup_storage) and syncopy/__init__.py:112-135 (session
+# storage dir). Redesign notes: objects default to in-memory numpy storage
+# (TPU-native: host RAM is the staging area for HBM); disk backing via HDF5
+# is opt-in/automatic for large data, so the tmp-storage dir is only used
+# for disk-backed objects.
+
+import getpass
+import os
+import shutil
+import socket
+import uuid
+
+import numpy as np
+
+from ..shared.errors import SPYTypeError, SPYValueError
+
+__all__ = ["TrialIndexer", "TimeIndexer", "setup_storage", "get_dir_size"]
+
+#: unique id of this Python session
+__sessionid__ = uuid.uuid4().hex[:8]
+
+
+def storage_dir():
+    """Root dir for disk-backed temp objects ($SPYTMPDIR overrides)."""
+    if os.environ.get("SPYTMPDIR"):
+        return os.path.abspath(os.path.expanduser(os.environ["SPYTMPDIR"]))
+    spydir = os.environ.get("SPYDIR", os.path.join(os.path.expanduser("~"), ".spy"))
+    return os.path.join(spydir, "tpu_tmp_storage")
+
+
+def setup_storage(storage_dir_path=None):
+    """
+    Create the session storage directory; returns ``(path, size_gb, n_files)``
+    of pre-existing content (reference datatype/util.py:138).
+    """
+    sdir = storage_dir_path or storage_dir()
+    os.makedirs(sdir, exist_ok=True)
+    size, nfiles = get_dir_size(sdir, unit="GB")
+    return sdir, size, nfiles
+
+
+def get_dir_size(start_path=".", unit="B"):
+    """Recursively compute directory size (reference datatype/util.py:96)."""
+    total = 0
+    nfiles = 0
+    for dirpath, _, filenames in os.walk(start_path):
+        for fname in filenames:
+            fp = os.path.join(dirpath, fname)
+            try:
+                if not os.path.islink(fp):
+                    total += os.path.getsize(fp)
+                    nfiles += 1
+            except OSError:
+                pass
+    if unit == "GB":
+        return total / 1e9, nfiles
+    return total, nfiles
+
+
+def gen_session_filename(extension):
+    """Generate a unique filename inside the session storage dir."""
+    sdir, _, _ = setup_storage()
+    fname = "spy_{sess}_{rand}{ext}".format(
+        sess=__sessionid__, rand=uuid.uuid4().hex[:8], ext=extension
+    )
+    return os.path.join(sdir, fname)
+
+
+class TrialIndexer:
+    """
+    Lazy list-like access to single trials: ``data.trials[i]`` loads trial
+    `i` as a numpy array (reference datatype/util.py:16).
+    """
+
+    def __init__(self, data_object, idx_list):
+        self.data_object = data_object
+        self.idx_list = list(idx_list)
+        self._len = len(self.idx_list)
+
+    def __getitem__(self, trialno):
+        if not np.issubdtype(type(trialno), np.number):
+            raise SPYTypeError(trialno, "trial index", "int")
+        trialno = int(trialno)
+        if trialno not in self.idx_list:
+            raise SPYValueError(
+                legal="index of existing trial {}".format(self.idx_list),
+                varname="trialno",
+                actual=str(trialno),
+            )
+        return self.data_object._get_trial(trialno)
+
+    def __iter__(self):
+        for i in self.idx_list:
+            yield self.data_object._get_trial(i)
+
+    def __len__(self):
+        return self._len
+
+    def __repr__(self):
+        return "{} element iterable".format(self._len)
+
+
+class TimeIndexer:
+    """
+    Lazy access to per-trial time axes: ``data.time[i]`` returns the time
+    array (seconds) of trial `i` (reference datatype/util.py:61).
+    """
+
+    def __init__(self, trialdefinition, samplerate, idx_list):
+        self.trialdefinition = trialdefinition
+        self.samplerate = samplerate
+        self.idx_list = list(idx_list)
+        self._len = len(self.idx_list)
+
+    def construct_time_array(self, trialno):
+        start, stop, offset = self.trialdefinition[trialno, :3]
+        return (np.arange(0, stop - start) + offset) / self.samplerate
+
+    def __getitem__(self, trialno):
+        if not np.issubdtype(type(trialno), np.number):
+            raise SPYTypeError(trialno, "trial index", "int")
+        trialno = int(trialno)
+        if trialno not in self.idx_list:
+            raise SPYValueError(
+                legal="index of existing trial {}".format(self.idx_list),
+                varname="trialno",
+                actual=str(trialno),
+            )
+        return self.construct_time_array(trialno)
+
+    def __iter__(self):
+        for i in self.idx_list:
+            yield self.construct_time_array(i)
+
+    def __len__(self):
+        return self._len
+
+    def __repr__(self):
+        return "{} element iterable".format(self._len)
+
+
+def cleanup_session_storage():
+    """Delete this session's temp files."""
+    sdir = storage_dir()
+    if not os.path.isdir(sdir):
+        return
+    for fname in os.listdir(sdir):
+        if __sessionid__ in fname:
+            try:
+                os.unlink(os.path.join(sdir, fname))
+            except OSError:
+                pass

@@ -1,0 +1,359 @@
+# -*- coding: utf-8 -*-
+#
+# ComputationalRoutine: the compute engine.
+#
+# Parity target: reference syncopy/shared/computational_routine.py:51-1231.
+# TPU-native redesign:
+#
+#   reference                            this engine
+#   ----------------------------------   -------------------------------------
+#   noCompute dry-run on FauxTrials      jax.eval_shape on ShapeDtypeStructs
+#   Dask client.map over trials          vmap over a padded trial batch,
+#                                        sharded over the mesh "trial" axis
+#   per-worker HDF5 writes + VDS         chunked host<->HBM streaming with
+#                                        async dispatch (double buffering)
+#   keeptrials=False += accumulation     on-device sum (psum across shards)
+#   memory admission checks              static chunk sizing from HBM budget
+#   parallel_debug single-thread         jax.disable_jit()
+#
+# Trials are bucketed by exact post-selection shape: each bucket compiles
+# once (static shapes for XLA) and streams through the device(s) in chunks.
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel.mesh import TRIAL_AXIS, pad_to_multiple, resolve_parallel, shard_batch
+from ..shared.errors import SPYError, SPYValueError, SPYWarning
+from ..shared.log import get_logger
+
+__all__ = ["ComputationalRoutine"]
+
+#: default HBM budget per compute chunk (bytes); overridable via env
+DEFAULT_CHUNK_BUDGET = int(os.environ.get("SPY_TPU_CHUNK_BYTES", 2 * 1024**3))
+
+#: host-RAM threshold above which outputs are written to disk-backed HDF5
+DEFAULT_HOST_BUDGET = int(os.environ.get("SPY_TPU_HOST_BYTES", 16 * 1024**3))
+
+
+class ComputationalRoutine:
+    """
+    Base class of all compute routines.
+
+    Subclasses implement:
+
+    ``process_single_trial(trial, **cfg)``
+        Pure, jit-safe function mapping one (selected) trial array to one
+        output array. The engine vmaps it over trial batches. ``cfg`` is the
+        dict passed to ``__init__``.
+
+    ``process_metadata(data, out)``
+        Attach dimensional properties (channel, freq, ...) and the output
+        trialdefinition to `out` after the numeric pass.
+
+    Optionally:
+
+    ``process_batch(batch, **cfg)``
+        Override for kernels that are natively batched (bypasses vmap).
+
+    ``per_trial_inputs(data, trial_positions)``
+        Return a tuple of numpy arrays with leading axis ``len(trial_
+        positions)`` that are vmapped alongside the trial batch (for
+        per-trial auxiliary inputs).
+    """
+
+    # computed by initialize()
+    outputShape = None
+    dtype = None
+
+    def __init__(self, **cfg):
+        self.cfg = dict(cfg)
+        self.keeptrials = True
+        self.buckets = None
+        self.out_per_trial_shapes = None
+        self.selector = None
+        self._chunk_budget = DEFAULT_CHUNK_BUDGET
+        self._jit_cache = {}
+        self.log_dict = None
+
+    # ------------------------------------------------------------------ #
+    # subclass interface
+    # ------------------------------------------------------------------ #
+
+    def process_single_trial(self, trial, *aux, **cfg):
+        raise NotImplementedError
+
+    def process_batch(self, batch, *aux, **cfg):
+        in_axes = (0,) + (0,) * len(aux)
+        return jax.vmap(lambda x, *a: self.process_single_trial(x, *a, **cfg))(batch, *aux)
+
+    def per_trial_inputs(self, data, trial_positions):
+        return ()
+
+    def process_metadata(self, data, out):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------ #
+    # initialize: shape planning (reference computational_routine.py:240-511)
+    # ------------------------------------------------------------------ #
+
+    def initialize(self, data, out_stackingdim, chan_per_worker=None, keeptrials=True):
+        from ..datatype.selector import Selector
+
+        self.keeptrials = bool(keeptrials)
+        self.out_stackingdim = int(out_stackingdim)
+        if chan_per_worker is not None:
+            get_logger().info(
+                "chan_per_worker is advisory in the TPU engine (channel axis "
+                "sharding is controlled by the mesh); ignoring block size %s",
+                chan_per_worker,
+            )
+
+        self.selector = data.selection if data.selection is not None else Selector(data, None)
+        n_sel = len(self.selector.trial_ids)
+        if n_sel == 0:
+            raise SPYValueError(legal="at least one selected trial", varname="trials", actual="0")
+
+        # per-(selected-)trial input shapes after applying the selection
+        shapes = []
+        for k in range(n_sel):
+            shapes.append(self._selected_trial_shape(data, k))
+        in_dtype = np.dtype(data.data.dtype)
+
+        # bucket positions by identical shape (static shapes for XLA)
+        buckets = {}
+        for pos, shp in enumerate(shapes):
+            buckets.setdefault(shp, []).append(pos)
+        self.buckets = buckets
+
+        # output shape per bucket via abstract evaluation
+        self.out_per_trial_shapes = {}
+        out_dtype = None
+        for shp, positions in buckets.items():
+            aux = self.per_trial_inputs(data, positions[:1])
+            aux_structs = tuple(jax.ShapeDtypeStruct(a.shape[1:], a.dtype) for a in aux)
+            spec = jax.ShapeDtypeStruct(shp, in_dtype)
+            res = jax.eval_shape(
+                lambda x, *a: self.process_single_trial(x, *a, **self.cfg), spec, *aux_structs
+            )
+            self.out_per_trial_shapes[shp] = (tuple(res.shape), np.dtype(res.dtype))
+            out_dtype = np.dtype(res.dtype)
+
+        out_shapes = [self.out_per_trial_shapes[shp][0] for shp in shapes]
+        if not self.keeptrials:
+            if len(set(out_shapes)) > 1:
+                raise SPYValueError(
+                    legal="identical trial shapes for trial averaging",
+                    varname="keeptrials",
+                    actual="shapes {}".format(sorted(set(out_shapes))),
+                )
+
+        # total output shape: stack per-trial outputs along out_stackingdim
+        sdim = self.out_stackingdim
+        ref_other = [s for i, s in enumerate(out_shapes[0]) if i != sdim]
+        for oshp in out_shapes[1:]:
+            other = [s for i, s in enumerate(oshp) if i != sdim]
+            if other != ref_other:
+                raise SPYValueError(
+                    legal="matching non-stacking output dims across trials",
+                    varname="output shape",
+                    actual=str(sorted(set(out_shapes))),
+                )
+        if self.keeptrials:
+            total_stack = sum(oshp[sdim] for oshp in out_shapes)
+        else:
+            total_stack = out_shapes[0][sdim]
+        out_total = list(out_shapes[0])
+        out_total[sdim] = total_stack
+        self.outputShape = tuple(out_total)
+        self.dtype = out_dtype
+        self._per_trial_out_shapes_ordered = out_shapes
+        self.numTrials = n_sel
+
+    def _selected_trial_shape(self, data, pos):
+        """Shape of the pos-th selected trial after applying the selection."""
+        sel = self.selector
+        tid = sel.trial_ids[pos]
+        if "sample" in data.dimord:
+            arr = sel.select_trial_array(data, pos)
+            return tuple(arr.shape)
+        raw_shape = list(data._trial_shape(tid))
+        idx = sel.trial_indexer(data, pos)
+        shp = []
+        for ax, ind in enumerate(idx):
+            n = raw_shape[ax]
+            if isinstance(ind, slice):
+                shp.append(len(range(*ind.indices(n))))
+            else:
+                shp.append(len(ind))
+        return tuple(shp)
+
+    # ------------------------------------------------------------------ #
+    # compute (reference computational_routine.py:513-1035)
+    # ------------------------------------------------------------------ #
+
+    def compute(self, data, out, parallel=None, parallel_store=None, method=None,
+                mem_thresh=None, log_dict=None, parallel_debug=False):
+        if self.buckets is None:
+            raise SPYError("call initialize() before compute()")
+        self.log_dict = log_dict
+
+        mesh = resolve_parallel(parallel)
+        if parallel_debug:
+            with jax.disable_jit():
+                self._run(data, out, mesh=None)
+        else:
+            self._run(data, out, mesh=mesh)
+
+        # provenance
+        self.write_log(data, out, log_dict)
+        self.process_metadata(data, out)
+
+    # -- execution ------------------------------------------------------ #
+
+    def _run(self, data, out, mesh):
+        sdim = self.out_stackingdim
+        host_out = self._preallocate_output(out)
+
+        # row offsets of each selected trial in the stacked output
+        stack_lens = [oshp[sdim] for oshp in self._per_trial_out_shapes_ordered]
+        offsets = np.concatenate([[0], np.cumsum(stack_lens)]).astype(int)
+
+        acc = None  # on-device accumulator for keeptrials=False
+        n_shard = mesh.shape[TRIAL_AXIS] if mesh is not None else 1
+
+        for shp, positions in self.buckets.items():
+            aux_all = self.per_trial_inputs(data, positions)
+            in_bytes = int(np.prod(shp)) * np.dtype(data.data.dtype).itemsize
+            out_shp, out_dt = self.out_per_trial_shapes[shp]
+            out_bytes = int(np.prod(out_shp)) * out_dt.itemsize
+            per_trial = (in_bytes + out_bytes) * 2
+            chunk = max(n_shard, int(self._chunk_budget // max(per_trial, 1)))
+            chunk = pad_to_multiple(min(chunk, len(positions)), n_shard)
+
+            fn = self._get_compiled(shp, mesh)
+
+            pending = None  # (device_result, chunk_positions) for pipelining
+            for c0 in range(0, len(positions), chunk):
+                chunk_pos = positions[c0 : c0 + chunk]
+                batch = np.stack(
+                    [self.selector.select_trial_array(data, p) for p in chunk_pos], axis=0
+                )
+                aux = tuple(a[c0 : c0 + chunk] for a in aux_all)
+                dev_batch, n_valid = shard_batch(batch, mesh)
+                dev_aux = []
+                for a in aux:
+                    da, _ = shard_batch(np.asarray(a), mesh)
+                    dev_aux.append(da)
+                res = fn(dev_batch, *dev_aux)
+
+                if self.keeptrials:
+                    # drain previous chunk while this one computes
+                    if pending is not None:
+                        self._write_chunk(host_out, *pending, offsets, sdim)
+                    pending = (res, chunk_pos, n_valid)
+                else:
+                    mask_shape = (res.shape[0],) + (1,) * (res.ndim - 1)
+                    mask = (jnp.arange(res.shape[0]) < n_valid).reshape(mask_shape)
+                    partial = jnp.sum(
+                        jnp.where(mask, res, jnp.zeros((), res.dtype)), axis=0
+                    )
+                    acc = partial if acc is None else acc + partial
+
+            if pending is not None:
+                self._write_chunk(host_out, *pending, offsets, sdim)
+
+        if not self.keeptrials:
+            avg = np.asarray(acc) / self.numTrials
+            host_out[...] = avg.astype(self.dtype, copy=False)
+
+        out.data = host_out if isinstance(host_out, np.ndarray) else host_out
+        if not isinstance(host_out, np.ndarray):
+            # h5py dataset: re-point the object at the file
+            out._data = host_out
+
+    def _write_chunk(self, host_out, res, chunk_pos, n_valid, offsets, sdim):
+        arr = np.asarray(jax.device_get(res))[:n_valid]
+        for i, pos in enumerate(chunk_pos):
+            row0, row1 = offsets[pos], offsets[pos + 1]
+            sl = [slice(None)] * (arr.ndim - 1)
+            sl[sdim] = slice(row0, row1)
+            host_out[tuple(sl)] = arr[i]
+
+    def _get_compiled(self, shp, mesh):
+        key = (shp, mesh if mesh is None else tuple(mesh.shape.items()))
+        if key not in self._jit_cache:
+            cfg = self.cfg
+
+            def batched(batch, *aux):
+                return self.process_batch(batch, *aux, **cfg)
+
+            self._jit_cache[key] = jax.jit(batched)
+        return self._jit_cache[key]
+
+    def _preallocate_output(self, out):
+        """Allocate the stacked output: host RAM, or HDF5 when too large
+        (reference preallocate_output computational_routine.py:750-804)."""
+        nbytes = int(np.prod(self.outputShape)) * self.dtype.itemsize
+        if nbytes > DEFAULT_HOST_BUDGET:
+            import h5py
+
+            fname = out.filename
+            f = h5py.File(fname, "w")
+            dset = f.create_dataset("data", shape=self.outputShape, dtype=self.dtype)
+            out._hdfFile = f
+            out._is_temp_file = True
+            return dset
+        return np.empty(self.outputShape, dtype=self.dtype)
+
+    # ------------------------------------------------------------------ #
+    # provenance
+    # ------------------------------------------------------------------ #
+
+    def write_log(self, data, out, log_dict=None):
+        """Attach a human-readable processing record (reference :1037)."""
+        out._log = str(data._log)
+        logOpts = ""
+        if log_dict:
+            maxlen = max(len(str(k)) for k in log_dict)
+            for k, v in log_dict.items():
+                logOpts += "\n\t{0:<{w}} : {1}".format(str(k), str(v), w=maxlen)
+        out.log = "computed {name} with settings{opts}".format(
+            name=self.__class__.__name__, opts=logOpts or " (defaults)"
+        )
+
+    # ------------------------------------------------------------------ #
+    # helpers for process_metadata implementations
+    # ------------------------------------------------------------------ #
+
+    def default_trialdefinition(self, data, out):
+        """
+        Build the output trialdefinition: per selected trial, the stacked
+        output rows with offsets carried over where meaningful.
+        """
+        sdim = self.out_stackingdim
+        stack_lens = [oshp[sdim] for oshp in self._per_trial_out_shapes_ordered]
+        if not self.keeptrials:
+            stack_lens = stack_lens[:1]
+        bounds = np.concatenate([[0], np.cumsum(stack_lens)])
+        trl = np.zeros((len(stack_lens), 3))
+        trl[:, 0] = bounds[:-1]
+        trl[:, 1] = bounds[1:]
+        return trl
+
+    def propagate_properties(self, data, out):
+        """Carry channel labels / samplerate through, honoring selections
+        (reference computational_routine.py:1114-1231)."""
+        sel = self.selector
+        if hasattr(out, "samplerate") and getattr(data, "samplerate", None) is not None:
+            out.samplerate = data.samplerate
+        if "channel" in out.dimord and "channel" in data.dimord and data.channel is not None:
+            chan = np.asarray(data.channel)
+            ch_sel = getattr(sel, "channel", None)
+            if ch_sel is not None:
+                chan = chan[ch_sel] if isinstance(ch_sel, slice) else chan[np.asarray(ch_sel)]
+            if out.data is not None and out.data.shape[out.dimord.index("channel")] == chan.size:
+                out.channel = chan

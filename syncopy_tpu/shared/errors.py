@@ -1,0 +1,121 @@
+# -*- coding: utf-8 -*-
+#
+# Error hierarchy + user messaging for syncopy_tpu.
+#
+# Parity target: reference syncopy/shared/errors.py:22-473 (SPYError family,
+# SPYWarning/SPYInfo/SPYLog helpers). Re-designed: no custom sys.excepthook
+# (plays badly with JAX tracebacks); plain exception classes + logging.
+
+import sys
+import warnings
+
+from .log import get_logger
+
+__all__ = [
+    "SPYError",
+    "SPYTypeError",
+    "SPYValueError",
+    "SPYIOError",
+    "SPYParallelError",
+    "SPYWarning",
+    "SPYInfo",
+    "SPYLog",
+]
+
+
+class SPYError(Exception):
+    """Base class for all syncopy_tpu errors."""
+
+
+class SPYTypeError(SPYError):
+    """
+    Raised when an object of unexpected type is encountered.
+
+    Mirrors reference errors.py:38-64: message format
+    "Wrong type of <varname>: expected <expected> found <actual>".
+    """
+
+    def __init__(self, var, varname="", expected=""):
+        self.varname = str(varname)
+        self.found = str(type(var).__name__)
+        self.expected = str(expected)
+        super().__init__(
+            "Wrong type of `{}`: expected {}, found {}".format(
+                self.varname or "input", self.expected, self.found
+            )
+        )
+
+
+class SPYValueError(SPYError):
+    """
+    Raised on invalid values.
+
+    Mirrors reference errors.py:67-95: message format
+    "Invalid value of <varname>: expected <legal> found <actual>".
+    """
+
+    def __init__(self, legal, varname="", actual=""):
+        self.legal = str(legal)
+        self.varname = str(varname)
+        self.actual = str(actual)
+        msg = "Invalid value of `{}`:".format(self.varname or "input")
+        if actual != "":
+            msg += " '{}';".format(self.actual)
+        msg += " expected {}".format(self.legal)
+        super().__init__(msg)
+
+
+class SPYIOError(SPYError):
+    """
+    Raised on I/O failures (reference errors.py:98-116).
+    `exists`: True -> "already exists", False -> "does not exist",
+    None -> "cannot be read".
+    """
+
+    def __init__(self, fs_loc, exists=None):
+        self.fs_loc = str(fs_loc)
+        self.exists = exists
+        if exists is None:
+            state = "cannot be read"
+        elif exists:
+            state = "already exists"
+        else:
+            state = "does not exist"
+        super().__init__("Cannot access `{}`: {}".format(self.fs_loc, state))
+
+
+class SPYParallelError(SPYError):
+    """Raised on problems with the parallel execution backend (mesh/devices)."""
+
+    def __init__(self, msg, client=None):
+        self.client = client
+        super().__init__(str(msg))
+
+
+def SPYWarning(msg, caller=None):
+    """Emit a standardized warning (reference errors.py:301-341)."""
+    pre = "Syncopy{} WARNING: ".format(" <{}>".format(caller) if caller else "")
+    logger = get_logger()
+    logger.warning(pre + str(msg))
+    warnings.warn(pre + str(msg), RuntimeWarning, stacklevel=2)
+
+
+def SPYInfo(msg, caller=None):
+    """Emit a standardized info message (reference errors.py:376-407)."""
+    pre = "Syncopy{} INFO: ".format(" <{}>".format(caller) if caller else "")
+    get_logger().info(pre + str(msg))
+
+
+def SPYLog(msg, loglevel="INFO", caller=None):
+    """Route a message to the package logger (reference errors.py:410-473)."""
+    logger = get_logger()
+    level = str(loglevel).upper()
+    fn = {
+        "DEBUG": logger.debug,
+        "INFO": logger.info,
+        "IMPORTANT": logger.info,
+        "WARNING": logger.warning,
+        "ERROR": logger.error,
+        "CRITICAL": logger.critical,
+    }.get(level, logger.info)
+    fn(str(msg))

@@ -1,0 +1,143 @@
+# -*- coding: utf-8 -*-
+#
+# Frontend decorators: @unwrap_cfg, @unwrap_select, @detect_parallel_client.
+#
+# Parity target: reference syncopy/shared/kwarg_decorators.py:32-584.
+# The @process_io worker wrapper (reference :587-739) has no analog here —
+# host/device staging is done inside the engine, not per-worker.
+
+import functools
+import inspect
+
+from .errors import SPYError, SPYTypeError, SPYValueError, SPYWarning
+from .tools import StructDict
+
+__all__ = ["unwrap_cfg", "unwrap_select", "detect_parallel_client"]
+
+
+def unwrap_cfg(func):
+    """
+    Support FieldTrip-style ``cfg`` call conventions:
+
+    - ``func(cfg)`` / ``func(cfg, data)`` / ``func(data, cfg)`` /
+      ``func(data, cfg=cfg)``: entries of `cfg` become keyword arguments.
+    - ``cfg.data``/``cfg.dataset`` may carry the input object itself.
+    - replaying a stored ``out.cfg`` (nested ``{funcname: {...}}``) works.
+
+    Reference kwarg_decorators.py:32-299.
+    """
+
+    @functools.wraps(func)
+    def wrapper_cfg(*args, **kwargs):
+        cfg = None
+        args = list(args)
+
+        # cfg passed as kwarg
+        if "cfg" in kwargs:
+            cfg = kwargs.pop("cfg")
+            if not isinstance(cfg, dict):
+                raise SPYTypeError(cfg, varname="cfg", expected="dict or StructDict")
+
+        # cfg passed positionally (either slot)
+        for k, arg in enumerate(args):
+            if isinstance(arg, dict) and not hasattr(arg, "dimord"):
+                if cfg is not None:
+                    raise SPYValueError(
+                        legal="single `cfg` argument", varname="cfg", actual="two cfg dicts"
+                    )
+                cfg = args.pop(k)
+                break
+
+        if cfg is not None:
+            cfg = StructDict(cfg)
+
+            # replay nested out.cfg: {funcname: {...}, otherfunc: {...}}
+            if func.__name__ in cfg and isinstance(cfg[func.__name__], dict):
+                cfg = StructDict(cfg[func.__name__])
+
+            cfg = StructDict({k: v for k, v in cfg.items()})
+
+            # linguistic booleans
+            for key, value in list(cfg.items()):
+                if isinstance(value, str):
+                    if value.lower() == "yes":
+                        cfg[key] = True
+                    elif value.lower() == "no":
+                        cfg[key] = False
+
+            # data may live inside cfg
+            data_from_cfg = None
+            for dkey in ("data", "dataset"):
+                if dkey in cfg:
+                    data_from_cfg = cfg.pop(dkey)
+            if data_from_cfg is not None:
+                if args:
+                    raise SPYValueError(
+                        legal="data passed either positionally or via cfg, not both",
+                        varname="cfg.data",
+                    )
+                args = [data_from_cfg]
+
+            for key, value in cfg.items():
+                if key in kwargs:
+                    raise SPYValueError(
+                        legal="non-conflicting cfg entries",
+                        varname=key,
+                        actual="set in both cfg and kwargs",
+                    )
+                kwargs[key] = value
+
+        return func(*args, **kwargs)
+
+    return wrapper_cfg
+
+
+def unwrap_select(func):
+    """
+    Pop the ``select`` keyword, apply it as a transient in-place selection on
+    the input object, run `func`, and restore the prior selection state.
+
+    Reference kwarg_decorators.py:302-412.
+    """
+
+    @functools.wraps(func)
+    def wrapper_select(*args, **kwargs):
+        select = kwargs.pop("select", None)
+        data = args[0] if args else kwargs.get("data")
+        prior = None
+        applied = False
+        if select is not None:
+            if data is None or not hasattr(data, "selection"):
+                raise SPYError("`select` requires a syncopy_tpu data object as input")
+            prior = data._selection
+            data.selection = select
+            applied = True
+        try:
+            return func(*args, **kwargs)
+        finally:
+            if applied:
+                data._selection = prior
+
+    return wrapper_select
+
+
+def detect_parallel_client(func):
+    """
+    Resolve the ``parallel`` keyword: ``None`` picks up an active mesh
+    (the analog of a running Dask client), ``True`` builds a mesh over all
+    devices, ``False`` forces single-device execution. The resolved value is
+    passed through to the frontend as ``parallel``.
+
+    Reference kwarg_decorators.py:415-584.
+    """
+
+    @functools.wraps(func)
+    def wrapper_parallel(*args, **kwargs):
+        parallel = kwargs.get("parallel", None)
+        if parallel not in (None, True, False):
+            raise SPYValueError(
+                legal="`parallel` to be None, True or False", varname="parallel", actual=str(parallel)
+            )
+        return func(*args, **kwargs)
+
+    return wrapper_parallel

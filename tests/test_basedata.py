@@ -1,0 +1,226 @@
+# -*- coding: utf-8 -*-
+# Data-model tests (modeled on reference tests/test_basedata.py &
+# test_continuousdata.py).
+
+import numpy as np
+import pytest
+
+import syncopy_tpu as spy
+from syncopy_tpu.shared.errors import SPYError, SPYTypeError, SPYValueError
+
+
+class TestAnalogData:
+    def test_ndarray_init(self):
+        data = np.random.randn(1000, 4).astype("f4")
+        ad = spy.AnalogData(data=data, samplerate=1000)
+        assert ad.data.shape == (1000, 4)
+        assert ad.samplerate == 1000
+        # default: one all-encompassing trial
+        assert ad.trialdefinition.shape[0] == 1
+        assert len(ad.trials) == 1
+        assert np.allclose(np.asarray(ad.trials[0]), data)
+        assert list(ad.channel) == ["channel1", "channel2", "channel3", "channel4"]
+
+    def test_list_init(self):
+        trls = [np.random.randn(100, 2).astype("f4") for _ in range(5)]
+        ad = spy.AnalogData(data=trls, samplerate=500)
+        assert len(ad.trials) == 5
+        for k in range(5):
+            assert np.allclose(np.asarray(ad.trials[k]), trls[k])
+
+    def test_trialdefinition(self):
+        data = np.random.randn(1000, 2).astype("f4")
+        ad = spy.AnalogData(data=data, samplerate=1000)
+        trl = np.array([[0, 500, -100], [500, 1000, -100]])
+        ad.trialdefinition = trl
+        assert len(ad.trials) == 2
+        assert np.allclose(ad.sampleinfo, trl[:, :2])
+        # time axis honors offset
+        assert ad.time[0][0] == pytest.approx(-0.1)
+
+    def test_invalid_trialdefinition(self):
+        ad = spy.AnalogData(data=np.zeros((100, 2), dtype="f4"), samplerate=100)
+        with pytest.raises(SPYValueError):
+            ad.trialdefinition = np.array([[0, 200, 0]])  # beyond data
+        with pytest.raises(SPYValueError):
+            ad.trialdefinition = np.array([[50, 20, 0]])  # stop < start
+
+    def test_channel_labels(self):
+        ad = spy.AnalogData(data=np.zeros((10, 3), dtype="f4"), samplerate=10)
+        ad.channel = ["a", "b", "c"]
+        assert list(ad.channel) == ["a", "b", "c"]
+        with pytest.raises(SPYValueError):
+            ad.channel = ["a", "b"]
+
+    def test_equality(self):
+        data = np.random.randn(100, 2).astype("f4")
+        a = spy.AnalogData(data=data.copy(), samplerate=100)
+        b = spy.AnalogData(data=data.copy(), samplerate=100)
+        assert a == b
+        b2 = spy.AnalogData(data=data + 1, samplerate=100)
+        assert a != b2
+
+    def test_copy(self):
+        a = spy.AnalogData(data=np.random.randn(100, 2).astype("f4"), samplerate=100)
+        b = a.copy()
+        assert a == b
+        np.asarray(b.data)[0, 0] += 99
+        # copies are independent
+        assert not np.allclose(np.asarray(a.data)[0, 0], np.asarray(b.data)[0, 0])
+
+    def test_log(self):
+        a = spy.AnalogData(data=np.zeros((10, 2), dtype="f4"), samplerate=10)
+        a.log = "hello world"
+        assert "hello world" in a.log
+        with pytest.raises(SPYTypeError):
+            a.log = 3
+
+    def test_arithmetic(self):
+        data = np.random.randn(100, 2).astype("f4")
+        a = spy.AnalogData(data=data.copy(), samplerate=100)
+        b = a + 3
+        assert np.allclose(np.asarray(b.data), data + 3)
+        c = a * 2 - a
+        assert np.allclose(np.asarray(c.data), data, atol=1e-6)
+        d = a / a
+        assert np.allclose(np.asarray(d.data), 1.0)
+        with pytest.raises(SPYValueError):
+            a + spy.AnalogData(data=np.zeros((50, 2), dtype="f4"), samplerate=100)
+
+    def test_show(self):
+        data = np.arange(20, dtype="f4").reshape(10, 2)
+        a = spy.AnalogData(data=data, samplerate=10)
+        assert np.allclose(a.show(squeeze=False), data)
+        assert np.allclose(a.show(channel=0), data[:, 0])
+
+
+class TestSpectralData:
+    def test_init(self):
+        data = np.random.randn(2, 3, 50, 4).astype("f4")
+        sd = spy.SpectralData(data=data, samplerate=1000)
+        assert sd.dimord == ["time", "taper", "freq", "channel"]
+        assert sd.freq.size == 50
+        assert sd.taper.size == 3
+
+    def test_freq_setter(self):
+        data = np.random.randn(1, 1, 50, 2).astype("f4")
+        sd = spy.SpectralData(data=data, samplerate=1000)
+        freqs = np.linspace(0, 500, 50)
+        sd.freq = freqs
+        assert np.allclose(sd.freq, freqs)
+        with pytest.raises(SPYValueError):
+            sd.freq = np.arange(10)
+
+
+class TestSelections:
+    def test_channel_selection(self, adata_equal):
+        sel = spy.selectdata(adata_equal, channel=[0, 2])
+        assert sel.data.shape[1] == 2
+        assert list(sel.channel) == ["channel1", "channel3"]
+        raw = np.asarray(adata_equal.trials[0])
+        assert np.allclose(np.asarray(sel.trials[0]), raw[:, [0, 2]])
+
+    def test_trial_selection(self, adata_equal):
+        sel = spy.selectdata(adata_equal, trials=[1, 3])
+        assert len(sel.trials) == 2
+        assert np.allclose(np.asarray(sel.trials[0]), np.asarray(adata_equal.trials[1]))
+
+    def test_latency_selection(self, adata_equal):
+        sel = spy.selectdata(adata_equal, latency=[0.1, 0.5])
+        n = np.asarray(sel.trials[0]).shape[0]
+        assert n == 401  # samples in [0.1, 0.5] at 1 kHz, t0=0
+
+    def test_inplace_selection(self, adata_equal):
+        adata_equal.selectdata(trials=[0, 1], inplace=True)
+        assert adata_equal.selection is not None
+        assert len(adata_equal.selection.trial_ids) == 2
+        adata_equal.selectdata(inplace=True, clear=True)
+        assert adata_equal.selection is None
+
+    def test_label_selection(self, adata_equal):
+        sel = spy.selectdata(adata_equal, channel=["channel2"])
+        assert sel.data.shape[1] == 1
+
+    def test_invalid_selection(self, adata_equal):
+        with pytest.raises(SPYValueError):
+            spy.selectdata(adata_equal, trials=[99])
+        with pytest.raises(SPYValueError):
+            spy.selectdata(adata_equal, channel=["nope"])
+
+
+class TestRedefinetrial:
+    def test_subset(self, adata_equal):
+        out = spy.redefinetrial(adata_equal, trials=[0, 1, 2])
+        assert len(out.trials) == 3
+
+    def test_offset(self, adata_equal):
+        out = spy.redefinetrial(adata_equal, offset=-100)
+        assert np.all(out.trialdefinition[:, 2] == -100)
+
+    def test_toilim(self, adata_equal):
+        out = spy.redefinetrial(adata_equal, toilim=[0.2, 0.4])
+        lens = out.trialdefinition[:, 1] - out.trialdefinition[:, 0]
+        assert np.all(lens == 201)
+
+    def test_trl_replace(self, adata_equal):
+        trl = np.array([[0, 5000, 0], [5000, 10000, 0]])
+        out = spy.redefinetrial(adata_equal, trl=trl)
+        assert len(out.trials) == 2
+
+
+class TestConcat:
+    def test_channel_concat(self):
+        a = spy.AnalogData(data=np.random.randn(100, 2).astype("f4"), samplerate=100)
+        b = spy.AnalogData(data=np.random.randn(100, 3).astype("f4"), samplerate=100)
+        out = spy.concat(a, b, dim="channel")
+        assert out.data.shape == (100, 5)
+        assert len(out.channel) == 5
+
+
+class TestSaveLoad:
+    def test_roundtrip(self, tmp_path, adata_equal):
+        container = str(tmp_path / "testdata")
+        spy.save(adata_equal, container=container)
+        loaded = spy.load(container + ".spy")
+        assert loaded == adata_equal
+        assert loaded.samplerate == adata_equal.samplerate
+        assert list(loaded.channel) == list(adata_equal.channel)
+
+    def test_tags(self, tmp_path, adata_equal):
+        container = str(tmp_path / "multi")
+        spy.save(adata_equal, container=container, tag="raw")
+        sel = spy.selectdata(adata_equal, channel=[0])
+        spy.save(sel, container=container, tag="selected")
+        loaded = spy.load(container + ".spy", tag="selected")
+        assert loaded.data.shape[1] == 1
+
+    def test_checksum(self, tmp_path, adata_equal):
+        container = str(tmp_path / "check")
+        fname = spy.save(adata_equal, container=container)
+        loaded = spy.load(fname, checksum=True)
+        assert loaded == adata_equal
+
+
+class TestDiscreteData:
+    def test_spikedata(self):
+        rng = np.random.default_rng(3)
+        samples = np.sort(rng.integers(0, 1000, 200))
+        chans = rng.integers(0, 4, 200)
+        units = rng.integers(0, 3, 200)
+        sd = spy.SpikeData(
+            data=np.column_stack([samples, chans, units]).astype(np.int64), samplerate=1000
+        )
+        assert sd.dimord == ["sample", "channel", "unit"]
+        sd.trialdefinition = np.array([[0, 500, 0], [500, 1000, 0]])
+        assert len(sd.trials) == 2
+        t0 = np.asarray(sd.trials[0])
+        assert np.all(t0[:, 0] < 500)
+
+    def test_unit_selection(self):
+        data = np.column_stack(
+            [np.arange(100), np.zeros(100), np.tile([0, 1], 50)]
+        ).astype(np.int64)
+        sd = spy.SpikeData(data=data, samplerate=1000)
+        sel = spy.selectdata(sd, unit=[0])
+        arr = np.asarray(sel.data)
+        assert np.all(arr[:, 2] == 0)
