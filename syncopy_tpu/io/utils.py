@@ -39,6 +39,12 @@ def _hash_hdf5_content(fname):
     import h5py
     import numpy as np
 
+    def attr_bytes(value):
+        arr = np.asarray(value)
+        if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+            return repr([str(v) for v in arr.ravel()]).encode()
+        return arr.tobytes()
+
     hash_obj = hashlib.sha1()
     with h5py.File(fname, "r") as f:
 
@@ -46,7 +52,7 @@ def _hash_hdf5_content(fname):
             hash_obj.update(name.encode())
             for key in sorted(obj.attrs):
                 hash_obj.update(key.encode())
-                hash_obj.update(np.asarray(obj.attrs[key]).tobytes())
+                hash_obj.update(attr_bytes(obj.attrs[key]))
             if isinstance(obj, h5py.Dataset):
                 hash_obj.update(str(obj.shape).encode())
                 hash_obj.update(str(obj.dtype).encode())
@@ -54,7 +60,7 @@ def _hash_hdf5_content(fname):
 
         for key in sorted(f.attrs):
             hash_obj.update(key.encode())
-            hash_obj.update(np.asarray(f.attrs[key]).tobytes())
+            hash_obj.update(attr_bytes(f.attrs[key]))
         f.visititems(visit)
     return hash_obj.hexdigest()
 
