@@ -63,13 +63,21 @@ def definetrial(obj, trialdefinition=None, pre=None, post=None, start=None,
             )
     if np.any(trl[:, 1] < trl[:, 0]):
         raise SPYValueError(legal="stop >= start for all trials", varname="trialdefinition")
-    nsamp = _payload_samples(obj)
-    if np.any(trl[:, 0] < 0) or np.any(trl[:, 1] > nsamp):
+    if np.any(trl[:, 0] < 0):
         raise SPYValueError(
-            legal="sample bounds within [0, {}]".format(nsamp),
-            varname="trialdefinition",
-            actual="[{}, {}]".format(trl[:, 0].min(), trl[:, 1].max()),
+            legal="non-negative trial starts", varname="trialdefinition",
+            actual=str(trl[:, 0].min()),
         )
+    if "sample" not in obj.dimord:
+        # continuous data: trials must lie inside the payload; discrete data
+        # may define trials beyond the last recorded event
+        nsamp = _payload_samples(obj)
+        if np.any(trl[:, 1] > nsamp):
+            raise SPYValueError(
+                legal="sample bounds within [0, {}]".format(nsamp),
+                varname="trialdefinition",
+                actual="[{}, {}]".format(trl[:, 0].min(), trl[:, 1].max()),
+            )
     _attach(obj, trl)
 
 
