@@ -112,7 +112,7 @@ def process_taper(taper, taper_opt, tapsmofrq, nTaper, keeptapers, foimax, sampl
         if keeptapers:
             SPYWarning("`keeptapers` is only used for multi-tapering!")
         params = signature(getattr(sp_windows, taper)).parameters
-        supported_kws = [k for k in params if k not in ("M", "sym")]
+        supported_kws = [k for k in params if k not in ("M", "sym", "xp", "device")]
         if taper_opt is not None:
             if len(supported_kws) == 0:
                 raise SPYValueError(

@@ -1,0 +1,142 @@
+# -*- coding: utf-8 -*-
+# Engine conformance suite with a toy kernel (modeled on reference
+# tests/test_computationalroutine.py: its LowPassFilter CR + frontend).
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import syncopy_tpu as spy
+from syncopy_tpu.engine.routine import ComputationalRoutine
+
+
+class TimesTwo(ComputationalRoutine):
+    """Toy CR: double the signal, keep shape."""
+
+    valid_kws = []
+
+    def process_single_trial(self, trial, **cfg):
+        return trial * 2.0
+
+    def process_metadata(self, data, out):
+        if self.keeptrials:
+            trl = np.array(self.selector.trialdefinition)
+        else:
+            trl = np.array(self.selector.trialdefinition[:1])
+        out.trialdefinition = trl
+        out.samplerate = data.samplerate
+        self.propagate_properties(data, out)
+
+
+class ChannelMean(ComputationalRoutine):
+    """Toy CR with shape change: average over channels -> (time, 1)."""
+
+    valid_kws = []
+
+    def process_single_trial(self, trial, **cfg):
+        return jnp.mean(trial, axis=1, keepdims=True)
+
+    def process_metadata(self, data, out):
+        out.trialdefinition = np.array(self.selector.trialdefinition)
+        out.samplerate = data.samplerate
+
+
+def run_cr(cr, data, keeptrials=True, parallel=None):
+    out = spy.AnalogData(dimord=["time", "channel"])
+    cr.initialize(data, out._stackingDim, keeptrials=keeptrials)
+    cr.compute(data, out, parallel=parallel)
+    return out
+
+
+class TestSequential:
+    def test_identity_shape(self, adata_equal):
+        out = run_cr(TimesTwo(), adata_equal)
+        assert out.data.shape == adata_equal.data.shape
+        assert np.allclose(np.asarray(out.data), 2 * np.asarray(adata_equal.data))
+        assert len(out.trials) == len(adata_equal.trials)
+
+    def test_ragged_trials(self, adata_ragged):
+        out = run_cr(TimesTwo(), adata_ragged)
+        for k in range(len(adata_ragged.trials)):
+            assert np.allclose(
+                np.asarray(out.trials[k]), 2 * np.asarray(adata_ragged.trials[k])
+            )
+
+    def test_keeptrials_false(self, adata_equal):
+        out = run_cr(TimesTwo(), adata_equal, keeptrials=False)
+        expected = 2 * np.mean(
+            np.stack([np.asarray(t) for t in adata_equal.trials]), axis=0
+        )
+        assert np.allclose(np.asarray(out.data), expected, atol=1e-6)
+
+    def test_keeptrials_false_ragged_raises(self, adata_ragged):
+        cr = TimesTwo()
+        with pytest.raises(spy.SPYValueError):
+            cr.initialize(adata_ragged, 0, keeptrials=False)
+
+    def test_shape_change(self, adata_equal):
+        out = run_cr(ChannelMean(), adata_equal)
+        assert out.data.shape[1] == 1
+        assert np.allclose(
+            np.asarray(out.trials[0]),
+            np.asarray(adata_equal.trials[0]).mean(axis=1, keepdims=True),
+            atol=1e-6,
+        )
+
+    def test_selection(self, adata_equal):
+        adata_equal.selectdata(trials=[1, 3], channel=[0, 2], inplace=True)
+        out = run_cr(TimesTwo(), adata_equal)
+        assert len(out.trials) == 2
+        assert out.data.shape[1] == 2
+        expected = 2 * np.asarray(adata_equal.trials[1])[:, [0, 2]]
+        assert np.allclose(np.asarray(out.trials[0]), expected)
+        adata_equal.selectdata(inplace=True, clear=True)
+
+    def test_latency_selection(self, adata_equal):
+        adata_equal.selectdata(latency=[0.0, 0.25], inplace=True)
+        out = run_cr(TimesTwo(), adata_equal)
+        assert np.asarray(out.trials[0]).shape[0] == 251
+        adata_equal.selectdata(inplace=True, clear=True)
+
+
+class TestParallel:
+    def test_mesh_matches_sequential(self, adata_equal, testmesh):
+        out_seq = run_cr(TimesTwo(), adata_equal)
+        with spy.use_mesh(testmesh):
+            out_par = run_cr(TimesTwo(), adata_equal)
+        assert np.allclose(np.asarray(out_seq.data), np.asarray(out_par.data))
+
+    def test_mesh_keeptrials_false(self, adata_equal, testmesh):
+        out_seq = run_cr(TimesTwo(), adata_equal, keeptrials=False)
+        with spy.use_mesh(testmesh):
+            out_par = run_cr(TimesTwo(), adata_equal, keeptrials=False)
+        assert np.allclose(
+            np.asarray(out_seq.data), np.asarray(out_par.data), atol=1e-6
+        )
+
+    def test_mesh_ragged(self, adata_ragged, testmesh):
+        out_seq = run_cr(TimesTwo(), adata_ragged)
+        with spy.use_mesh(testmesh):
+            out_par = run_cr(TimesTwo(), adata_ragged)
+        assert np.allclose(np.asarray(out_seq.data), np.asarray(out_par.data))
+
+    def test_parallel_debug(self, adata_equal):
+        cr = TimesTwo()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        cr.initialize(adata_equal, 0, keeptrials=True)
+        cr.compute(adata_equal, out, parallel_debug=True)
+        assert np.allclose(np.asarray(out.data), 2 * np.asarray(adata_equal.data))
+
+
+class TestProvenance:
+    def test_log_propagation(self, adata_equal):
+        adata_equal.log = "pre-existing entry"
+        out = run_cr(TimesTwo(), adata_equal)
+        assert "pre-existing entry" in out.log
+        assert "TimesTwo" in out.log
+
+    def test_save_load_roundtrip(self, tmp_path, adata_equal):
+        out = run_cr(TimesTwo(), adata_equal)
+        spy.save(out, container=str(tmp_path / "crout"))
+        loaded = spy.load(str(tmp_path / "crout.spy"))
+        assert loaded == out

@@ -1,0 +1,170 @@
+# -*- coding: utf-8 -*-
+# Spectral-estimation tests: kernel vs independent numpy/scipy reference
+# computation + frontend integration (modeled on reference
+# tests/backend/test_timefreq.py and tests/test_specest.py).
+
+import numpy as np
+import pytest
+from scipy.signal import windows as sp_windows
+
+import syncopy_tpu as spy
+
+
+def np_mtmfft(data, samplerate, taper="hann", taper_opt=None, nfft=None):
+    """Independent numpy implementation of the reference mtmfft math
+    (reference specest/mtmfft.py:16-129) used as test oracle."""
+    signal_length = data.shape[0]
+    if nfft is None:
+        nfft = signal_length
+    win_fn = getattr(sp_windows, taper or "boxcar")
+    wins = np.atleast_2d(win_fn(signal_length, **(taper_opt or {})))
+    if (taper or "boxcar") == "dpss":
+        wins = wins * np.sqrt(nfft)
+    elif (taper or "boxcar") == "boxcar":
+        wins = wins * np.sqrt(nfft / wins.sum())
+    else:
+        wins = wins * np.sqrt(4 / 3) * np.sqrt(nfft / wins.sum())
+    ftr = np.zeros((wins.shape[0], nfft // 2 + 1, data.shape[1]), dtype="complex64")
+    for k, win in enumerate(wins):
+        tapered = win[:, None] * data
+        ftr[k] = np.fft.rfft(tapered, n=nfft, axis=0)
+        n_eff = signal_length * np.sqrt(nfft / signal_length)
+        ftr[k] *= np.sqrt(2) / n_eff
+    return ftr, np.fft.rfftfreq(nfft, 1 / samplerate)
+
+
+class TestMtmfftKernel:
+    def test_vs_numpy_oracle(self):
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(1000, 4)).astype("f4")
+        ref, freqs = np_mtmfft(data, 1000.0, taper="hann")
+
+        from syncopy_tpu.ops.spectral import mtmfft as jax_mtmfft
+        from syncopy_tpu.ops.windows import make_tapers
+
+        tapers = make_tapers("hann", None, 1000, 1000, 1000.0)
+        got = np.asarray(jax_mtmfft(data, tapers, 1000))
+        assert np.allclose(got, ref, atol=1e-5)
+
+    def test_padding_invariance(self):
+        """Power of an unpadded vs zero-padded harmonic stays comparable
+        (the padding-invariant normalization, reference mtmfft.py:119-128)."""
+        t = np.arange(1000) / 1000.0
+        sig = np.cos(2 * np.pi * 50 * t)[:, None].astype("f4")
+
+        from syncopy_tpu.ops.spectral import mtmfft as jax_mtmfft
+        from syncopy_tpu.ops.windows import make_tapers
+
+        tapers = make_tapers("hann", None, 1000, 1000, 1000.0)
+        pow_nopad = np.abs(np.asarray(jax_mtmfft(sig, tapers, 1000))) ** 2
+        tapers_pad = make_tapers("hann", None, 1000, 2000, 1000.0)
+        pow_pad = np.abs(np.asarray(jax_mtmfft(sig, tapers_pad, 2000))) ** 2
+        # per-bin (peak) power conserved under padding
+        assert pow_pad.max() == pytest.approx(pow_nopad.max(), rel=0.05)
+
+    def test_dpss_tapers(self):
+        from syncopy_tpu.ops.windows import make_tapers
+
+        tapers = make_tapers("dpss", {"NW": 2, "Kmax": 3}, 500, 500, 1000.0)
+        assert tapers.shape == (3, 500)
+        # dpss windows are orthonormal before normalization
+        raw = sp_windows.dpss(500, 2, 3)
+        assert np.allclose(raw @ raw.T, np.eye(3), atol=1e-6)
+
+
+class TestFreqanalysisFrontend:
+    def test_harmonic_peak(self):
+        adata = spy.synthdata.harmonic(
+            freq=40, samplerate=1000, nTrials=4, nSamples=1000, nChannels=2
+        )
+        spec = spy.freqanalysis(adata, method="mtmfft", taper="hann")
+        assert spec.dimord == ["time", "taper", "freq", "channel"]
+        assert spec.data.shape == (4, 1, 501, 2)
+        power = np.asarray(spec.data)[0, 0, :, 0]
+        assert spec.freq[np.argmax(power)] == pytest.approx(40.0)
+
+    def test_output_flavors(self):
+        adata = spy.synthdata.white_noise(nTrials=2, nSamples=500, nChannels=2, seed=0)
+        four = spy.freqanalysis(adata, method="mtmfft", taper="hann", output="fourier")
+        assert np.iscomplexobj(np.asarray(four.data))
+        powd = spy.freqanalysis(adata, method="mtmfft", taper="hann", output="pow")
+        assert np.allclose(
+            np.abs(np.asarray(four.data)) ** 2, np.asarray(powd.data), atol=1e-5
+        )
+
+    def test_multitaper_smoothing(self):
+        adata = spy.synthdata.harmonic(
+            freq=100, samplerate=1000, nTrials=3, nSamples=1000, nChannels=1
+        )
+        spec = spy.freqanalysis(adata, tapsmofrq=5, keeptrials=False)
+        power = np.asarray(spec.data)[0, 0, :, 0]
+        # smoothing spreads the peak over ~2*tapsmofrq Hz
+        halfpow_band = spec.freq[power > power.max() / 2]
+        assert 4 <= halfpow_band.max() - halfpow_band.min() <= 14
+
+    def test_keeptapers(self):
+        adata = spy.synthdata.white_noise(nTrials=2, nSamples=500, nChannels=2, seed=1)
+        spec = spy.freqanalysis(adata, tapsmofrq=4, keeptapers=True, output="fourier")
+        assert spec.data.shape[1] > 1
+        assert all(t == "dpss" for t in spec.taper)
+
+    def test_foilim(self):
+        adata = spy.synthdata.white_noise(nTrials=2, nSamples=1000, nChannels=2, seed=2)
+        spec = spy.freqanalysis(adata, method="mtmfft", taper="hann", foilim=[10, 50])
+        assert spec.freq[0] >= 10 and spec.freq[-1] <= 50
+        assert spec.data.shape[2] == spec.freq.size
+
+    def test_foi(self):
+        adata = spy.synthdata.white_noise(nTrials=2, nSamples=1000, nChannels=2, seed=2)
+        foi = [10, 20, 30, 40]
+        spec = spy.freqanalysis(adata, method="mtmfft", taper="hann", foi=foi)
+        assert np.allclose(spec.freq, foi)
+
+    def test_keeptrials_false(self):
+        adata = spy.synthdata.white_noise(nTrials=6, nSamples=500, nChannels=2, seed=3)
+        single = spy.freqanalysis(adata, method="mtmfft", taper="hann")
+        avg = spy.freqanalysis(adata, method="mtmfft", taper="hann", keeptrials=False)
+        assert avg.data.shape[0] == 1
+        assert np.allclose(
+            np.asarray(avg.data)[0], np.asarray(single.data).mean(axis=0), atol=1e-6
+        )
+
+    def test_selection(self):
+        adata = spy.synthdata.white_noise(nTrials=5, nSamples=500, nChannels=4, seed=4)
+        spec = spy.freqanalysis(
+            adata, method="mtmfft", taper="hann", select={"trials": [0, 2], "channel": [1, 3]}
+        )
+        assert spec.data.shape[0] == 2
+        assert spec.data.shape[3] == 2
+        assert list(spec.channel) == ["channel2", "channel4"]
+        # selection is restored afterwards
+        assert adata.selection is None
+
+    def test_parallel_mesh(self, testmesh):
+        adata = spy.synthdata.white_noise(nTrials=8, nSamples=512, nChannels=4, seed=5)
+        seq = spy.freqanalysis(adata, method="mtmfft", taper="hann")
+        with spy.use_mesh(testmesh):
+            par = spy.freqanalysis(adata, method="mtmfft", taper="hann")
+        assert np.allclose(np.asarray(seq.data), np.asarray(par.data), atol=1e-6)
+
+    def test_polyremoval(self):
+        adata = spy.synthdata.linear_trend(y_max=10, nTrials=2, nSamples=500, nChannels=1)
+        spec0 = spy.freqanalysis(adata, method="mtmfft", taper=None, polyremoval=None)
+        spec1 = spy.freqanalysis(adata, method="mtmfft", taper=None, polyremoval=1)
+        # linear detrending kills the DC/low-freq dominance
+        assert np.asarray(spec1.data)[0, 0, 0, 0] < np.asarray(spec0.data)[0, 0, 0, 0] / 100
+
+    def test_cfg_replay(self):
+        adata = spy.synthdata.white_noise(nTrials=3, nSamples=500, nChannels=2, seed=6)
+        spec = spy.freqanalysis(adata, method="mtmfft", taper="hann", foilim=[5, 100])
+        replay = spy.freqanalysis(adata, spec.cfg)
+        assert np.allclose(np.asarray(spec.data), np.asarray(replay.data))
+
+    def test_invalid_args(self):
+        adata = spy.synthdata.white_noise(nTrials=2, nSamples=100, nChannels=2, seed=7)
+        with pytest.raises(spy.SPYValueError):
+            spy.freqanalysis(adata, method="nope")
+        with pytest.raises(spy.SPYValueError):
+            spy.freqanalysis(adata, method="mtmfft", output="nope")
+        with pytest.raises(spy.SPYValueError):
+            spy.freqanalysis(adata, method="mtmfft", foi=[10], foilim=[10, 20])
