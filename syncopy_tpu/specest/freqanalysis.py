@@ -17,12 +17,13 @@ from ..shared.input_processors import (
     process_taper,
 )
 from ..shared.kwarg_decorators import detect_parallel_client, unwrap_cfg, unwrap_select
-from ..shared.parsers import data_parser, scalar_parser
+from ..shared.parsers import array_parser, data_parser, scalar_parser
 from ..shared.tools import best_match, get_defaults, get_frontend_cfg
 
 __all__ = ["freqanalysis"]
 
 availableMethods = ("mtmfft", "mtmconvol", "wavelet", "superlet", "welch")
+availableWavelets = ("Morlet", "Paul", "DOG", "Ricker")
 availableOutputs = (
     "pow", "abs", "fourier", "real", "imag", "angle", "absreal", "absimag",
     "fooof", "fooof_aperiodic", "fooof_peaks",
@@ -86,7 +87,7 @@ def freqanalysis(
         scalar_parser(polyremoval, varname="polyremoval", ntype="int_like", lims=[0, 1])
 
     defaults = get_defaults(freqanalysis)
-    lcls = locals()
+    lcls = dict(locals())
     check_passed_kwargs(lcls, defaults, frontend_name="freqanalysis")
     new_cfg = get_frontend_cfg(defaults, lcls, kwargs)
 
@@ -97,31 +98,35 @@ def freqanalysis(
             raise SPYValueError(
                 legal="method 'mtmfft' for FOOOF outputs", varname="method", actual=method
             )
+        if keeptrials:
+            raise SPYValueError(
+                legal="keeptrials=False for FOOOF (fits require a trial-averaged "
+                "spectrum)", varname="keeptrials", actual="True",
+            )
         fooof_flavour = output
         output = "pow"
 
-    # (selected) trial lengths
+    # (selected) trial geometry
     if data.selection is not None:
         sel = data.selection
         lenTrials = np.array(
             [sel.select_trial_array(data, k).shape[timeAxis] for k in range(len(sel.trial_ids))]
         )
+        trl_def = sel.trialdefinition
     else:
-        trl = data.trialdefinition
-        lenTrials = (trl[:, 1] - trl[:, 0]).astype(int)
+        trl_def = data.trialdefinition
+        lenTrials = (trl_def[:, 1] - trl_def[:, 0]).astype(int)
     if lenTrials.size == 0:
         raise SPYValueError(legal="at least one trial", varname="data")
+    tStart = trl_def[:, 2] / data.samplerate
+    tEnd = tStart + lenTrials / data.samplerate
 
     foi, foilim = process_foi(foi, foilim, data.samplerate)
-
-    if method in ("mtmfft", "welch"):
-        nSamples = process_padding(pad, lenTrials, data.samplerate)
-    else:
-        nSamples = int(lenTrials.max())
 
     # -- method dispatch ------------------------------------------------- #
 
     if method == "mtmfft":
+        nSamples = process_padding(pad, lenTrials, data.samplerate)
         taper, taper_opt = process_taper(
             taper, taper_opt, tapsmofrq, nTaper, keeptapers,
             foimax=data.samplerate / 2, samplerate=data.samplerate,
@@ -149,34 +154,147 @@ def freqanalysis(
             freq_idx=freq_idx,
             ft_compat=ft_compat,
         )
+        log_dict = {"method": method, "output": output, "taper": taper,
+                    "tapsmofrq": tapsmofrq, "pad": pad}
 
     elif method in ("mtmconvol", "welch"):
-        from .compRoutines import MultiTaperFFTConvol  # noqa: F401
-
-        return _mtmconvol_route(
-            data, lenTrials, nSamples, method, output, keeptrials, foi, foilim,
-            polyremoval, taper, taper_opt, tapsmofrq, nTaper, keeptapers, toi,
-            t_ftimwin, out, parallel, ft_compat, new_cfg, defaults, lcls,
+        if t_ftimwin is None:
+            raise SPYValueError(
+                legal="window length `t_ftimwin` (in seconds)", varname="t_ftimwin",
+                actual="None",
+            )
+        scalar_parser(
+            t_ftimwin, varname="t_ftimwin", lims=[1 / data.samplerate, lenTrials.min() / data.samplerate]
         )
+        nperseg = int(t_ftimwin * data.samplerate)
+
+        toi = _process_toi(toi, method, tStart, tEnd, data.samplerate)
+
+        taper, taper_opt = process_taper(
+            taper, taper_opt, tapsmofrq, nTaper, keeptapers,
+            foimax=data.samplerate / 2, samplerate=data.samplerate,
+            nSamples=nperseg, output="pow" if method == "welch" else output,
+        )
+        freqs = np.fft.rfftfreq(nperseg, 1.0 / data.samplerate)
+        freq_idx = None
+        out_foi = freqs
+        if foi is not None:
+            _, freq_idx = best_match(freqs, foi, squash_duplicates=True)
+            out_foi = freqs[freq_idx]
+        elif foilim is not None:
+            _, freq_idx = best_match(freqs, foilim, span=True)
+            out_foi = freqs[freq_idx]
+
+        from .compRoutines import MultiTaperFFTConvol
+
+        check_effective_parameters(MultiTaperFFTConvol, defaults, lcls)
+        specestMethod = MultiTaperFFTConvol(
+            samplerate=data.samplerate,
+            nperseg=nperseg,
+            toi=toi,
+            taper=taper,
+            taper_opt=taper_opt,
+            output="pow" if method == "welch" else output,
+            keeptapers=False if method == "welch" else keeptapers,
+            polyremoval=polyremoval,
+            freq_idx=freq_idx,
+            foi=out_foi,
+        )
+        log_dict = {"method": method, "output": output, "taper": taper,
+                    "t_ftimwin": t_ftimwin, "toi": toi if not isinstance(toi, np.ndarray) else "array"}
 
     elif method == "wavelet":
+        from ..ops.wavelet import DOG, Morlet, Paul, Ricker, get_optimal_wavelet_scales
+
+        if wavelet not in availableWavelets:
+            raise SPYValueError(legal=str(availableWavelets), varname="wavelet", actual=str(wavelet))
+        if wavelet == "Morlet":
+            scalar_parser(width, varname="width", lims=[1, np.inf])
+            wfun = Morlet(width)
+        elif wavelet == "Paul":
+            wfun = Paul(int(order) if order is not None else 4)
+        elif wavelet == "DOG":
+            wfun = DOG(int(order) if order is not None else 2)
+        else:
+            wfun = Ricker()
+            if output not in ("abs", "real", "pow"):
+                SPYWarning("Ricker wavelet is real-valued; consider output='real'")
+
+        toi = _process_toi(toi, method, tStart, tEnd, data.samplerate, allow_percent=False)
+
+        if foi is None and foilim is not None:
+            foi = np.arange(foilim[0], foilim[1] + 1)
+        if foi is not None:
+            scales = wfun.scale_from_period(1.0 / foi)
+            out_foi = np.asarray(foi, dtype=float)
+        else:
+            scales = get_optimal_wavelet_scales(
+                wfun.scale_from_period, int(lenTrials.min()), 1.0 / data.samplerate
+            )
+            out_foi = 1.0 / wfun.fourier_period(scales)
+
         from .compRoutines import WaveletTransform
 
-        return _wavelet_route(
-            data, lenTrials, output, keeptrials, foi, foilim, polyremoval,
-            toi, wavelet, width, order, out, parallel, new_cfg, defaults, lcls,
+        check_effective_parameters(WaveletTransform, defaults, lcls)
+        specestMethod = WaveletTransform(
+            samplerate=data.samplerate,
+            scales=scales,
+            wavelet=wfun,
+            toi=toi,
+            output=output,
+            polyremoval=polyremoval,
+            foi=out_foi,
         )
+        log_dict = {"method": method, "output": output, "wavelet": wavelet, "width": width}
 
     elif method == "superlet":
+        from ..ops.wavelet import MorletSL, get_optimal_wavelet_scales
+
+        if order_max is None:
+            raise SPYValueError(
+                legal="`order_max` (maximal superlet order)", varname="order_max", actual="None"
+            )
+        scalar_parser(order_max, varname="order_max", ntype="int_like", lims=[1, np.inf])
+        scalar_parser(order_min, varname="order_min", ntype="int_like", lims=[1, order_max])
+        scalar_parser(c_1, varname="c_1", ntype="int_like", lims=[1, np.inf])
+
+        toi = _process_toi(toi, method, tStart, tEnd, data.samplerate, allow_percent=False)
+
+        if foi is None and foilim is not None:
+            foi = np.arange(foilim[0], foilim[1] + 1)
+        if foi is not None:
+            scales = MorletSL.scale_from_period(1.0 / np.asarray(foi, dtype=float))
+            out_foi = np.asarray(foi, dtype=float)
+        else:
+            scales = get_optimal_wavelet_scales(
+                MorletSL.scale_from_period, int(lenTrials.min()), 1.0 / data.samplerate
+            )
+            out_foi = 1.0 / MorletSL.fourier_period(scales)
+        # adaptive SLT needs scales ordered high -> low (foi low -> high)
+        if adaptive and scales.size > 1 and np.any(np.diff(scales) > 0):
+            sorter = np.argsort(scales)[::-1]
+            scales = scales[sorter]
+            out_foi = np.asarray(out_foi)[sorter]
+
         from .compRoutines import SuperletTransform
 
-        return _superlet_route(
-            data, lenTrials, output, keeptrials, foi, foilim, polyremoval,
-            toi, order_max, order_min, c_1, adaptive, out, parallel, new_cfg,
-            defaults, lcls,
+        check_effective_parameters(SuperletTransform, defaults, lcls)
+        specestMethod = SuperletTransform(
+            samplerate=data.samplerate,
+            scales=scales,
+            order_max=order_max,
+            order_min=order_min,
+            c_1=c_1,
+            adaptive=adaptive,
+            toi=toi,
+            output=output,
+            polyremoval=polyremoval,
+            foi=out_foi,
         )
+        log_dict = {"method": method, "output": output, "order_max": order_max,
+                    "adaptive": adaptive}
 
-    # -- mtmfft execution ------------------------------------------------ #
+    # -- execution ------------------------------------------------------- #
 
     if out is not None:
         data_parser(out, varname="out", dataclass="SpectralData", empty=True)
@@ -188,9 +306,12 @@ def freqanalysis(
     specestMethod.initialize(
         data, out._stackingDim, chan_per_worker=chan_per_worker, keeptrials=keeptrials
     )
-    specestMethod.compute(
-        data, out, parallel=parallel, log_dict={"method": method, "output": output}
-    )
+    specestMethod.compute(data, out, parallel=parallel, log_dict=log_dict)
+
+    if method == "welch":
+        from ..statistics.summary_stats import mean as spy_mean
+
+        out = spy_mean(out, dim="time")
 
     if fooof_flavour is not None:
         from .fooof_route import run_fooof
@@ -198,16 +319,37 @@ def freqanalysis(
         out = run_fooof(out, fooof_flavour, fooof_opt)
 
     out.cfg.update({"freqanalysis": new_cfg})
-    return out if new_out or fooof_flavour else out
+    return out
 
 
-def _mtmconvol_route(*args, **kwargs):
-    raise SPYError("method 'mtmconvol'/'welch' not implemented yet")
-
-
-def _wavelet_route(*args, **kwargs):
-    raise SPYError("method 'wavelet' not implemented yet")
-
-
-def _superlet_route(*args, **kwargs):
-    raise SPYError("method 'superlet' not implemented yet")
+def _process_toi(toi, method, tStart, tEnd, samplerate, allow_percent=True):
+    """Digest the `toi` argument (reference freqanalysis.py:674-790)."""
+    if isinstance(toi, str):
+        if toi != "all":
+            raise SPYValueError(legal="'all', scalar or array", varname="toi", actual=toi)
+        if method == "welch":
+            raise SPYValueError(
+                legal="toi to be a float in range [0, 1] for method='welch'",
+                varname="toi", actual=toi,
+            )
+        return "all"
+    if np.issubdtype(type(toi), np.number):
+        if not allow_percent:
+            raise SPYValueError(
+                legal="'all' or array of time-points for this method", varname="toi", actual=str(toi)
+            )
+        scalar_parser(toi, varname="toi", lims=[0, 1])
+        return float(toi)
+    if method == "welch":
+        raise SPYValueError(
+            legal="toi to be a float in range [0, 1] for method='welch'",
+            varname="toi", actual=str(toi),
+        )
+    array_parser(
+        toi, varname="toi", hasinf=False, hasnan=False,
+        lims=[tStart.min(), tEnd.max()], dims=(None,),
+    )
+    toi = np.asarray(toi, dtype=float)
+    if np.any(np.diff(toi) < 0):
+        raise SPYValueError(legal="ordered list/array of time-points", varname="toi", actual="unsorted")
+    return toi

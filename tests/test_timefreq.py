@@ -1,0 +1,203 @@
+# -*- coding: utf-8 -*-
+# Time-frequency method tests: mtmconvol/wavelet/superlet/welch + summary
+# statistics (modeled on reference tests/backend/test_timefreq.py,
+# test_specest.py, test_welch.py, test_statistics.py).
+
+import numpy as np
+import pytest
+
+import syncopy_tpu as spy
+
+
+def chirp_signal(nTrials=3, nSamples=1000, samplerate=500.0, f0=10, f1=60, nChannels=2):
+    t = np.arange(nSamples) / samplerate
+    inst_f = f0 + (f1 - f0) * t / t[-1]
+    phase = 2 * np.pi * np.cumsum(inst_f) / samplerate
+    sig = np.cos(phase).astype("f4")
+    trls = [np.column_stack([sig] * nChannels) for _ in range(nTrials)]
+    return spy.AnalogData(data=trls, samplerate=samplerate)
+
+
+class TestMtmconvol:
+    def test_chirp_tracking(self):
+        data = chirp_signal()
+        tf = spy.freqanalysis(data, method="mtmconvol", t_ftimwin=0.25, toi=0.5, taper="hann")
+        arr = np.asarray(tf.data)
+        n_time = arr.shape[0] // 3  # per trial
+        # instantaneous peak frequency should increase over the trial
+        peaks = tf.freq[np.argmax(arr[:n_time, 0, :, 0], axis=1)]
+        interior = peaks[2:-2]
+        assert interior[-1] > interior[0]
+        assert np.all(np.diff(interior) >= -4.1)  # monotone up to bin width
+
+    def test_output_geometry_percent(self):
+        data = chirp_signal(nSamples=1000, samplerate=500.0)
+        tf = spy.freqanalysis(data, method="mtmconvol", t_ftimwin=0.2, toi=0.5, taper="hann")
+        # nperseg=100, hop=50 -> 20 windows/trial, new samplerate = 10 Hz
+        assert tf.data.shape[0] == 60
+        assert tf.samplerate == pytest.approx(10.0)
+
+    def test_toi_all(self):
+        data = chirp_signal(nTrials=2, nSamples=500)
+        tf = spy.freqanalysis(data, method="mtmconvol", t_ftimwin=0.2, toi="all", taper="hann")
+        assert tf.data.shape[0] == 1000
+        assert tf.samplerate == data.samplerate
+
+    def test_toi_array(self):
+        data = chirp_signal(nTrials=2, nSamples=1000, samplerate=500.0)
+        toi = np.linspace(0.2, 1.8, 9)
+        tf = spy.freqanalysis(data, method="mtmconvol", t_ftimwin=0.2, toi=toi, taper="hann")
+        assert tf.data.shape[0] == 18
+        assert np.asarray(tf.time[0])[0] == pytest.approx(0.2, abs=1e-6)
+
+    def test_multitaper(self):
+        data = chirp_signal(nTrials=2)
+        tf = spy.freqanalysis(
+            data, method="mtmconvol", t_ftimwin=0.4, toi=0.5, tapsmofrq=10,
+            keeptapers=True, output="pow",
+        )
+        assert tf.data.shape[1] > 1
+
+    def test_vs_scipy_stft(self):
+        """Power of hann mtmconvol matches scipy.signal.stft-based estimate."""
+        from scipy.signal import stft as sp_stft
+
+        rng = np.random.default_rng(0)
+        sig = rng.normal(size=1024).astype("f4")
+        data = spy.AnalogData(data=sig[:, None], samplerate=1000.0)
+        nperseg = 128
+        tf = spy.freqanalysis(
+            data, method="mtmconvol", t_ftimwin=nperseg / 1000.0, toi=0.5,
+            taper="hann", output="pow", polyremoval=None,
+        )
+        f, t, Z = sp_stft(
+            sig, fs=1000.0, window="hann", nperseg=nperseg, noverlap=nperseg // 2,
+            boundary="zeros", padded=True, detrend=False,
+        )
+        # reference norm: |ftr|^2 * (4/3) * 2 / relative to scipy 'spectrum'...
+        # compare shapes + peak positions only (norms differ by a known factor)
+        got = np.asarray(tf.data)[:, 0, :, 0]
+        # scipy windows are 'sym=False' equivalents; compare the time-freq
+        # energy landscape via correlation
+        ref = (np.abs(Z) ** 2).T[: got.shape[0]]
+        gotn = got[: ref.shape[0]]
+        corr = np.corrcoef(ref.ravel(), gotn.ravel())[0, 1]
+        assert corr > 0.99
+
+
+class TestWavelet:
+    def test_harmonic_peak(self):
+        data = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=2, nSamples=1000, nChannels=2)
+        wl = spy.freqanalysis(data, method="wavelet", foi=np.arange(10, 60, 2))
+        arr = np.asarray(wl.data)
+        assert wl.freq[np.argmax(arr[500, 0, :, 0])] == pytest.approx(30, abs=2)
+
+    def test_optimal_scales(self):
+        data = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=1, nSamples=1000, nChannels=1)
+        wl = spy.freqanalysis(data, method="wavelet")
+        assert wl.freq.size > 5
+        assert np.all(np.diff(wl.freq) > 0)  # low-to-high ordering
+
+    def test_toi_array(self):
+        data = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=2, nSamples=1000, nChannels=1)
+        toi = np.linspace(0.5, 1.5, 11)
+        wl = spy.freqanalysis(data, method="wavelet", foi=[20, 30, 40], toi=toi)
+        assert wl.data.shape[0] == 22
+
+    def test_paul_dog(self):
+        data = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=1, nSamples=500, nChannels=1)
+        for wv in ("Paul", "DOG"):
+            wl = spy.freqanalysis(data, method="wavelet", wavelet=wv, foi=np.arange(10, 60, 5))
+            arr = np.asarray(wl.data)
+            assert wl.freq[np.argmax(arr[250, 0, :, 0])] == pytest.approx(30, abs=6)
+
+
+class TestSuperlet:
+    def test_harmonic_peak_sharper_than_wavelet(self):
+        data = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=1, nSamples=1000, nChannels=1)
+        foi = np.arange(10, 60, 2.0)
+        sl = spy.freqanalysis(data, method="superlet", foi=foi, order_max=20, c_1=3, adaptive=False)
+        arr = np.asarray(sl.data)[500, 0, :, 0]
+        assert foi[np.argmax(arr)] == pytest.approx(30, abs=2)
+
+    def test_adaptive(self):
+        data = spy.synthdata.harmonic(freq=40, samplerate=500, nTrials=1, nSamples=800, nChannels=1)
+        sl = spy.freqanalysis(
+            data, method="superlet", foi=np.arange(10, 80, 5.0), order_max=10, adaptive=True
+        )
+        arr = np.asarray(sl.data)[400, 0, :, 0]
+        assert sl.freq[np.argmax(arr)] == pytest.approx(40, abs=5)
+
+
+class TestWelch:
+    def test_basic(self):
+        data = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=4, nSamples=1000, nChannels=2)
+        res = spy.freqanalysis(data, method="welch", t_ftimwin=0.25, toi=0.5)
+        assert res.data.shape[0] == 4  # one spectral estimate per trial
+        assert res.data.shape[1] == 1
+        arr = np.asarray(res.data)
+        assert res.freq[np.argmax(arr[0, 0, :, 0])] == pytest.approx(30, abs=4.1)
+
+    def test_variance_reduction(self):
+        """Welch averaging reduces spectral variance vs raw periodogram."""
+        data = spy.synthdata.white_noise(nTrials=6, nSamples=2000, nChannels=1, seed=0)
+        raw = spy.freqanalysis(data, method="mtmfft", taper="hann")
+        wel = spy.freqanalysis(data, method="welch", t_ftimwin=0.25, toi=0.5)
+        raw_cv = np.std(np.asarray(raw.data)) / np.mean(np.asarray(raw.data))
+        wel_cv = np.std(np.asarray(wel.data)) / np.mean(np.asarray(wel.data))
+        assert wel_cv < raw_cv / 1.5
+
+    def test_welch_rejects_bad_toi(self):
+        data = spy.synthdata.white_noise(nTrials=2, nSamples=500, nChannels=1, seed=0)
+        with pytest.raises(spy.SPYValueError):
+            spy.freqanalysis(data, method="welch", t_ftimwin=0.25, toi="all")
+
+
+class TestSummaryStats:
+    def test_mean_channel(self, adata_equal):
+        res = spy.mean(adata_equal, dim="channel")
+        assert res.data.shape[1] == 1
+        expected = np.asarray(adata_equal.data).mean(axis=1, keepdims=True)
+        assert np.allclose(np.asarray(res.data), expected, atol=1e-6)
+
+    def test_mean_trials(self, adata_equal):
+        res = spy.mean(adata_equal, dim="trials")
+        assert len(res.trials) == 1
+        expected = np.stack([np.asarray(t) for t in adata_equal.trials]).mean(axis=0)
+        assert np.allclose(np.asarray(res.data), expected, atol=1e-6)
+
+    def test_var_std(self, adata_equal):
+        v = spy.var(adata_equal, dim="trials")
+        s = spy.std(adata_equal, dim="trials")
+        assert np.allclose(np.asarray(s.data) ** 2, np.asarray(v.data), atol=1e-5)
+
+    def test_median_dim(self, adata_equal):
+        res = spy.median(adata_equal, dim="channel")
+        expected = np.median(np.asarray(adata_equal.data), axis=1, keepdims=True)
+        assert np.allclose(np.asarray(res.data), expected, atol=1e-6)
+
+    def test_itc(self):
+        # phase-locked harmonic -> ITC ~ 1 at the harmonic frequency
+        data = spy.synthdata.harmonic(freq=40, samplerate=1000, nTrials=10, nSamples=1000, nChannels=1)
+        spec = spy.freqanalysis(data, method="mtmfft", taper="hann", output="fourier")
+        res = spy.itc(spec)
+        arr = np.asarray(res.data)
+        f40 = np.argmin(np.abs(res.freq - 40))
+        assert arr[0, 0, f40, 0] == pytest.approx(1.0, abs=1e-3)
+
+    def test_itc_random_low(self):
+        data = spy.synthdata.white_noise(nTrials=50, nSamples=500, nChannels=1, seed=0)
+        spec = spy.freqanalysis(data, method="mtmfft", taper="hann", output="fourier")
+        res = spy.itc(spec)
+        arr = np.asarray(res.data)
+        assert np.mean(arr) < 0.35
+
+    def test_itc_rejects_real(self, adata_equal):
+        spec = spy.freqanalysis(adata_equal, method="mtmfft", taper="hann", output="pow")
+        with pytest.raises(spy.SPYValueError):
+            spy.itc(spec)
+
+    def test_selection_stats(self, adata_equal):
+        res = spy.mean(adata_equal, dim="trials", select={"trials": [0, 1]})
+        expected = np.stack([np.asarray(adata_equal.trials[k]) for k in (0, 1)]).mean(axis=0)
+        assert np.allclose(np.asarray(res.data), expected, atol=1e-6)
