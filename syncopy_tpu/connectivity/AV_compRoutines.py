@@ -1,0 +1,121 @@
+# -*- coding: utf-8 -*-
+#
+# Averaged-input connectivity compute routines: operate on trial-averaged
+# cross-spectral / cross-covariance data.
+#
+# Parity target: reference syncopy/connectivity/AV_compRoutines.py:35-484.
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..engine.routine import ComputationalRoutine
+from ..ops.connectivity import granger, normalize_ccov, normalize_csd, regularize_csd, wilson_sf
+from ..shared.errors import SPYValueError
+
+__all__ = ["NormalizeCrossSpectra", "NormalizeCrossCov", "GrangerCausality"]
+
+
+class _AVRoutine(ComputationalRoutine):
+    """Shared pre-check + metadata for averaged-input routines."""
+
+    dimord = ["time", "freq", "channel_i", "channel_j"]
+
+    def pre_check(self):
+        """Assert the input is a trial average (reference
+        AV_compRoutines.py:141-153)."""
+        if self.buckets is None:
+            raise SPYValueError(
+                legal="Initialize the computational Routine first!",
+                varname=self.__class__.__name__,
+                actual="ComputationalRoutine not initialized!",
+            )
+        if self.numTrials != 1:
+            raise SPYValueError(
+                legal="1 trial: normalizations can only be done on averaged quantities!",
+                varname="data",
+                actual="DataSet contains {} trials".format(self.numTrials),
+            )
+
+    def process_metadata(self, data, out):
+        out.trialdefinition = np.array(self.selector.trialdefinition)
+        out.samplerate = data.samplerate
+
+        def _take(labels, indexer):
+            labels = np.asarray(labels)
+            if indexer is None or (isinstance(indexer, slice) and indexer == slice(None)):
+                return labels
+            if isinstance(indexer, slice):
+                return labels[indexer]
+            return labels[np.asarray(indexer, dtype=int)]
+
+        sel = self.selector
+        out.channel_i = _take(data.channel_i, getattr(sel, "channel_i", None))
+        out.channel_j = _take(data.channel_j, getattr(sel, "channel_j", None))
+        freqs = np.asarray(data.freq)
+        out.freq = _take(freqs, getattr(sel, "freq", None))
+
+
+class NormalizeCrossSpectra(_AVRoutine):
+    """Coherence from a trial-averaged CSD (reference
+    AV_compRoutines.py:35-163)."""
+
+    valid_kws = ["output"]
+
+    def __init__(self, output="abs"):
+        super().__init__(output=output)
+
+    def process_single_trial(self, trial, **cfg):
+        return normalize_csd(trial, cfg["output"])
+
+
+class NormalizeCrossCov(_AVRoutine):
+    """Cross-correlation from trial-averaged cross-covariance (reference
+    AV_compRoutines.py:165-290)."""
+
+    valid_kws = []
+
+    def __init__(self):
+        super().__init__()
+
+    def process_single_trial(self, trial, **cfg):
+        return normalize_ccov(trial)
+
+
+class GrangerCausality(_AVRoutine):
+    """
+    Pairwise Granger-Geweke causality from a trial-averaged CSD:
+    condition-number regularization + Wilson factorization + Granger
+    (reference AV_compRoutines.py:292-484). The factorization runs as a
+    batched `lax.while_loop` on device; convergence diagnostics surface in
+    ``out.info`` via the engine's aux-info channel.
+    """
+
+    valid_kws = ["rtol", "nIter", "cond_max"]
+
+    metadata_keys = ("converged", "max rel. err", "reg. factor", "initial cond. num")
+
+    def __init__(self, rtol=5e-6, nIter=100, cond_max=1e4):
+        super().__init__(rtol=float(rtol), nIter=int(nIter), cond_max=float(cond_max))
+
+    def process_single_trial(self, trial, **cfg):
+        cdtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+        CSD = trial[0].astype(cdtype)
+        CSDreg, factor, ini_cn = regularize_csd(CSD, cond_max=cfg["cond_max"], eps_max=1e-1)
+        H, Sigma, conv, err = wilson_sf(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
+        G = granger(CSDreg, H, Sigma)
+        info = {
+            "converged": conv,
+            "max rel. err": err,
+            "reg. factor": factor,
+            "initial cond. num": ini_cn,
+        }
+        return G[None].astype(jnp.float32), info
+
+    def process_metadata(self, data, out):
+        super().process_metadata(data, out)
+        for key, value in self.aux_info.items():
+            val = np.asarray(value).ravel()
+            scalar = val[0] if val.size else val
+            out.info[key] = bool(scalar) if key == "converged" else float(scalar)

@@ -1,0 +1,146 @@
+# -*- coding: utf-8 -*-
+#
+# Single-trial connectivity compute routines.
+#
+# Parity target: reference syncopy/connectivity/ST_compRoutines.py:29-640.
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..engine.routine import ComputationalRoutine
+from ..ops.connectivity import (
+    cross_covariance_trial,
+    cross_spectra_trial,
+    spectral_dyadic_product,
+)
+
+__all__ = ["CrossSpectra", "SpectralDyadicProduct", "CrossCovariance"]
+
+
+def _take_labels(labels, indexer):
+    labels = np.asarray(labels)
+    if indexer is None:
+        return labels
+    if isinstance(indexer, slice):
+        return labels[indexer]
+    return labels[np.asarray(indexer, dtype=int)]
+
+
+class _CrossRoutine(ComputationalRoutine):
+    """Shared metadata propagation for CrossSpectralData outputs."""
+
+    dimord = ["time", "freq", "channel_i", "channel_j"]
+
+    def _cross_trialdefinition(self, n_times):
+        if not self.keeptrials:
+            n_times = n_times[:1]
+        bounds = np.concatenate([[0], np.cumsum(n_times)])
+        trl = np.zeros((len(n_times), 3))
+        trl[:, 0] = bounds[:-1]
+        trl[:, 1] = bounds[1:]
+        return trl
+
+    def process_metadata(self, data, out):
+        sdim = 0
+        n_times = [oshp[sdim] for oshp in self._per_trial_out_shapes_ordered]
+        out.trialdefinition = self._cross_trialdefinition(n_times)
+        out.samplerate = data.samplerate
+        sel = self.selector
+        chan = _take_labels(data.channel, getattr(sel, "channel", None))
+        out.channel_i = chan
+        out.channel_j = chan
+        if self.cfg.get("foi") is not None:
+            out.freq = self.cfg["foi"]
+
+
+class CrossSpectra(_CrossRoutine):
+    """
+    Single-trial (multi-)tapered cross spectra of AnalogData
+    (reference ST_compRoutines.py:270-463): implicit mtmfft + channel
+    outer product, tapers averaged. Output per trial ``(1, nFreq, N, N)``.
+    """
+
+    valid_kws = ["taper", "taper_opt", "tapsmofrq", "nTaper", "pad", "foi", "foilim",
+                 "polyremoval", "demean_taper", "output"]
+
+    def __init__(self, samplerate=1.0, nSamples=None, taper="hann", taper_opt=None,
+                 demean_taper=False, polyremoval=0, freq_idx=None, foi=None):
+        super().__init__(
+            samplerate=samplerate, nSamples=nSamples, taper=taper, taper_opt=taper_opt,
+            demean_taper=demean_taper, polyremoval=polyremoval,
+            freq_idx=None if freq_idx is None else np.asarray(freq_idx, dtype=int),
+            foi=foi,
+        )
+
+    def process_single_trial(self, trial, **cfg):
+        nfft = cfg["nSamples"] or trial.shape[0]
+        return cross_spectra_trial(
+            trial, cfg["samplerate"], nfft, taper=cfg["taper"], taper_opt=cfg["taper_opt"],
+            demean_taper=cfg["demean_taper"], polyremoval=cfg["polyremoval"],
+            freq_idx=cfg["freq_idx"],
+        )
+
+
+class SpectralDyadicProduct(_CrossRoutine):
+    """
+    Single-trial cross spectra from complex SpectralData: channel outer
+    product, tapers averaged (reference ST_compRoutines.py:29-152).
+    Optional (senders x receivers) restriction via `send_idx`/`rec_idx`.
+    """
+
+    valid_kws = ["send_idx", "rec_idx", "output"]
+
+    def __init__(self, send_idx=None, rec_idx=None):
+        super().__init__(
+            send_idx=None if send_idx is None else np.asarray(send_idx, dtype=int),
+            rec_idx=None if rec_idx is None else np.asarray(rec_idx, dtype=int),
+            foi=None,
+        )
+
+    def process_single_trial(self, trial, **cfg):
+        return spectral_dyadic_product(trial, cfg["send_idx"], cfg["rec_idx"])
+
+    def process_metadata(self, data, out):
+        sdim = 0
+        n_times = [oshp[sdim] for oshp in self._per_trial_out_shapes_ordered]
+        out.trialdefinition = self._cross_trialdefinition(n_times)
+        out.samplerate = data.samplerate
+        sel = self.selector
+        chan = _take_labels(data.channel, getattr(sel, "channel", None))
+        if self.cfg["send_idx"] is not None:
+            out.channel_i = np.asarray(data.channel)[self.cfg["send_idx"]]
+            out.channel_j = np.asarray(data.channel)[self.cfg["rec_idx"]]
+        else:
+            out.channel_i = chan
+            out.channel_j = chan
+        freqs = np.asarray(data.freq)
+        fsel = getattr(sel, "freq", None)
+        out.freq = _take_labels(freqs, fsel)
+
+
+class CrossCovariance(_CrossRoutine):
+    """
+    Single-trial cross-covariance at non-negative lags
+    (reference ST_compRoutines.py:465-640). Output per trial
+    ``(nLags, 1, N, N)``; the lag axis rides on the time dimension.
+    """
+
+    valid_kws = ["norm", "polyremoval"]
+
+    def __init__(self, samplerate=1.0, polyremoval=0, norm=False):
+        super().__init__(samplerate=samplerate, polyremoval=polyremoval, norm=norm, foi=None)
+
+    def process_single_trial(self, trial, **cfg):
+        return cross_covariance_trial(trial, polyremoval=cfg["polyremoval"], norm=cfg["norm"])
+
+    def process_metadata(self, data, out):
+        sdim = 0
+        n_lags = [oshp[sdim] for oshp in self._per_trial_out_shapes_ordered]
+        # lags are encoded on the time axis with offset 0 (the 0-lag)
+        out.trialdefinition = self._cross_trialdefinition(n_lags)
+        out.samplerate = data.samplerate
+        sel = self.selector
+        chan = _take_labels(data.channel, getattr(sel, "channel", None))
+        out.channel_i = chan
+        out.channel_j = chan

@@ -1,14 +1,388 @@
 # -*- coding: utf-8 -*-
 #
-# connectivityanalysis frontend (reference
-# syncopy/connectivity/connectivity_analysis.py:51-872).
+# connectivityanalysis: user-facing connectivity frontend.
+#
+# Parity target: reference syncopy/connectivity/connectivity_analysis.py:51-872.
+# Methods: coh, corr, granger, csd, ppc; channelcmb subsetting; jackknife
+# error estimation. Architecture follows the reference's two stages —
+# single-trial (ST) cross quantities, then averaged (AV) normalization —
+# with the trial loop batched on device. TPU redesigns: the PPC pair loop
+# is an O(nTrials) resultant-vector reduction, and pairwise Granger
+# (`channelcmb`) runs one vmapped Wilson factorization over all pairs
+# instead of the reference's per-pair CR re-initialization.
 
-from ..shared.errors import SPYError
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..datatype.continuous_data import AnalogData, CrossSpectralData, SpectralData
+from ..shared.errors import SPYError, SPYTypeError, SPYValueError, SPYWarning, SPYInfo
+from ..shared.input_processors import (
+    check_effective_parameters,
+    check_passed_kwargs,
+    process_foi,
+    process_padding,
+    process_taper,
+)
+from ..shared.kwarg_decorators import detect_parallel_client, unwrap_cfg, unwrap_select
+from ..shared.parsers import data_parser, scalar_parser, sequence_parser
+from ..shared.tools import best_match, get_defaults, get_frontend_cfg
 
 __all__ = ["connectivityanalysis"]
 
 availableMethods = ("coh", "corr", "granger", "csd", "ppc")
+connectivity_outputs = ("abs", "pow", "complex", "fourier", "angle", "real", "imag")
 
 
-def connectivityanalysis(data, method="coh", **kwargs):
-    raise SPYError("connectivityanalysis is not implemented yet")
+@unwrap_cfg
+@unwrap_select
+@detect_parallel_client
+def connectivityanalysis(
+    data,
+    method="coh",
+    keeptrials=False,
+    output="abs",
+    foi=None,
+    foilim=None,
+    pad="maxperlen",
+    channelcmb=None,
+    polyremoval=0,
+    tapsmofrq=None,
+    nTaper=None,
+    taper="hann",
+    taper_opt=None,
+    jackknife=False,
+    parallel=None,
+    **kwargs,
+):
+    """
+    Perform connectivity analysis of AnalogData or (complex) SpectralData.
+
+    Methods: ``coh`` (coherence), ``corr`` (cross-correlation), ``granger``
+    (nonparametric Granger-Geweke causality via Wilson factorization),
+    ``csd`` (single-trial/averaged cross-spectra), ``ppc`` (pairwise phase
+    consistency). Reference: connectivity_analysis.py:51.
+    """
+    data_parser(data, varname="data", empty=False)
+    if not isinstance(data, (AnalogData, SpectralData)):
+        raise SPYValueError(
+            legal="either AnalogData or SpectralData as input", varname="data",
+            actual=data.__class__.__name__,
+        )
+    timeAxis = data.dimord.index("time")
+    defaults = get_defaults(connectivityanalysis)
+    lcls = dict(locals())
+    check_passed_kwargs(lcls, defaults, frontend_name="connectivity")
+
+    if method not in availableMethods:
+        raise SPYValueError(legal=str(availableMethods), varname="method", actual=method)
+    if not isinstance(jackknife, bool):
+        raise SPYTypeError(jackknife, "jackknife", "boolean")
+    if jackknife and method not in ("coh", "granger"):
+        SPYWarning("Jackknife is not available for method {}".format(method))
+        jackknife = False
+    if method != "coh" and output != defaults["output"]:
+        SPYWarning("Setting `output` for method {} has no effect!".format(method))
+
+    if data.selection is not None:
+        sinfo = data.selection.trialdefinition[:, :2]
+    else:
+        sinfo = data.sampleinfo
+    lenTrials = np.atleast_1d(np.diff(sinfo).squeeze())
+    nTrials = len(sinfo)
+
+    send_idx = rec_idx = None
+    if channelcmb is not None:
+        send_idx, rec_idx = _digest_channelcmb(data, channelcmb)
+
+    if method == "corr" and pad != "maxperlen":
+        raise SPYValueError(
+            legal="'maxperlen', no padding needed/allowed for cross-correlations",
+            varname="pad", actual=str(pad),
+        )
+    if polyremoval is not None:
+        scalar_parser(polyremoval, varname="polyremoval", ntype="int_like", lims=[0, 1])
+
+    log_dict = {"method": method, "keeptrials": keeptrials, "polyremoval": polyremoval,
+                "pad": pad, "channelcmb": channelcmb}
+    new_cfg = get_frontend_cfg(defaults, lcls, kwargs)
+
+    from .AV_compRoutines import GrangerCausality, NormalizeCrossCov, NormalizeCrossSpectra
+    from .ST_compRoutines import CrossCovariance, CrossSpectra, SpectralDyadicProduct
+
+    # -- single-trial stage setup ---------------------------------------- #
+
+    av_compRoutine = None
+    if method == "corr":
+        if not isinstance(data, AnalogData):
+            raise SPYValueError(
+                legal="AnalogData instance as input for method corr", varname="data",
+                actual=data.__class__.__name__,
+            )
+        if foi is not None:
+            SPYWarning("Parameter `foi` has no effect for method `corr`")
+        check_effective_parameters(CrossCovariance, defaults, lcls, besides=["jackknife"])
+        st_compRoutine = CrossCovariance(
+            samplerate=data.samplerate, polyremoval=polyremoval, norm=bool(keeptrials)
+        )
+        if not keeptrials:
+            av_compRoutine = NormalizeCrossCov()
+
+    else:  # csd / coh / ppc / granger need single-trial cross spectra
+        if nTrials == 1:
+            raise SPYValueError(
+                legal="multi-trial input data, spectral connectivity measures "
+                "critically depend on trial averaging!",
+                varname="data", actual="only one trial",
+            )
+        if keeptrials is not False and method in ("coh", "ppc", "granger"):
+            raise SPYValueError(
+                legal="False, trial averaging needed for method {}!".format(method),
+                varname="keeptrials", actual=str(keeptrials),
+            )
+
+        if isinstance(data, AnalogData):
+            nSamples = process_padding(pad, lenTrials, data.samplerate)
+            check_effective_parameters(
+                CrossSpectra, defaults, lcls, besides=["jackknife", "channelcmb"]
+            )
+            st_compRoutine, out_foi = _setup_cross_spectra(
+                data, method, nSamples, foi, foilim, tapsmofrq, nTaper, taper,
+                taper_opt, polyremoval, lenTrials, log_dict,
+            )
+        else:
+            if not np.issubdtype(np.asarray(data.data[:1]).dtype, np.complexfloating):
+                raise SPYValueError(
+                    legal="complex valued spectra, set `output='fourier'` in spy.freqanalysis!",
+                    varname="data", actual="real valued spectral data",
+                )
+            if method == "granger":
+                if data.data.shape[data.dimord.index("time")] != len(data.trials):
+                    raise NotImplementedError(
+                        "Time resolved Granger causality from tf-spectra not available atm"
+                    )
+            check_effective_parameters(
+                SpectralDyadicProduct, defaults, lcls, besides=["jackknife", "channelcmb"]
+            )
+            if send_idx is not None and method in ("ppc", "csd"):
+                st_compRoutine = SpectralDyadicProduct(send_idx=send_idx, rec_idx=rec_idx)
+            else:
+                st_compRoutine = SpectralDyadicProduct()
+
+    # -- AV stage selection ---------------------------------------------- #
+
+    if method == "coh":
+        if output not in connectivity_outputs:
+            raise SPYValueError(
+                legal="one of {}".format(connectivity_outputs), varname="output", actual=output
+            )
+        log_dict["output"] = output
+        av_compRoutine = NormalizeCrossSpectra(output=output)
+    elif method == "granger":
+        av_compRoutine = GrangerCausality(rtol=5e-6, nIter=100, cond_max=1e4)
+
+    # -- run the single-trial stage --------------------------------------- #
+
+    st_out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
+    st_keeptrials = bool(keeptrials or jackknife or method == "ppc")
+
+    st_compRoutine.initialize(data, st_out._stackingDim, keeptrials=st_keeptrials)
+    st_compRoutine.compute(data, st_out, parallel=parallel, log_dict=log_dict)
+
+    replicates_avg = None
+    if jackknife:
+        from ..statistics import jackknifing as jk
+        from ..statistics.summary_stats import mean as spy_mean
+
+        jack_in = st_out
+        st_out = spy_mean(st_out, dim="trials")
+        replicates_avg = jk.trial_avg_replicates(jack_in)
+
+    # -- evaluate the AV stage -------------------------------------------- #
+
+    if av_compRoutine is None and method != "ppc":
+        st_out.cfg.update(data.cfg)
+        st_out.cfg.update({"connectivityanalysis": new_cfg})
+        return st_out
+
+    if method == "ppc":
+        out = _compute_ppc(st_out)
+    elif method == "granger" and send_idx is not None:
+        out = _granger_pairwise(st_out, send_idx, rec_idx, data, av_compRoutine)
+    else:
+        out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
+        av_compRoutine.initialize(st_out, out._stackingDim)
+        av_compRoutine.pre_check()
+        av_compRoutine.compute(st_out, out, parallel=parallel, log_dict=log_dict)
+
+    if jackknife:
+        from ..statistics import jackknifing as jk
+
+        jack_rep = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
+        av_compRoutine.initialize(replicates_avg, jack_rep._stackingDim)
+        av_compRoutine.compute(replicates_avg, jack_rep, parallel=parallel, log_dict=log_dict)
+        bias, variance = jk.bias_var(out, jack_rep)
+        out._register_dataset("jack_var", np.asarray(variance.data))
+        out._register_dataset("jack_bias", np.asarray(bias.data))
+
+    if send_idx is not None and method == "coh":
+        out = out.selectdata(channel_i=[str(c) for c in np.asarray(data.channel)[send_idx]])
+        out = out.selectdata(channel_j=[str(c) for c in np.asarray(data.channel)[rec_idx]])
+
+    out.cfg.update(data.cfg)
+    new_cfg.update({"output": output})
+    out.cfg.update({"connectivityanalysis": new_cfg})
+    return out
+
+
+# ------------------------------------------------------------------------ #
+# helpers
+# ------------------------------------------------------------------------ #
+
+
+def _digest_channelcmb(data, channelcmb):
+    """Validate [senders, receivers] and return index arrays
+    (reference connectivity_analysis.py:335-381)."""
+    if not isinstance(data, SpectralData):
+        raise SPYTypeError(
+            data, "data", expected="SpectralData, `channelcmb` not supported for other data types"
+        )
+    if not isinstance(channelcmb, list) or len(channelcmb) != 2:
+        raise SPYValueError(
+            legal="list with exactly two elements: [senders, receivers]",
+            varname="channelcmb",
+            actual=str(channelcmb),
+        )
+    if data.selection is not None and data.selection.channel not in (slice(None), slice(None, None, 1)):
+        raise SPYValueError("either channel selection or use channelcmb", "select/channelcmb", "both")
+    senders, receivers = channelcmb
+    sequence_parser(senders, varname="channelcmb[senders,")
+    cmb_type = type(senders[0])
+    if cmb_type not in (str, int) and not np.issubdtype(cmb_type, np.integer):
+        raise SPYTypeError(senders[0], "channelcmb[senders,", "either `int` or `str`")
+    labels = [str(c) for c in np.asarray(data.channel)]
+
+    def to_idx(seq, name):
+        idx = []
+        for chan in seq:
+            if isinstance(chan, str):
+                if chan not in labels:
+                    raise SPYValueError("names or indices of existing channels", "channelcmb", str(chan))
+                idx.append(labels.index(chan))
+            else:
+                ichan = int(chan)
+                if ichan < 0 or ichan >= len(labels):
+                    raise SPYValueError("names or indices of existing channels", "channelcmb", str(chan))
+                idx.append(ichan)
+        return np.asarray(idx, dtype=int)
+
+    return to_idx(senders, "senders"), to_idx(receivers, "receivers")
+
+
+def _setup_cross_spectra(data, method, nSamples, foi, foilim, tapsmofrq, nTaper,
+                         taper, taper_opt, polyremoval, lenTrials, log_dict):
+    """Configure the implicit mtmfft+dyadic ST routine for AnalogData input
+    (reference connectivity_analysis.py:775-872)."""
+    from .ST_compRoutines import CrossSpectra
+
+    foi, foilim = process_foi(foi, foilim, data.samplerate)
+    if method == "granger" and (foi is not None or foilim is not None):
+        raise SPYValueError(
+            legal="no foi specification for Granger analysis", varname="foi/foilim",
+            actual="foi or foilim specification",
+        )
+    if method == "granger":
+        nChannels = len(data.channel)
+        if nChannels / len(lenTrials) > 0.1:
+            SPYWarning(
+                "Multi-channel Granger analysis can be numerically unstable, it is "
+                "recommended to have at least 10 times the number of trials compared "
+                "to the number of channels. Try calculating in sub-groups of fewer channels!"
+            )
+
+    freqs = np.fft.rfftfreq(nSamples, 1 / data.samplerate)
+    freq_idx = None
+    if foi is not None:
+        out_foi, freq_idx = best_match(freqs, foi, squash_duplicates=True)
+    elif foilim is not None:
+        out_foi, freq_idx = best_match(freqs, foilim, span=True)
+    else:
+        SPYInfo("Setting frequencies of interest to {:.1f}-{:.1f}Hz".format(freqs[0], freqs[-1]))
+        out_foi = freqs
+
+    taper, taper_opt = process_taper(
+        taper, taper_opt, tapsmofrq, nTaper, keeptapers=False, foimax=out_foi.max(),
+        samplerate=data.samplerate, nSamples=lenTrials.mean(), output="pow",
+    )
+    log_dict["foi"] = out_foi
+    log_dict["taper"] = taper
+
+    st = CrossSpectra(
+        samplerate=data.samplerate, nSamples=nSamples, taper=taper, taper_opt=taper_opt,
+        demean_taper=(method == "granger"), polyremoval=polyremoval,
+        freq_idx=freq_idx, foi=out_foi,
+    )
+    return st, out_foi
+
+
+def _compute_ppc(st_out):
+    """PPC from the single-trial cross-spectral stack via the resultant
+    vector identity (replaces reference connectivity_analysis.py:624-667)."""
+    from ..ops.connectivity import ppc_from_spectra
+
+    arrs = [np.asarray(t) for t in st_out.trials]
+    stack = jnp.asarray(np.stack(arrs))
+    ppc = np.asarray(ppc_from_spectra(stack))
+
+    out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
+    out.data = ppc
+    out.samplerate = st_out.samplerate
+    out.trialdefinition = np.array([[0, ppc.shape[0], 0]])
+    out.channel_i = np.asarray(st_out.channel_i)
+    out.channel_j = np.asarray(st_out.channel_j)
+    out.freq = np.asarray(st_out.freq)
+    out._log = str(st_out._log)
+    out.log = "computed pairwise phase consistency over {} trials".format(len(arrs))
+    return out
+
+
+def _granger_pairwise(st_avg, send_idx, rec_idx, data, av_routine):
+    """
+    Pairwise Granger over (senders x receivers): one vmapped
+    regularize+Wilson+Granger over all 2x2 pair-CSDs (replaces the
+    reference's per-pair CR loop, connectivity_analysis.py:683-733).
+    """
+    from ..ops.connectivity import granger as granger_kernel
+    from ..ops.connectivity import regularize_csd, wilson_sf
+
+    csd_avg = np.asarray(st_avg.trials[0])[0]  # (F, N, N)
+    cdtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    pairs = np.array([(s, r) for s in send_idx for r in rec_idx])  # (P, 2)
+    sub = jnp.asarray(csd_avg)[:, pairs[:, :, None], pairs[:, None, :]]  # (F, P, 2, 2)
+    sub = jnp.transpose(sub, (1, 0, 2, 3)).astype(cdtype)
+
+    cfg = av_routine.cfg
+
+    def one_pair(CSD):
+        CSDreg, _, _ = regularize_csd(CSD, cond_max=cfg["cond_max"], eps_max=1e-1)
+        H, Sigma, conv, err = wilson_sf(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
+        G = granger_kernel(CSDreg, H, Sigma)
+        return G[:, 0, 1], conv, err
+
+    G_pairs, convs, errs = jax.jit(jax.vmap(one_pair))(sub)
+    G_pairs = np.asarray(G_pairs, dtype=np.float32)  # (P, F)
+    result = G_pairs.reshape(len(send_idx), len(rec_idx), -1).transpose(2, 0, 1)[None]
+
+    out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
+    out.data = result
+    out.samplerate = st_avg.samplerate
+    out.trialdefinition = np.array([[0, 1.0, 0]])
+    out.channel_i = np.asarray(data.channel)[send_idx]
+    out.channel_j = np.asarray(data.channel)[rec_idx]
+    out.freq = np.asarray(st_avg.freq)
+    out.info["converged"] = bool(np.all(np.asarray(convs)))
+    out.info["max rel. err"] = float(np.max(np.asarray(errs)))
+    out._log = str(st_avg._log)
+    out.log = "computed pairwise Granger causality for {} pairs".format(len(pairs))
+    return out

@@ -72,6 +72,7 @@ class ComputationalRoutine:
     def __init__(self, **cfg):
         self.cfg = dict(cfg)
         self.keeptrials = True
+        self.aux_info = {}
         self.buckets = None
         self.out_per_trial_shapes = None
         self.selector = None
@@ -139,6 +140,8 @@ class ComputationalRoutine:
             res = jax.eval_shape(
                 lambda x, *a: self.process_single_trial(x, *a, **self.cfg), spec, *aux_structs
             )
+            if isinstance(res, tuple):  # (output, aux-info dict)
+                res = res[0]
             self.out_per_trial_shapes[shp] = (tuple(res.shape), np.dtype(res.dtype))
             out_dtype = np.dtype(res.dtype)
 
@@ -249,6 +252,11 @@ class ComputationalRoutine:
                     da, _ = shard_batch(np.asarray(a), mesh)
                     dev_aux.append(da)
                 res = fn(dev_batch, *dev_aux)
+                if isinstance(res, tuple):
+                    # (output, aux-info dict): aux entries are host-fetched and
+                    # exposed via self.aux_info for process_metadata
+                    res, aux_info = res
+                    self.aux_info = {k: np.asarray(jax.device_get(v)) for k, v in aux_info.items()}
 
                 if self.keeptrials:
                     # drain previous chunk while this one computes

@@ -17,6 +17,8 @@ import jax  # noqa: E402
 # sitecustomize may have imported jax already with another platform pinned;
 # jax.config wins over the (possibly stale) env snapshot
 jax.config.update("jax_platforms", "cpu")
+# double precision for numerical-parity tests (Wilson factorization etc.)
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,215 @@
+# -*- coding: utf-8 -*-
+# Connectivity tests (modeled on reference tests/test_connectivity.py and
+# tests/backend/test_conn.py): AR(2) network ground truth for coherence and
+# Granger, cross-correlation sanity, PPC, channelcmb, jackknife.
+
+import numpy as np
+import pytest
+
+import syncopy_tpu as spy
+
+
+@pytest.fixture(scope="module")
+def ar2_data():
+    # Dhamala 2008 setup: 40 Hz peak at 200 Hz sampling, channel 1 drives
+    # channel 0 (AdjMat[1, 0] = 0.25 with the M1 = diag + AdjMat.T recursion)
+    return spy.synthdata.ar2_network(nTrials=120, samplerate=200, nSamples=1000, seed=42)
+
+
+class TestCoherence:
+    def test_ar2_coherence_peak(self, ar2_data):
+        coh = spy.connectivityanalysis(ar2_data, method="coh", tapsmofrq=3)
+        assert coh.dimord == ["time", "freq", "channel_i", "channel_j"]
+        arr = np.asarray(coh.data)
+        peak_freq = coh.freq[np.argmax(arr[0, :, 0, 1])]
+        assert abs(peak_freq - 40) < 5
+        assert arr[0, :, 0, 1].max() > 0.5
+        # diagonal is 1 (auto-coherence)
+        assert np.allclose(arr[0, :, 0, 0], 1.0, atol=1e-5)
+
+    def test_outputs(self, ar2_data):
+        for output in ("abs", "pow", "imag", "angle"):
+            coh = spy.connectivityanalysis(ar2_data, method="coh", tapsmofrq=3, output=output)
+            assert np.isrealobj(np.asarray(coh.data))
+        cplx = spy.connectivityanalysis(ar2_data, method="coh", tapsmofrq=3, output="complex")
+        assert np.iscomplexobj(np.asarray(cplx.data))
+
+    def test_uncoupled_low_coherence(self):
+        data = spy.synthdata.white_noise(nTrials=60, nSamples=500, nChannels=2, seed=0)
+        coh = spy.connectivityanalysis(data, method="coh", tapsmofrq=4)
+        arr = np.asarray(coh.data)
+        assert arr[0, 5:, 0, 1].mean() < 0.25
+
+    def test_jackknife(self, ar2_data):
+        coh = spy.connectivityanalysis(ar2_data, method="coh", tapsmofrq=3, jackknife=True)
+        var = np.asarray(coh._get_extra_dataset("jack_var"))
+        bias = np.asarray(coh._get_extra_dataset("jack_bias"))
+        assert var.shape == coh.data.shape
+        assert np.all(var >= 0)
+        # jackknife variance should be small for 120 trials
+        assert var[0, :, 0, 1].max() < 0.1
+        assert np.abs(bias[0, :, 0, 1]).max() < 0.2
+
+
+class TestGranger:
+    def test_ar2_directionality(self, ar2_data):
+        gr = spy.connectivityanalysis(ar2_data, method="granger")
+        arr = np.asarray(gr.data)
+        f40 = np.argmin(np.abs(gr.freq - 40))
+        # channel 1 drives channel 0
+        assert arr[0, f40, 1, 0] > 0.5
+        assert arr[0, f40, 0, 1] < 0.1
+        assert gr.info["converged"]
+        assert gr.info["max rel. err"] < 5e-6
+
+    def test_granger_rejects_foi(self, ar2_data):
+        with pytest.raises(spy.SPYValueError):
+            spy.connectivityanalysis(ar2_data, method="granger", foi=[10, 20])
+
+    def test_vs_reference_wilson(self):
+        """Wilson factorization + Granger match the reference backend."""
+        import importlib.util
+
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import granger as jgranger
+        from syncopy_tpu.ops.connectivity import wilson_sf as jwilson
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_wilson", "/root/reference/syncopy/connectivity/wilson_sf.py"
+        )
+        rw = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(spec and rw)
+        spec2 = importlib.util.spec_from_file_location(
+            "ref_granger", "/root/reference/syncopy/connectivity/granger.py"
+        )
+        rg = importlib.util.module_from_spec(spec2)
+        spec2.loader.exec_module(rg)
+
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(50, 101, 3)) + 1j * rng.normal(size=(50, 101, 3))
+        CSD = np.einsum("nfi,nfj->fij", X, np.conj(X)).astype(np.complex128) / 50
+
+        H_ref, S_ref, conv_ref, err_ref = rw.wilson_sf(CSD.copy(), nIter=100, rtol=1e-9)
+        H, S, conv, err = jwilson(jnp.asarray(CSD), nIter=100, rtol=1e-9)
+        assert bool(conv) == bool(conv_ref)
+        assert np.abs(np.asarray(H) - H_ref).max() < 1e-10
+        G_ref = rg.granger(CSD, H_ref, S_ref)
+        G = jgranger(jnp.asarray(CSD), H, S)
+        assert np.abs(np.asarray(G) - G_ref).max() < 1e-10
+
+
+class TestCorr:
+    def test_autocorr_is_one_at_zero_lag(self, ar2_data):
+        corr = spy.connectivityanalysis(ar2_data, method="corr")
+        arr = np.asarray(corr.data)
+        assert arr[0, 0, 0, 0] == pytest.approx(1.0, abs=1e-5)
+        assert arr[0, 0, 1, 1] == pytest.approx(1.0, abs=1e-5)
+        assert np.all(np.abs(arr) < 1.01)
+
+    def test_harmonic_periodicity(self):
+        data = spy.synthdata.harmonic(freq=10, samplerate=1000, nTrials=5, nSamples=1000, nChannels=1)
+        corr = spy.connectivityanalysis(data, method="corr")
+        arr = np.asarray(corr.data)[:, 0, 0, 0]
+        # autocorrelation of a 10 Hz harmonic has period 100 samples
+        assert arr[100] == pytest.approx(1.0, abs=0.05)
+        assert arr[50] == pytest.approx(-1.0, abs=0.05)
+
+    def test_keeptrials(self, ar2_data):
+        corr = spy.connectivityanalysis(ar2_data, method="corr", keeptrials=True)
+        assert len(corr.trials) == len(ar2_data.trials)
+
+
+class TestCSD:
+    def test_averaged_csd(self, ar2_data):
+        csd = spy.connectivityanalysis(ar2_data, method="csd", tapsmofrq=2)
+        assert np.iscomplexobj(np.asarray(csd.data))
+        assert len(csd.trials) == 1
+        # diagonal of the CSD is the (real, positive) auto-spectrum
+        arr = np.asarray(csd.data)
+        assert np.all(arr[0, :, 0, 0].real > 0)
+        assert np.abs(arr[0, :, 0, 0].imag).max() < 1e-5
+
+    def test_single_trial_csd(self, ar2_data):
+        csd = spy.connectivityanalysis(ar2_data, method="csd", keeptrials=True)
+        assert len(csd.trials) == len(ar2_data.trials)
+
+
+class TestPPC:
+    def test_phase_locked_ppc_high(self):
+        data = spy.synthdata.harmonic(freq=40, samplerate=500, nTrials=20, nSamples=500, nChannels=2)
+        spec = spy.freqanalysis(data, method="mtmfft", taper="hann", output="fourier")
+        ppc = spy.connectivityanalysis(spec, method="ppc")
+        arr = np.asarray(ppc.data)
+        f40 = np.argmin(np.abs(ppc.freq - 40))
+        assert arr[0, f40, 0, 1] == pytest.approx(1.0, abs=1e-3)
+
+    def test_random_ppc_low(self):
+        data = spy.synthdata.white_noise(nTrials=40, nSamples=500, nChannels=2, seed=1)
+        spec = spy.freqanalysis(data, method="mtmfft", taper="hann", output="fourier")
+        ppc = spy.connectivityanalysis(spec, method="ppc")
+        arr = np.asarray(ppc.data)
+        assert np.abs(arr[0, 5:, 0, 1]).mean() < 0.15
+
+    def test_ppc_matches_pair_loop(self):
+        """The O(nTrials) resultant identity equals the explicit pair loop."""
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import ppc_from_spectra
+
+        rng = np.random.default_rng(3)
+        z = rng.normal(size=(12, 1, 9, 2, 2)) + 1j * rng.normal(size=(12, 1, 9, 2, 2))
+        got = np.asarray(ppc_from_spectra(jnp.asarray(z)))
+        n = z.shape[0]
+        acc = np.zeros(z.shape[1:])
+        for j in range(n):
+            for k in range(j + 1, n):
+                acc += np.cos(np.angle(z[j] * np.conj(z[k])))
+        ref = acc * 2 / (n * (n - 1))
+        assert np.abs(got - ref).max() < 1e-5
+
+
+class TestChannelCmb:
+    def test_granger_pairwise(self):
+        data = spy.synthdata.ar2_network(nTrials=80, samplerate=200, nSamples=800, seed=1)
+        spec = spy.freqanalysis(data, method="mtmfft", taper=None, output="fourier", polyremoval=0, demean_taper=True)
+        gr = spy.connectivityanalysis(spec, method="granger", channelcmb=[[1], [0]])
+        arr = np.asarray(gr.data)
+        assert arr.shape[2] == 1 and arr.shape[3] == 1
+        f40 = np.argmin(np.abs(gr.freq - 40))
+        assert arr[0, f40, 0, 0] > 0.3  # 1 -> 0 coupling
+
+    def test_coh_channelcmb(self):
+        data = spy.synthdata.white_noise(nTrials=20, nSamples=400, nChannels=4, seed=5)
+        spec = spy.freqanalysis(data, method="mtmfft", taper="hann", output="fourier")
+        coh = spy.connectivityanalysis(spec, method="coh", channelcmb=[[0, 1], [2, 3]])
+        assert np.asarray(coh.data).shape[2:] == (2, 2)
+        assert list(coh.channel_i) == ["channel1", "channel2"]
+
+    def test_ppc_channelcmb(self):
+        data = spy.synthdata.white_noise(nTrials=10, nSamples=400, nChannels=4, seed=6)
+        spec = spy.freqanalysis(data, method="mtmfft", taper="hann", output="fourier")
+        ppc = spy.connectivityanalysis(spec, method="ppc", channelcmb=[[0], [1, 2]])
+        assert np.asarray(ppc.data).shape[2:] == (1, 2)
+
+
+class TestSpectralInput:
+    def test_coh_from_spectral(self, ar2_data):
+        spec = spy.freqanalysis(ar2_data, tapsmofrq=3, output="fourier", keeptapers=True)
+        coh = spy.connectivityanalysis(spec, method="coh")
+        arr = np.asarray(coh.data)
+        peak_freq = coh.freq[np.argmax(arr[0, :, 0, 1])]
+        assert abs(peak_freq - 40) < 5
+
+    def test_rejects_real_spectra(self, ar2_data):
+        spec = spy.freqanalysis(ar2_data, method="mtmfft", taper="hann", output="pow")
+        with pytest.raises(spy.SPYValueError):
+            spy.connectivityanalysis(spec, method="coh")
+
+
+class TestParallelConnectivity:
+    def test_coh_on_mesh(self, ar2_data, testmesh):
+        seq = spy.connectivityanalysis(ar2_data, method="coh", tapsmofrq=3)
+        with spy.use_mesh(testmesh):
+            par = spy.connectivityanalysis(ar2_data, method="coh", tapsmofrq=3)
+        assert np.allclose(np.asarray(seq.data), np.asarray(par.data), atol=1e-5)
