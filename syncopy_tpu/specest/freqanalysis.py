@@ -318,6 +318,8 @@ def freqanalysis(
 
         out = run_fooof(out, fooof_flavour, fooof_opt)
 
+    # chained provenance: carry the input's cfg, then our own
+    out.cfg.update(data.cfg)
     out.cfg.update({"freqanalysis": new_cfg})
     return out
 

@@ -1,0 +1,213 @@
+# -*- coding: utf-8 -*-
+# Preprocessing tests (modeled on reference tests/test_preproc.py and
+# tests/backend/test_resampling.py): filter attenuation, scipy parity,
+# hilbert, resampling, detrend/zscore/rectify.
+
+import numpy as np
+import pytest
+import scipy.signal as sp_sig
+
+import syncopy_tpu as spy
+
+
+def two_band_signal(nTrials=4, nSamples=1000, samplerate=1000.0):
+    """10 Hz + 200 Hz harmonics + small noise."""
+    rng = np.random.default_rng(0)
+    t = np.arange(nSamples) / samplerate
+    trls = []
+    for _ in range(nTrials):
+        sig = np.cos(2 * np.pi * 10 * t) + np.cos(2 * np.pi * 200 * t)
+        sig = sig + 0.05 * rng.normal(size=nSamples)
+        trls.append(np.column_stack([sig, sig]).astype("f4"))
+    return spy.AnalogData(data=trls, samplerate=samplerate)
+
+
+def band_power(adata, flo, fhi):
+    spec = spy.freqanalysis(adata, method="mtmfft", taper="hann", keeptrials=False)
+    arr = np.asarray(spec.data)[0, 0, :, 0]
+    mask = (spec.freq >= flo) & (spec.freq <= fhi)
+    return arr[mask].max()
+
+
+class TestButterworth:
+    def test_lowpass_attenuation(self):
+        data = two_band_signal()
+        filt = spy.preprocessing(data, filter_class="but", filter_type="lp", freq=50)
+        assert band_power(filt, 5, 15) > 0.1
+        assert band_power(filt, 195, 205) < 1e-4
+
+    def test_highpass(self):
+        data = two_band_signal()
+        filt = spy.preprocessing(data, filter_class="but", filter_type="hp", freq=100)
+        assert band_power(filt, 5, 15) < 1e-4
+        assert band_power(filt, 195, 205) > 0.1
+
+    def test_bandstop(self):
+        data = two_band_signal()
+        filt = spy.preprocessing(data, filter_class="but", filter_type="bs", freq=[150, 250])
+        assert band_power(filt, 5, 15) > 0.1
+        assert band_power(filt, 195, 205) < 1e-4
+
+    def test_twopass_matches_scipy(self):
+        rng = np.random.default_rng(1)
+        sig = rng.normal(size=(800, 2)).astype("f4")
+        data = spy.AnalogData(data=sig, samplerate=1000)
+        filt = spy.preprocessing(data, filter_class="but", filter_type="lp", freq=100, order=6)
+        sos = sp_sig.butter(6, 100, "lp", fs=1000, output="sos")
+        ref = sp_sig.sosfiltfilt(sos, sig.astype(np.float64), axis=0)
+        assert np.allclose(np.asarray(filt.data), ref, atol=1e-4)
+
+    def test_onepass_matches_scipy(self):
+        rng = np.random.default_rng(2)
+        sig = rng.normal(size=(500, 1)).astype("f4")
+        data = spy.AnalogData(data=sig, samplerate=500)
+        filt = spy.preprocessing(
+            data, filter_class="but", filter_type="lp", freq=50, order=4, direction="onepass"
+        )
+        sos = sp_sig.butter(4, 50, "lp", fs=500, output="sos")
+        ref = sp_sig.sosfilt(sos, sig.astype(np.float64), axis=0)
+        assert np.allclose(np.asarray(filt.data), ref, atol=1e-4)
+
+
+class TestFIRWS:
+    def test_lowpass(self):
+        data = two_band_signal()
+        filt = spy.preprocessing(data, filter_class="firws", filter_type="lp", freq=50)
+        assert band_power(filt, 5, 15) > 0.1
+        assert band_power(filt, 195, 205) < 1e-4
+
+    def test_bandpass(self):
+        data = two_band_signal()
+        filt = spy.preprocessing(data, filter_class="firws", filter_type="bp", freq=[150, 250])
+        assert band_power(filt, 5, 15) < 1e-4
+        assert band_power(filt, 195, 205) > 0.1
+
+    def test_minphase(self):
+        data = two_band_signal()
+        filt = spy.preprocessing(
+            data, filter_class="firws", filter_type="lp", freq=50,
+            direction="onepass-minphase",
+        )
+        assert band_power(filt, 195, 205) < 1e-3
+
+    def test_minphase_rejected_for_but(self):
+        data = two_band_signal(nTrials=1)
+        with pytest.raises(spy.SPYValueError):
+            spy.preprocessing(
+                data, filter_class="but", filter_type="lp", freq=50, direction="onepass-minphase"
+            )
+
+
+class TestHilbert:
+    def test_envelope(self):
+        # amplitude-modulated carrier: |analytic| recovers the envelope
+        fs = 1000.0
+        t = np.arange(2000) / fs
+        env = 1 + 0.5 * np.cos(2 * np.pi * 2 * t)
+        sig = (env * np.cos(2 * np.pi * 100 * t)).astype("f4")
+        data = spy.AnalogData(data=sig[:, None], samplerate=fs)
+        out = spy.preprocessing(data, filter_class=None, polyremoval=0, hilbert="abs")
+        got = np.asarray(out.data)[:, 0]
+        interior = slice(200, 1800)
+        assert np.allclose(got[interior], env[interior], atol=0.05)
+
+    def test_complex_output(self):
+        data = two_band_signal(nTrials=1)
+        out = spy.preprocessing(
+            data, filter_class="but", filter_type="lp", freq=50, hilbert="complex"
+        )
+        assert np.iscomplexobj(np.asarray(out.data))
+
+
+class TestRectify:
+    def test_rectify(self):
+        data = two_band_signal(nTrials=1)
+        out = spy.preprocessing(data, filter_class=None, polyremoval=0, rectify=True)
+        assert np.all(np.asarray(out.data) >= 0)
+
+    def test_rectify_and_hilbert_conflict(self):
+        data = two_band_signal(nTrials=1)
+        with pytest.raises(spy.SPYValueError):
+            spy.preprocessing(data, filter_class=None, polyremoval=0, rectify=True, hilbert="abs")
+
+
+class TestDetrendZscore:
+    def test_detrend(self):
+        data = spy.synthdata.linear_trend(y_max=10, nTrials=2, nSamples=500, nChannels=2)
+        out = spy.preprocessing(data, filter_class=None, polyremoval=1)
+        arr = np.asarray(out.data)
+        assert np.abs(arr.mean()) < 1e-5
+        assert np.abs(arr).max() < 0.1  # pure trend is fully removed
+
+    def test_zscore(self):
+        data = two_band_signal(nTrials=3)
+        out = spy.preprocessing(data, filter_class=None, polyremoval=0, zscore=True)
+        for trl in out.trials:
+            arr = np.asarray(trl)
+            assert np.allclose(arr.std(axis=0), 1.0, atol=1e-4)
+            assert np.allclose(arr.mean(axis=0), 0.0, atol=1e-5)
+
+    def test_nothing_requested(self):
+        data = two_band_signal(nTrials=1)
+        with pytest.raises(spy.SPYValueError):
+            spy.preprocessing(data, filter_class=None)
+
+
+class TestResampling:
+    def test_downsample(self):
+        data = two_band_signal(nSamples=1000, samplerate=1000.0)
+        out = spy.resampledata(data, method="downsample", resamplefs=500)
+        assert out.samplerate == 500
+        assert np.asarray(out.trials[0]).shape[0] == 500
+        # data is subsampled raw (no AA filter by default)
+        assert np.allclose(
+            np.asarray(out.trials[0]), np.asarray(data.trials[0])[::2], atol=1e-6
+        )
+
+    def test_downsample_rejects_noninteger(self):
+        data = two_band_signal(nTrials=1)
+        with pytest.raises(spy.SPYValueError):
+            spy.resampledata(data, method="downsample", resamplefs=300)
+
+    def test_downsample_with_aa_filter(self):
+        data = two_band_signal(nSamples=1000, samplerate=1000.0)
+        out = spy.resampledata(data, method="downsample", resamplefs=500, lpfreq=200)
+        assert out.samplerate == 500
+
+    def test_resample_vs_scipy(self):
+        rng = np.random.default_rng(3)
+        sig = rng.normal(size=(1000, 2)).astype("f4")
+        data = spy.AnalogData(data=sig, samplerate=1000)
+        out = spy.resampledata(data, method="resample", resamplefs=400)
+        assert out.samplerate == 400
+        assert np.asarray(out.trials[0]).shape[0] == 400
+        # compare against scipy polyphase with the same kernel
+        from syncopy_tpu.ops.filtering import _resample_kernel
+
+        k = _resample_kernel(2, 5, 1000, None, None, 1000.0)
+        ref = sp_sig.resample_poly(sig.astype(np.float64), 2, 5, window=k, axis=0)
+        assert np.allclose(np.asarray(out.trials[0]), ref, atol=1e-4)
+
+    def test_resample_preserves_low_freq(self):
+        data = spy.synthdata.harmonic(freq=20, samplerate=1000, nTrials=2, nSamples=1000, nChannels=1)
+        out = spy.resampledata(data, method="resample", resamplefs=250)
+        spec = spy.freqanalysis(out, method="mtmfft", taper="hann", keeptrials=False)
+        arr = np.asarray(spec.data)[0, 0, :, 0]
+        assert spec.freq[np.argmax(arr)] == pytest.approx(20, abs=2)
+
+
+class TestChained:
+    def test_filter_then_spectrum(self):
+        data = two_band_signal()
+        filt = spy.preprocessing(data, filter_class="but", filter_type="lp", freq=50)
+        spec = spy.freqanalysis(filt, method="mtmfft", taper="hann")
+        assert "preprocessing" in filt.cfg
+        assert "freqanalysis" in spec.cfg
+        assert "preprocessing" in spec.cfg  # chained provenance
+
+    def test_parallel_preproc(self, testmesh):
+        data = two_band_signal(nTrials=8)
+        seq = spy.preprocessing(data, filter_class="but", filter_type="lp", freq=50)
+        with spy.use_mesh(testmesh):
+            par = spy.preprocessing(data, filter_class="but", filter_type="lp", freq=50)
+        assert np.allclose(np.asarray(seq.data), np.asarray(par.data), atol=1e-5)
