@@ -413,6 +413,19 @@ class BaseData(ABC):
         return self._trialdefinition[:, 2].astype(np.int64)
 
     @property
+    def trialintervals(self):
+        """nTrials x 2 array of trial [start, end] in trigger-relative
+        seconds (reference base_data.py trialintervals property)."""
+        if self._trialdefinition is None or getattr(self, "samplerate", None) is None:
+            return None
+        trl = self._trialdefinition
+        fs = self.samplerate
+        lens = trl[:, 1] - trl[:, 0]
+        starts = trl[:, 2] / fs
+        ends = (lens - 1 + trl[:, 2]) / fs
+        return np.column_stack([starts, ends])
+
+    @property
     def trials(self):
         """Lazy per-trial array access"""
         if self.sampleinfo is None:

@@ -1,11 +1,132 @@
 # -*- coding: utf-8 -*-
 #
-# timelockanalysis frontend (reference syncopy/statistics/timelockanalysis.py:37-264).
+# timelockanalysis: trial average / variance / covariance of time-locked
+# AnalogData.
+#
+# Parity target: reference syncopy/statistics/timelockanalysis.py:37-264.
+# The sequential streaming accumulation becomes one batched device
+# reduction over the time-locked trial stack.
 
-from ..shared.errors import SPYError
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..datatype.continuous_data import TimeLockData
+from ..shared.errors import SPYError, SPYTypeError, SPYValueError, SPYWarning, SPYInfo
+from ..shared.input_processors import check_passed_kwargs
+from ..shared.kwarg_decorators import detect_parallel_client, unwrap_cfg, unwrap_select
+from ..shared.latency import create_trial_selection, get_analysis_window
+from ..shared.parsers import data_parser
+from ..shared.tools import get_defaults, get_frontend_cfg
 
 __all__ = ["timelockanalysis"]
 
 
-def timelockanalysis(data, **kwargs):
-    raise SPYError("timelockanalysis is not implemented yet")
+@unwrap_cfg
+@unwrap_select
+@detect_parallel_client
+def timelockanalysis(
+    data,
+    latency="maxperiod",
+    covariance=False,
+    ddof=None,
+    trials="all",
+    keeptrials=False,
+    parallel=None,
+    **kwargs,
+):
+    """
+    Trial average/variance (and optional channel covariance) of AnalogData
+    after latency-based time locking. Returns a
+    :class:`~syncopy_tpu.TimeLockData` with ``avg``/``var``(/``cov``)
+    datasets. Reference: timelockanalysis.py:37.
+    """
+    data_parser(data, varname="data", empty=False, dataclass="AnalogData")
+    if ddof is not None:
+        if not isinstance(ddof, int) or ddof < 0:
+            raise SPYValueError("positive integer value", "ddof", str(ddof))
+    if not isinstance(covariance, bool):
+        raise SPYTypeError(covariance, varname="covariance", expected="bool")
+    if not isinstance(keeptrials, bool):
+        raise SPYTypeError(keeptrials, varname="keeptrials", expected="bool")
+
+    defaults = get_defaults(timelockanalysis)
+    lcls = dict(locals())
+    check_passed_kwargs(lcls, defaults, frontend_name="timelockanalysis")
+    new_cfg = get_frontend_cfg(defaults, lcls, kwargs)
+
+    prior_selection = data._selection
+
+    # legacy `trials` keyword acts as a trial selection
+    if trials != "all":
+        if data.selection is not None and data.selection.select.get("trials") is not None:
+            raise SPYValueError(
+                legal="either `trials != 'all'` or selection", varname="trials",
+                actual="trial keyword and trial selection",
+            )
+        select = dict(data.selection.select) if data.selection is not None else {}
+        select["trials"] = trials
+        data.selection = select
+
+    try:
+        window = get_analysis_window(data, latency)
+        # keep only trials fully covering the window, then cut to it
+        select, num_discard = create_trial_selection(data, window)
+        if num_discard > 0:
+            SPYInfo("Discarded {} trial(s) not covering the latency window".format(num_discard))
+        select["latency"] = window
+        data.selection = select
+        sel = data.selection
+
+        arrs = [sel.select_trial_array(data, k) for k in range(len(sel.trial_ids))]
+        shapes = {a.shape for a in arrs}
+        if len(shapes) > 1:
+            raise SPYValueError(
+                legal="time-locked trials of equal length", varname="latency",
+                actual="trial shapes {}".format(sorted(shapes)),
+            )
+        stack = jnp.asarray(np.stack(arrs))  # (nTrials, nTime, nChannel)
+        n_trials = stack.shape[0]
+
+        avg = jnp.mean(stack, axis=0)
+        var_ddof = 1 if n_trials > 1 else 0
+        var = jnp.var(stack, axis=0, ddof=var_ddof)
+
+        cov = None
+        if covariance:
+            eff_ddof = ddof if ddof is not None else 1
+            centered = stack - jnp.mean(stack, axis=1, keepdims=True)
+            denom = stack.shape[1] - eff_ddof
+            covs = jnp.einsum("nti,ntj->nij", centered, centered) / denom
+            cov = covs if keeptrials else jnp.mean(covs, axis=0)
+
+        out = TimeLockData(samplerate=data.samplerate)
+        offset = int(sel.trialdefinition[0, 2])
+        n_time = stack.shape[1]
+        if keeptrials:
+            out.data = np.asarray(stack).reshape(-1, stack.shape[2])
+            trl = np.zeros((n_trials, 3))
+            trl[:, 0] = np.arange(n_trials) * n_time
+            trl[:, 1] = trl[:, 0] + n_time
+            trl[:, 2] = offset
+        else:
+            out.data = np.asarray(avg)
+            trl = np.array([[0, n_time, offset]])
+        out.trialdefinition = trl
+        out._register_dataset("avg", np.asarray(avg))
+        out._register_dataset("var", np.asarray(var))
+        if cov is not None:
+            out._register_dataset("cov", np.asarray(cov))
+
+        chan = np.asarray(data.channel)
+        ch_sel = sel.channel
+        if ch_sel is not None:
+            chan = chan[ch_sel] if isinstance(ch_sel, slice) else chan[np.asarray(ch_sel)]
+        out.channel = chan
+        out._log = str(data._log)
+        out.log = "timelockanalysis: latency={}, {} trials".format(window, n_trials)
+        out.cfg.update(data.cfg)
+        out.cfg.update({"timelockanalysis": new_cfg})
+        return out
+    finally:
+        data._selection = prior_selection

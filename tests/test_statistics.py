@@ -1,0 +1,129 @@
+# -*- coding: utf-8 -*-
+# Timelock analysis + spike PSTH tests (modeled on reference
+# tests/test_timelockanalysis.py and tests/test_spike_psth.py).
+
+import numpy as np
+import pytest
+
+import syncopy_tpu as spy
+
+
+@pytest.fixture()
+def tl_data():
+    """Equal-length trials with offset -100 samples (t0 = -0.1 s @ 1 kHz)."""
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=(5000, 3)).astype("f4")
+    ad = spy.AnalogData(data=data, samplerate=1000)
+    trl = np.zeros((5, 3))
+    trl[:, 0] = np.arange(5) * 1000
+    trl[:, 1] = trl[:, 0] + 1000
+    trl[:, 2] = -100
+    ad.trialdefinition = trl
+    return ad
+
+
+class TestTimelock:
+    def test_avg_var(self, tl_data):
+        tl = spy.timelockanalysis(tl_data)
+        assert isinstance(tl, spy.TimeLockData)
+        stack = np.stack([np.asarray(t) for t in tl_data.trials])
+        assert np.allclose(np.asarray(tl.avg), stack.mean(axis=0), atol=1e-6)
+        assert np.allclose(np.asarray(tl.var), stack.var(axis=0, ddof=1), atol=1e-5)
+        # single averaged trial, offset preserved
+        assert len(tl.trials) == 1
+        assert tl.trialdefinition[0, 2] == -100
+
+    def test_keeptrials(self, tl_data):
+        tl = spy.timelockanalysis(tl_data, keeptrials=True)
+        assert len(tl.trials) == 5
+
+    def test_covariance(self, tl_data):
+        tl = spy.timelockanalysis(tl_data, covariance=True)
+        cov = np.asarray(tl.cov)
+        assert cov.shape == (3, 3)
+        stack = np.stack([np.asarray(t) for t in tl_data.trials])
+        centered = stack - stack.mean(axis=1, keepdims=True)
+        ref = np.einsum("nti,ntj->nij", centered, centered) / (stack.shape[1] - 1)
+        assert np.allclose(cov, ref.mean(axis=0), atol=1e-5)
+
+    def test_latency_window(self, tl_data):
+        tl = spy.timelockanalysis(tl_data, latency=[0.0, 0.5])
+        assert np.asarray(tl.avg).shape[0] == 501
+        assert tl.trialdefinition[0, 2] == 0
+
+    def test_poststim(self, tl_data):
+        tl = spy.timelockanalysis(tl_data, latency="poststim")
+        # t >= 0 means 900 samples of the 1000 (offset -100)
+        assert np.asarray(tl.avg).shape[0] == 900
+
+    def test_trials_subset(self, tl_data):
+        tl = spy.timelockanalysis(tl_data, trials=[0, 1], keeptrials=True)
+        assert len(tl.trials) == 2
+
+    def test_selection_restored(self, tl_data):
+        spy.timelockanalysis(tl_data)
+        assert tl_data.selection is None
+
+
+class TestSpikePSTH:
+    def test_basic_rate(self):
+        spd = spy.synthdata.poisson_noise(
+            nTrials=10, nSpikes=10000, nChannels=2, nUnits=2, samplerate=1000, seed=0
+        )
+        res = spy.spike_psth(spd, binsize=0.1)
+        assert isinstance(res, spy.TimeLockData)
+        assert len(res.trials) == 10
+        assert res.avg is not None and res.var is not None
+        assert np.asarray(res.data).shape[1] == len(res.channel)
+        assert all("unit" in c for c in res.channel)
+
+    def test_spikecount_output(self):
+        spd = spy.synthdata.poisson_noise(
+            nTrials=5, nSpikes=5000, nChannels=2, nUnits=1, samplerate=1000, seed=1
+        )
+        res = spy.spike_psth(spd, binsize=0.2, output="spikecount", latency="minperiod")
+        arr = np.asarray(res.data)
+        valid = arr[~np.isnan(arr)]
+        assert np.all(valid >= 0)
+        assert np.allclose(valid, np.round(valid))
+
+    def test_rate_magnitude(self):
+        """~1000 spikes/s spread over channels+units -> total rate ~ intensity."""
+        spd = spy.synthdata.poisson_noise(
+            nTrials=4, nSpikes=8000, nChannels=1, nUnits=1, samplerate=1000, seed=2
+        )
+        res = spy.spike_psth(spd, binsize=0.5, output="rate", latency="minperiod", keeptrials=False)
+        total_rate = np.nansum(np.asarray(res.avg), axis=1).mean()
+        # consistency: rate * total duration ~ spikes per trial
+        n_per_trial = 2000
+        duration = np.diff(spd.trialintervals[0])[0]
+        assert total_rate == pytest.approx(n_per_trial / duration, rel=0.2)
+
+    def test_binsize_rules(self):
+        spd = spy.synthdata.poisson_noise(
+            nTrials=3, nSpikes=3000, nChannels=2, nUnits=2, samplerate=1000, seed=3
+        )
+        for rule in ("rice", "sqrt"):
+            res = spy.spike_psth(spd, binsize=rule)
+            assert np.asarray(res.data).shape[0] > 0
+
+    def test_vartriallen_false(self):
+        spd = spy.synthdata.poisson_noise(
+            nTrials=6, nSpikes=6000, nChannels=2, nUnits=2, samplerate=1000, seed=4
+        )
+        res = spy.spike_psth(spd, binsize=0.1, latency="minperiod", vartriallen=False)
+        assert not np.any(np.isnan(np.asarray(res.data)))
+
+    def test_proportion_output(self):
+        spd = spy.synthdata.poisson_noise(
+            nTrials=4, nSpikes=4000, nChannels=1, nUnits=2, samplerate=1000, seed=5
+        )
+        res = spy.spike_psth(spd, binsize=0.2, output="proportion", latency="minperiod")
+        arr = np.asarray(res.data)
+        binsize = 0.2
+        # area under each PSTH ~ 1 per (chan, unit) with spikes
+        n_bins = int(np.asarray(res.trials[0]).shape[0])
+        first = np.asarray(res.trials[0])
+        sums = np.nansum(first, axis=0) * binsize
+        nonzero = sums[sums > 0]
+        assert np.allclose(nonzero, 1.0, atol=0.05)
