@@ -37,6 +37,20 @@ from .datatype.util import setup_storage, storage_dir  # noqa: F401
 #: session-scoped temp-storage directory (reference `__storage__`)
 __storage__ = setup_storage()
 
+# persistent XLA compilation cache: TPU (re)compiles are expensive; cached
+# executables survive across processes (override dir via SPYJAXCACHE)
+try:
+    import jax as _jax
+
+    _cache_dir = os.environ.get(
+        "SPYJAXCACHE", os.path.join(os.path.expanduser("~"), ".spy", "jax_cache")
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is an optimization only
+    pass
+
 setup_logging(session_id=__sessionid__)
 
 from .datatype import (  # noqa: F401

@@ -330,10 +330,10 @@ def _compute_ppc(st_out):
     """PPC from the single-trial cross-spectral stack via the resultant
     vector identity (replaces reference connectivity_analysis.py:624-667)."""
     from ..ops.connectivity import ppc_from_spectra
+    from ..parallel.device_io import run_on_device
 
     arrs = [np.asarray(t) for t in st_out.trials]
-    stack = jnp.asarray(np.stack(arrs))
-    ppc = np.asarray(ppc_from_spectra(stack))
+    ppc = run_on_device(ppc_from_spectra, np.stack(arrs))
 
     out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
     out.data = ppc
@@ -356,11 +356,13 @@ def _granger_pairwise(st_avg, send_idx, rec_idx, data, av_routine):
     from ..ops.connectivity import granger as granger_kernel
     from ..ops.connectivity import regularize_csd, wilson_sf
 
+    from ..parallel.device_io import run_on_device
+
     csd_avg = np.asarray(st_avg.trials[0])[0]  # (F, N, N)
-    cdtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    cdtype = np.complex128 if jax.config.jax_enable_x64 else np.complex64
     pairs = np.array([(s, r) for s in send_idx for r in rec_idx])  # (P, 2)
-    sub = jnp.asarray(csd_avg)[:, pairs[:, :, None], pairs[:, None, :]]  # (F, P, 2, 2)
-    sub = jnp.transpose(sub, (1, 0, 2, 3)).astype(cdtype)
+    sub_np = csd_avg[:, pairs[:, :, None], pairs[:, None, :]]  # (F, P, 2, 2)
+    sub_np = sub_np.transpose(1, 0, 2, 3).astype(cdtype)
 
     cfg = av_routine.cfg
 
@@ -370,7 +372,7 @@ def _granger_pairwise(st_avg, send_idx, rec_idx, data, av_routine):
         G = granger_kernel(CSDreg, H, Sigma)
         return G[:, 0, 1], conv, err
 
-    G_pairs, convs, errs = jax.jit(jax.vmap(one_pair))(sub)
+    G_pairs, convs, errs = run_on_device(jax.vmap(one_pair), sub_np)
     G_pairs = np.asarray(G_pairs, dtype=np.float32)  # (P, F)
     result = G_pairs.reshape(len(send_idx), len(rec_idx), -1).transpose(2, 0, 1)[None]
 

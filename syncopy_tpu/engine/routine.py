@@ -26,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..parallel.device_io import decode_host, decode_in_jit, encode_host, encode_in_jit
 from ..parallel.mesh import TRIAL_AXIS, pad_to_multiple, resolve_parallel, shard_batch
 from ..shared.errors import SPYError, SPYValueError, SPYWarning
 from ..shared.log import get_logger
@@ -37,6 +38,29 @@ DEFAULT_CHUNK_BUDGET = int(os.environ.get("SPY_TPU_CHUNK_BYTES", 2 * 1024**3))
 
 #: host-RAM threshold above which outputs are written to disk-backed HDF5
 DEFAULT_HOST_BUDGET = int(os.environ.get("SPY_TPU_HOST_BYTES", 16 * 1024**3))
+
+
+#: process-global compiled-function cache: identical (CR class, cfg,
+#: shapes, mesh) reuse the XLA executable across frontend calls — without
+#: this every frontend invocation would re-trace and re-compile
+_GLOBAL_JIT_CACHE = {}
+
+
+def _cfg_fingerprint(obj):
+    """Hashable deep fingerprint of a CR cfg dict (arrays by content)."""
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _cfg_fingerprint(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_cfg_fingerprint(v) for v in obj)
+    if isinstance(obj, np.ndarray):
+        return (obj.shape, str(obj.dtype), hash(obj.tobytes()))
+    if isinstance(obj, (str, int, float, bool, complex, type(None))):
+        return obj
+    # wavelet instances etc.: identity by class + public attrs
+    attrs = tuple(
+        sorted((k, v) for k, v in vars(obj).items() if isinstance(v, (str, int, float, bool)))
+    )
+    return (obj.__class__.__name__, attrs)
 
 
 class ComputationalRoutine:
@@ -220,12 +244,13 @@ class ComputationalRoutine:
     def _run(self, data, out, mesh):
         sdim = self.out_stackingdim
         host_out = self._preallocate_output(out)
+        out_complex = np.issubdtype(self.dtype, np.complexfloating)
 
         # row offsets of each selected trial in the stacked output
         stack_lens = [oshp[sdim] for oshp in self._per_trial_out_shapes_ordered]
         offsets = np.concatenate([[0], np.cumsum(stack_lens)]).astype(int)
 
-        acc = None  # on-device accumulator for keeptrials=False
+        acc = None  # on-device accumulator for keeptrials=False (encoded real)
         n_shard = mesh.shape[TRIAL_AXIS] if mesh is not None else 1
 
         for shp, positions in self.buckets.items():
@@ -237,7 +262,8 @@ class ComputationalRoutine:
             chunk = max(n_shard, int(self._chunk_budget // max(per_trial, 1)))
             chunk = pad_to_multiple(min(chunk, len(positions)), n_shard)
 
-            fn = self._get_compiled(shp, mesh)
+            in_complex = np.issubdtype(np.dtype(data.data.dtype), np.complexfloating)
+            fn = self._get_compiled(shp, mesh, in_complex)
 
             pending = None  # (device_result, chunk_positions) for pipelining
             for c0 in range(0, len(positions), chunk):
@@ -245,13 +271,17 @@ class ComputationalRoutine:
                 batch = np.stack(
                     [self.selector.select_trial_array(data, p) for p in chunk_pos], axis=0
                 )
+                # complex data crosses the device boundary as a real pair
+                # (pair axis AFTER the trial axis — tiny trailing dims make
+                # TPU readback pathologically slow)
+                batch, _ = encode_host(batch, axis=1)
                 aux = tuple(a[c0 : c0 + chunk] for a in aux_all)
                 dev_batch, n_valid = shard_batch(batch, mesh)
                 dev_aux = []
                 for a in aux:
                     da, _ = shard_batch(np.asarray(a), mesh)
                     dev_aux.append(da)
-                res = fn(dev_batch, *dev_aux)
+                res = fn(dev_batch, jnp.asarray(n_valid, dtype=jnp.int32), *dev_aux)
                 if isinstance(res, tuple):
                     # (output, aux-info dict): aux entries are host-fetched and
                     # exposed via self.aux_info for process_metadata
@@ -261,21 +291,17 @@ class ComputationalRoutine:
                 if self.keeptrials:
                     # drain previous chunk while this one computes
                     if pending is not None:
-                        self._write_chunk(host_out, *pending, offsets, sdim)
+                        self._write_chunk(host_out, *pending, offsets, sdim, out_complex)
                     pending = (res, chunk_pos, n_valid)
                 else:
-                    mask_shape = (res.shape[0],) + (1,) * (res.ndim - 1)
-                    mask = (jnp.arange(res.shape[0]) < n_valid).reshape(mask_shape)
-                    partial = jnp.sum(
-                        jnp.where(mask, res, jnp.zeros((), res.dtype)), axis=0
-                    )
-                    acc = partial if acc is None else acc + partial
+                    # fn already masked + summed over the batch on device
+                    acc = res if acc is None else acc + res
 
             if pending is not None:
-                self._write_chunk(host_out, *pending, offsets, sdim)
+                self._write_chunk(host_out, *pending, offsets, sdim, out_complex)
 
         if not self.keeptrials:
-            avg = np.asarray(acc) / self.numTrials
+            avg = decode_host(np.asarray(jax.device_get(acc)), out_complex, axis=0) / self.numTrials
             host_out[...] = avg.astype(self.dtype, copy=False)
 
         out.data = host_out if isinstance(host_out, np.ndarray) else host_out
@@ -283,24 +309,44 @@ class ComputationalRoutine:
             # h5py dataset: re-point the object at the file
             out._data = host_out
 
-    def _write_chunk(self, host_out, res, chunk_pos, n_valid, offsets, sdim):
-        arr = np.asarray(jax.device_get(res))[:n_valid]
+    def _write_chunk(self, host_out, res, chunk_pos, n_valid, offsets, sdim, out_complex):
+        arr = decode_host(np.asarray(jax.device_get(res)), out_complex, axis=1)[:n_valid]
         for i, pos in enumerate(chunk_pos):
             row0, row1 = offsets[pos], offsets[pos + 1]
             sl = [slice(None)] * (arr.ndim - 1)
             sl[sdim] = slice(row0, row1)
             host_out[tuple(sl)] = arr[i]
 
-    def _get_compiled(self, shp, mesh):
-        key = (shp, mesh if mesh is None else tuple(mesh.shape.items()))
-        if key not in self._jit_cache:
+    def _get_compiled(self, shp, mesh, in_complex=False):
+        key = (
+            self.__class__.__qualname__,
+            _cfg_fingerprint(self.cfg),
+            shp,
+            mesh if mesh is None else tuple(mesh.shape.items()),
+            in_complex,
+            self.keeptrials,
+        )
+        if key not in _GLOBAL_JIT_CACHE:
             cfg = self.cfg
+            keeptrials = self.keeptrials
 
-            def batched(batch, *aux):
-                return self.process_batch(batch, *aux, **cfg)
+            def batched(batch, n_valid, *aux):
+                batch = decode_in_jit(batch, in_complex, axis=1)
+                res = self.process_batch(batch, *aux, **cfg)
+                aux_info = None
+                if isinstance(res, tuple):
+                    res, aux_info = res
+                if not keeptrials:
+                    mask_shape = (res.shape[0],) + (1,) * (res.ndim - 1)
+                    mask = (jnp.arange(res.shape[0]) < n_valid).reshape(mask_shape)
+                    res = jnp.sum(jnp.where(mask, res, jnp.zeros((), res.dtype)), axis=0)
+                    res, _ = encode_in_jit(res, axis=0)
+                else:
+                    res, _ = encode_in_jit(res, axis=1)
+                return res if aux_info is None else (res, aux_info)
 
-            self._jit_cache[key] = jax.jit(batched)
-        return self._jit_cache[key]
+            _GLOBAL_JIT_CACHE[key] = jax.jit(batched)
+        return _GLOBAL_JIT_CACHE[key]
 
     def _preallocate_output(self, out):
         """Allocate the stacked output: host RAM, or HDF5 when too large

@@ -35,10 +35,13 @@ def trial_avg_replicates(trl_ensemble):
             legal="equal trial shapes for jackknifing", varname="trl_ensemble",
             actual=str(sorted(shapes)),
         )
-    stack = jnp.asarray(np.stack(arrs))
-    avg = jnp.mean(stack, axis=0)
-    loo = (n_trials * avg[None] - stack) / (n_trials - 1)
-    loo = np.asarray(loo)
+    from ..parallel.device_io import run_on_device
+
+    def _loo(stack):
+        avg = jnp.mean(stack, axis=0)
+        return (n_trials * avg[None] - stack) / (n_trials - 1)
+
+    loo = run_on_device(_loo, np.stack(arrs))
 
     replicates = trl_ensemble.__class__(dimord=trl_ensemble.dimord)
     sdim = trl_ensemble._stackingDim
@@ -74,21 +77,28 @@ def bias_var(direct_estimate, replicates):
             varname="replicates", actual="{} trials".format(n_trials),
         )
 
-    rep_stack = jnp.asarray(np.stack([np.asarray(t) for t in replicates.trials]))
-    jack_avg = jnp.mean(rep_stack, axis=0)
-    direct = jnp.asarray(np.asarray(direct_estimate.trials[0]))
-    if jack_avg.shape != direct.shape:
+    from ..parallel.device_io import run_on_device
+
+    rep_host = np.stack([np.asarray(t) for t in replicates.trials])
+    direct_host = np.asarray(direct_estimate.trials[0])
+    if rep_host.shape[1:] != direct_host.shape:
         raise SPYError(
             "Got mismatching shapes for jackknife bias computation: "
-            "jack: {}, original estimate: {}".format(jack_avg.shape, direct.shape)
+            "jack: {}, original estimate: {}".format(rep_host.shape[1:], direct_host.shape)
         )
-    bias_arr = (n_trials - 1) * (jack_avg - direct)
-    var_arr = (n_trials - 1) * jnp.sum(jnp.abs(rep_stack - jack_avg[None]) ** 2, axis=0)
+
+    def _bias_var(rep_stack, direct):
+        jack_avg = jnp.mean(rep_stack, axis=0)
+        bias_arr = (n_trials - 1) * (jack_avg - direct)
+        var_arr = (n_trials - 1) * jnp.sum(jnp.abs(rep_stack - jack_avg[None]) ** 2, axis=0)
+        return bias_arr, var_arr
+
+    bias_host, var_host = run_on_device(_bias_var, rep_host, direct_host)
 
     bias = direct_estimate.__class__(dimord=direct_estimate.dimord)
-    bias.data = np.asarray(bias_arr)
+    bias.data = bias_host
     variance = direct_estimate.__class__(dimord=direct_estimate.dimord)
-    variance.data = np.asarray(var_arr).astype(np.float32)
+    variance.data = var_host.astype(np.float32)
     for obj in (bias, variance):
         if direct_estimate.samplerate is not None:
             obj.samplerate = direct_estimate.samplerate

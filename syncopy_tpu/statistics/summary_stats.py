@@ -119,25 +119,28 @@ def _trial_statistics(in_data, operation="mean"):
             varname="in_data",
             actual="found trials of different shape: {}".format(sorted(shapes)),
         )
-    stack = jnp.asarray(np.stack(arrs))
+    from ..parallel.device_io import run_on_device
 
     if operation == "mean":
-        result = jnp.mean(stack, axis=0)
+        op = lambda stack: jnp.mean(stack, axis=0)  # noqa: E731
     elif operation == "var":
-        avg = jnp.mean(stack, axis=0)
-        result = jnp.mean(jnp.abs(stack - avg) ** 2, axis=0)
+        op = lambda stack: jnp.mean(jnp.abs(stack - jnp.mean(stack, axis=0)) ** 2, axis=0)  # noqa: E731
     elif operation == "std":
-        avg = jnp.mean(stack, axis=0)
-        result = jnp.sqrt(jnp.mean(jnp.abs(stack - avg) ** 2, axis=0))
+        op = lambda stack: jnp.sqrt(  # noqa: E731
+            jnp.mean(jnp.abs(stack - jnp.mean(stack, axis=0)) ** 2, axis=0)
+        )
     elif operation == "itc":
-        unit = stack / jnp.abs(stack)
-        result = jnp.mean(unit, axis=0)
         taper_ax = in_data.dimord.index("taper")
-        result = jnp.abs(jnp.mean(result, axis=taper_ax, keepdims=True))
+
+        def op(stack):
+            unit = stack / jnp.abs(stack)
+            result = jnp.mean(unit, axis=0)
+            return jnp.abs(jnp.mean(result, axis=taper_ax, keepdims=True))
+
     else:
         raise SPYValueError(legal="mean/var/std/itc", varname="operation", actual=operation)
 
-    result = np.asarray(result)
+    result = run_on_device(op, np.stack(arrs))
     if operation != "itc" and np.isrealobj(np.asarray(in_data.data)[:0]):
         result = result.astype(np.asarray(arrs[0]).dtype, copy=False)
 
