@@ -1,0 +1,176 @@
+# -*- coding: utf-8 -*-
+#
+# FOOOF-style spectral parametrization: aperiodic (1/f) + gaussian peaks.
+#
+# Parity target: reference syncopy/specest/fooofspy.py:27 (which wraps the
+# `fooof` package). Since the upstream package is an optional dependency,
+# the fitting algorithm of Donoghue et al. 2020 (Nat Neurosci 23:1655) is
+# implemented here directly: robust aperiodic fit in log-log space,
+# iterative gaussian peak extraction on the flattened spectrum, joint
+# refit, and a final aperiodic refit on the peak-removed spectrum.
+# The fit is host-side scipy (a single small averaged spectrum).
+
+import numpy as np
+from scipy.optimize import curve_fit
+
+__all__ = ["fooofspy"]
+
+default_fooof_opt = {
+    "peak_width_limits": (0.5, 12.0),
+    "max_n_peaks": np.inf,
+    "min_peak_height": 0.0,
+    "peak_threshold": 2.0,
+    "aperiodic_mode": "fixed",
+}
+
+
+def _aperiodic(freqs, *params):
+    if len(params) == 2:  # fixed: offset, exponent
+        offset, exponent = params
+        return offset - exponent * np.log10(freqs)
+    offset, knee, exponent = params  # knee
+    return offset - np.log10(knee + freqs**exponent)
+
+
+def _gaussian_model(freqs, *params):
+    out = np.zeros_like(freqs)
+    for k in range(0, len(params), 3):
+        ctr, hgt, wid = params[k : k + 3]
+        out = out + hgt * np.exp(-((freqs - ctr) ** 2) / (2 * wid**2))
+    return out
+
+
+def _fit_aperiodic(freqs, log_power, mode):
+    guess = (log_power[0], 1.0) if mode == "fixed" else (log_power[0], 1.0, 1.0)
+    try:
+        popt, _ = curve_fit(_aperiodic, freqs, log_power, p0=guess, maxfev=5000)
+    except RuntimeError:
+        popt = np.asarray(guess)
+    return np.asarray(popt)
+
+
+def _robust_aperiodic(freqs, log_power, mode):
+    popt = _fit_aperiodic(freqs, log_power, mode)
+    # refit on the points close to the initial fit (drop peak regions)
+    resid = log_power - _aperiodic(freqs, *popt)
+    thresh = np.percentile(resid, 2.5)
+    mask = resid <= np.percentile(resid, 97.5)
+    mask &= resid >= thresh - 10  # keep lower envelope
+    if mask.sum() > max(3, len(popt)):
+        try:
+            popt, _ = curve_fit(_aperiodic, freqs[mask], log_power[mask], p0=popt, maxfev=5000)
+        except RuntimeError:
+            pass
+    return np.asarray(popt)
+
+
+def fooofspy(data_arr, in_freqs, freq_range=None, fooof_opt=None, out_type="fooof"):
+    """
+    Parameterize power spectra into aperiodic + periodic components.
+
+    Parameters
+    ----------
+    data_arr : (nFreq, nChannels) ndarray — linear power spectra
+    in_freqs : (nFreq,) frequencies
+    freq_range : optional [lo, hi] fit range
+    fooof_opt : dict with keys of `default_fooof_opt`
+    out_type : {'fooof', 'fooof_aperiodic', 'fooof_peaks'}
+
+    Returns
+    -------
+    spectra : (nFreq, nChannels) modeled spectra (linear scale)
+    details : dict with per-channel aperiodic_params, peak_params (list of
+        [center, height, width]), r_squared, error, n_peaks
+    """
+    opt = dict(default_fooof_opt)
+    if fooof_opt:
+        opt.update(fooof_opt)
+
+    freqs = np.asarray(in_freqs, dtype=float)
+    data_arr = np.atleast_2d(np.asarray(data_arr, dtype=float))
+    if data_arr.shape[0] != freqs.size:
+        data_arr = data_arr.T
+    mask = freqs > 0
+    if freq_range is not None:
+        mask &= (freqs >= freq_range[0]) & (freqs <= freq_range[1])
+    f = freqs[mask]
+
+    n_chan = data_arr.shape[1]
+    out = np.zeros((freqs.size, n_chan))
+    details = {
+        "aperiodic_params": [], "peak_params": [], "n_peaks": [],
+        "r_squared": [], "error": [],
+    }
+
+    for ch in range(n_chan):
+        log_pow = np.log10(np.maximum(data_arr[mask, ch], 1e-20))
+        ap = _robust_aperiodic(f, log_pow, opt["aperiodic_mode"])
+        flat = log_pow - _aperiodic(f, *ap)
+
+        # iterative peak search
+        peaks = []
+        work = flat.copy()
+        while len(peaks) < opt["max_n_peaks"]:
+            idx = int(np.argmax(work))
+            height = work[idx]
+            if height <= opt["peak_threshold"] * np.std(work):
+                break
+            if height < opt["min_peak_height"]:
+                break
+            ctr = f[idx]
+            # half-height width estimate
+            half = height / 2
+            lo = idx
+            while lo > 0 and work[lo] > half:
+                lo -= 1
+            hi = idx
+            while hi < len(work) - 1 and work[hi] > half:
+                hi += 1
+            fwhm = max(f[hi] - f[lo], np.diff(f).min())
+            wid = np.clip(fwhm / 2.355, opt["peak_width_limits"][0], opt["peak_width_limits"][1])
+            peaks.append([ctr, height, wid])
+            work = work - _gaussian_model(f, ctr, height, wid)
+
+        # joint gaussian refit on the flattened spectrum
+        if peaks:
+            p0 = np.ravel(peaks)
+            lo_b, hi_b = [], []
+            for ctr, hgt, wid in peaks:
+                lo_b += [f[0], 0.0, opt["peak_width_limits"][0] / 2]
+                hi_b += [f[-1], np.inf, opt["peak_width_limits"][1] * 2]
+            try:
+                p_fit, _ = curve_fit(
+                    _gaussian_model, f, flat, p0=p0, bounds=(lo_b, hi_b), maxfev=5000
+                )
+                peaks = [list(p_fit[k : k + 3]) for k in range(0, len(p_fit), 3)]
+            except (RuntimeError, ValueError):
+                pass
+
+        peak_log = _gaussian_model(f, *np.ravel(peaks)) if peaks else np.zeros_like(f)
+        # final aperiodic refit on peak-removed spectrum
+        ap = _fit_aperiodic(f, log_pow - peak_log, opt["aperiodic_mode"])
+        ap_log = _aperiodic(f, *ap)
+        model_log = ap_log + peak_log
+
+        ss_res = np.sum((log_pow - model_log) ** 2)
+        ss_tot = np.sum((log_pow - log_pow.mean()) ** 2)
+        r2 = 1 - ss_res / ss_tot if ss_tot > 0 else 1.0
+        mae = np.mean(np.abs(log_pow - model_log))
+
+        if out_type == "fooof":
+            model = 10**model_log
+        elif out_type == "fooof_aperiodic":
+            model = 10**ap_log
+        else:  # fooof_peaks
+            model = 10**peak_log
+
+        col = np.zeros(freqs.size)
+        col[mask] = model
+        out[:, ch] = col
+        details["aperiodic_params"].append([float(x) for x in ap])
+        details["peak_params"].append([[float(x) for x in p] for p in peaks])
+        details["n_peaks"].append(len(peaks))
+        details["r_squared"].append(float(r2))
+        details["error"].append(float(mae))
+
+    return out, details
