@@ -169,6 +169,8 @@ class ComputationalRoutine:
             self.out_per_trial_shapes[shp] = (tuple(res.shape), np.dtype(res.dtype))
             out_dtype = np.dtype(res.dtype)
 
+        self._fast_plan = self._plan_fast_gather(data)
+
         out_shapes = [self.out_per_trial_shapes[shp][0] for shp in shapes]
         if not self.keeptrials:
             if len(set(out_shapes)) > 1:
@@ -199,6 +201,68 @@ class ComputationalRoutine:
         self.dtype = out_dtype
         self._per_trial_out_shapes_ordered = out_shapes
         self.numTrials = n_sel
+
+    def _plan_fast_gather(self, data):
+        """
+        Precompute a vectorized host-gather plan: when the (selected) trials
+        are plain time-slices of an in-memory array with identical
+        per-dimension indexers, a whole chunk is assembled with ONE fancy
+        gather instead of per-trial copies (the host-side analog of the
+        reference's per-worker HDF5 reads).
+        """
+        sel = self.selector
+        if "sample" in data.dimord:
+            return None
+        if not isinstance(data.data, np.ndarray):
+            return None
+        if data._stackingDim != 0:
+            return None
+        others_ref = None
+        starts, lens = [], []
+        for k, tid in enumerate(sel.trial_ids):
+            ind = sel.trial_indexer(data, k)
+            tind = ind[0]
+            if not (isinstance(tind, slice) and tind == slice(None)):
+                return None
+            others = tuple(
+                (o.start, o.stop, o.step) if isinstance(o, slice) else tuple(o) for o in ind[1:]
+            )
+            if others_ref is None:
+                others_ref = others
+                others_raw = ind[1:]
+            elif others != others_ref:
+                return None
+            start, stop = data.sampleinfo[tid]
+            starts.append(int(start))
+            lens.append(int(stop - start))
+        return {
+            "starts": np.asarray(starts),
+            "lens": np.asarray(lens),
+            "others": others_raw,
+        }
+
+    def _gather_batch(self, data, chunk_pos):
+        """Assemble the (nTrials, ...) host batch for `chunk_pos`."""
+        plan = getattr(self, "_fast_plan", None)
+        if plan is not None:
+            pos = np.asarray(chunk_pos)
+            L = int(plan["lens"][pos[0]])
+            idx = plan["starts"][pos][:, None] + np.arange(L)
+            batch = data.data[idx]
+            # original data axis k lands on batch axis k+1 (trial axis first);
+            # plan["others"] starts at original axis 1 -> batch axis 2
+            for ax, ind in enumerate(plan["others"], start=2):
+                if isinstance(ind, slice):
+                    full = ind == slice(None) or ind.indices(batch.shape[ax]) == (0, batch.shape[ax], 1)
+                    if not full:
+                        sl = (slice(None),) * ax + (ind,)
+                        batch = batch[sl]
+                else:
+                    batch = np.take(batch, ind, axis=ax)
+            return batch
+        return np.stack(
+            [self.selector.select_trial_array(data, p) for p in chunk_pos], axis=0
+        )
 
     def _selected_trial_shape(self, data, pos):
         """Shape of the pos-th selected trial after applying the selection."""
@@ -268,9 +332,7 @@ class ComputationalRoutine:
             pending = None  # (device_result, chunk_positions) for pipelining
             for c0 in range(0, len(positions), chunk):
                 chunk_pos = positions[c0 : c0 + chunk]
-                batch = np.stack(
-                    [self.selector.select_trial_array(data, p) for p in chunk_pos], axis=0
-                )
+                batch = self._gather_batch(data, chunk_pos)
                 # complex data crosses the device boundary as a real pair
                 # (pair axis AFTER the trial axis — tiny trailing dims make
                 # TPU readback pathologically slow)
