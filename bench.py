@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+#
+# Driver benchmark: trials/sec for the BASELINE.json north-star workload —
+# multitaper PSD + coherence on 1000 trials x 64 channels x 1 s @ 1 kHz.
+#
+# Prints ONE JSON line:
+#   {"metric": ..., "value": N, "unit": "trials/sec", "vs_baseline": R}
+#
+# `vs_baseline` compares against a single-core NumPy implementation of the
+# identical math (the reference syncopy's sequential compute path: per-trial
+# tapered rfft + channel outer product + running average + coherence
+# normalization), measured on this machine at runtime and extrapolated.
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+NTRIALS = int(os.environ.get("SPY_BENCH_TRIALS", 1000))
+NCHAN = int(os.environ.get("SPY_BENCH_CHANNELS", 64))
+NSAMP = int(os.environ.get("SPY_BENCH_SAMPLES", 1000))
+FS = 1000.0
+
+
+def make_data(n_trials):
+    import syncopy_tpu as spy
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(n_trials * NSAMP, NCHAN)).astype("f4")
+    trl = np.zeros((n_trials, 3))
+    trl[:, 0] = np.arange(n_trials) * NSAMP
+    trl[:, 1] = trl[:, 0] + NSAMP
+    ad = spy.AnalogData(data=data, samplerate=FS)
+    ad.trialdefinition = trl
+    return ad
+
+
+def numpy_baseline_rate(n_probe=20):
+    """Single-core numpy mtmfft+coherence (the reference's per-worker
+    math, run sequentially) -> trials/sec."""
+    from scipy.signal import windows
+
+    rng = np.random.default_rng(1)
+    trials = [rng.normal(size=(NSAMP, NCHAN)).astype("f4") for _ in range(n_probe)]
+    NW = 2 * NSAMP / FS
+    Kmax = max(int(2 * NW - 1), 1)
+    taps = windows.dpss(NSAMP, NW, Kmax) * np.sqrt(NSAMP) * (np.sqrt(2) / NSAMP)
+
+    t0 = time.perf_counter()
+    acc = np.zeros((NSAMP // 2 + 1, NCHAN, NCHAN), dtype=np.complex64)
+    for trl in trials:
+        x = trl - trl.mean(axis=0)
+        spec = np.fft.rfft(taps[:, :, None] * x[None, :, :], axis=1)
+        cs = np.einsum("kfi,kfj->fij", spec, np.conj(spec)) / Kmax
+        acc += cs
+    acc /= n_probe
+    diag = np.abs(np.einsum("fii->fi", acc))
+    _ = np.abs(acc) / np.sqrt(diag[:, :, None] * diag[:, None, :])
+    t1 = time.perf_counter()
+    return n_probe / (t1 - t0)
+
+
+def main():
+    import syncopy_tpu as spy
+
+    ad = make_data(NTRIALS)
+
+    # full warm-up run: compiles every chunk shape (persistent-cached)
+    spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
+
+    t0 = time.perf_counter()
+    coh = spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
+    t1 = time.perf_counter()
+    tpu_rate = NTRIALS / (t1 - t0)
+
+    base_rate = numpy_baseline_rate()
+    result = {
+        "metric": "trials/sec for mtmfft+coherence (1000x64ch x 1s @ 1kHz)",
+        "value": round(tpu_rate, 2),
+        "unit": "trials/sec",
+        "vs_baseline": round(tpu_rate / base_rate, 2),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,33 @@ class CrossSpectra(_CrossRoutine):
             freq_idx=cfg["freq_idx"],
         )
 
+    def process_batch_sum(self, batch, n_valid, **cfg):
+        """
+        Fused trial-summed cross spectra: the whole (masked) trial x taper
+        stack collapses in ONE batched contraction on the MXU instead of
+        materializing per-trial (nFreq, N, N) matrices — the engine's
+        `keeptrials=False` fast path.
+        """
+        from ..ops.spectral import detrend, mtmfft
+        from ..ops.windows import make_tapers
+
+        nfft = cfg["nSamples"] or batch.shape[1]
+        x = detrend(batch.astype(jnp.float32), cfg["polyremoval"], axis=1)
+        tapers = jnp.asarray(
+            make_tapers(cfg["taper"], cfg["taper_opt"], batch.shape[1], nfft, cfg["samplerate"])
+        )
+        tapered = tapers[None, :, :, None] * x[:, None, :, :]  # (B, K, T, C)
+        if cfg["demean_taper"]:
+            tapered = tapered - jnp.mean(tapered, axis=2, keepdims=True)
+        spec = jnp.fft.rfft(tapered, n=nfft, axis=2)  # (B, K, F, C)
+        if cfg["freq_idx"] is not None:
+            spec = jnp.take(spec, jnp.asarray(cfg["freq_idx"]), axis=2)
+        mask = (jnp.arange(spec.shape[0]) < n_valid).astype(spec.real.dtype)
+        spec = spec * mask[:, None, None, None]
+        K = tapers.shape[0]
+        cs_sum = jnp.einsum("bkfi,bkfj->fij", spec, jnp.conj(spec)) / K
+        return cs_sum[None].astype(jnp.complex64)
+
 
 class SpectralDyadicProduct(_CrossRoutine):
     """

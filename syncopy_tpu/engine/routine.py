@@ -36,6 +36,9 @@ __all__ = ["ComputationalRoutine"]
 #: default HBM budget per compute chunk (bytes); overridable via env
 DEFAULT_CHUNK_BUDGET = int(os.environ.get("SPY_TPU_CHUNK_BYTES", 2 * 1024**3))
 
+#: hard cap on trials per compute chunk (bounds compile time / HBM spikes)
+MAX_CHUNK_TRIALS = int(os.environ.get("SPY_TPU_MAX_CHUNK", 256))
+
 #: host-RAM threshold above which outputs are written to disk-backed HDF5
 DEFAULT_HOST_BUDGET = int(os.environ.get("SPY_TPU_HOST_BYTES", 16 * 1024**3))
 
@@ -322,9 +325,18 @@ class ComputationalRoutine:
             in_bytes = int(np.prod(shp)) * np.dtype(data.data.dtype).itemsize
             out_shp, out_dt = self.out_per_trial_shapes[shp]
             out_bytes = int(np.prod(out_shp)) * out_dt.itemsize
+            if not self.keeptrials and hasattr(self, "process_batch_sum"):
+                # fused reduction: per-trial outputs are never materialized
+                out_bytes = 0
             per_trial = (in_bytes + out_bytes) * 2
             chunk = max(n_shard, int(self._chunk_budget // max(per_trial, 1)))
-            chunk = pad_to_multiple(min(chunk, len(positions)), n_shard)
+            chunk = min(chunk, MAX_CHUNK_TRIALS)
+            # round to a power of two and keep it FIXED regardless of the
+            # trial count: partial chunks are zero-padded so every chunk of
+            # a bucket hits the same compiled executable
+            chunk = 1 << max(chunk.bit_length() - 1, 0)
+            chunk = min(chunk, 1 << (max(len(positions), 1) - 1).bit_length())
+            chunk = pad_to_multiple(max(chunk, n_shard), n_shard)
 
             in_complex = np.issubdtype(np.dtype(data.data.dtype), np.complexfloating)
             fn = self._get_compiled(shp, mesh, in_complex)
@@ -333,6 +345,9 @@ class ComputationalRoutine:
             for c0 in range(0, len(positions), chunk):
                 chunk_pos = positions[c0 : c0 + chunk]
                 batch = self._gather_batch(data, chunk_pos)
+                if batch.shape[0] < chunk:
+                    pad = np.zeros((chunk - batch.shape[0],) + batch.shape[1:], batch.dtype)
+                    batch = np.concatenate([batch, pad], axis=0)
                 # complex data crosses the device boundary as a real pair
                 # (pair axis AFTER the trial axis — tiny trailing dims make
                 # TPU readback pathologically slow)
@@ -392,10 +407,20 @@ class ComputationalRoutine:
             cfg = self.cfg
             keeptrials = self.keeptrials
 
+            has_sum = hasattr(self, "process_batch_sum")
+
             def batched(batch, n_valid, *aux):
                 batch = decode_in_jit(batch, in_complex, axis=1)
-                res = self.process_batch(batch, *aux, **cfg)
                 aux_info = None
+                if not keeptrials and has_sum:
+                    # fused masked trial-sum: avoids materializing per-trial
+                    # outputs (one big MXU contraction instead)
+                    res = self.process_batch_sum(batch, n_valid, *aux, **cfg)
+                    if isinstance(res, tuple):
+                        res, aux_info = res
+                    res, _ = encode_in_jit(res, axis=0)
+                    return res if aux_info is None else (res, aux_info)
+                res = self.process_batch(batch, *aux, **cfg)
                 if isinstance(res, tuple):
                     res, aux_info = res
                 if not keeptrials:
