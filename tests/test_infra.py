@@ -1,0 +1,200 @@
+# -*- coding: utf-8 -*-
+# Shared-infrastructure tests (modeled on reference tests/test_parsers.py,
+# test_decorators.py, test_cfg.py, test_tools.py, test_logging.py).
+
+import numpy as np
+import pytest
+
+import syncopy_tpu as spy
+from syncopy_tpu.shared.errors import SPYIOError, SPYTypeError, SPYValueError
+from syncopy_tpu.shared.parsers import (
+    array_parser,
+    data_parser,
+    filename_parser,
+    io_parser,
+    scalar_parser,
+    sequence_parser,
+)
+from syncopy_tpu.shared.tools import StructDict, best_match, get_defaults
+
+
+class TestScalarParser:
+    def test_valid(self):
+        scalar_parser(3.0, varname="x", lims=[0, 10])
+        scalar_parser(4, varname="x", ntype="int_like")
+
+    def test_invalid_type(self):
+        with pytest.raises(SPYTypeError):
+            scalar_parser("3", varname="x")
+        with pytest.raises(SPYTypeError):
+            scalar_parser(None, varname="x")
+        with pytest.raises(SPYTypeError):
+            scalar_parser(True, varname="x")
+
+    def test_int_like(self):
+        with pytest.raises(SPYValueError):
+            scalar_parser(3.5, varname="x", ntype="int_like")
+
+    def test_lims(self):
+        with pytest.raises(SPYValueError):
+            scalar_parser(11, varname="x", lims=[0, 10])
+
+
+class TestArrayParser:
+    def test_valid(self):
+        array_parser([1, 2, 3], varname="a", dims=(3,))
+        array_parser(np.ones((2, 2)), varname="a", dims=(2, 2))
+
+    def test_nan_inf(self):
+        with pytest.raises(SPYValueError):
+            array_parser([1, np.nan], varname="a", hasnan=False)
+        with pytest.raises(SPYValueError):
+            array_parser([1, np.inf], varname="a", hasinf=False)
+
+    def test_lims(self):
+        with pytest.raises(SPYValueError):
+            array_parser([1, 100], varname="a", lims=[0, 10])
+
+
+class TestDataParser:
+    def test_class_check(self, adata_equal):
+        data_parser(adata_equal, varname="d", dataclass="AnalogData")
+        with pytest.raises(SPYValueError):
+            data_parser(adata_equal, varname="d", dataclass="SpectralData")
+
+    def test_empty_check(self, adata_equal):
+        data_parser(adata_equal, varname="d", empty=False)
+        with pytest.raises(SPYValueError):
+            data_parser(adata_equal, varname="d", empty=True)
+
+    def test_non_spy_object(self):
+        with pytest.raises(SPYTypeError):
+            data_parser(np.zeros(3), varname="d")
+
+
+class TestFilenameParser:
+    def test_container(self, tmp_path):
+        info = filename_parser(str(tmp_path / "sess.spy"))
+        assert info["container"] == "sess.spy"
+        assert info["basename"] == "sess"
+
+    def test_data_file(self, tmp_path):
+        info = filename_parser(str(tmp_path / "sess.spy" / "sess_raw.analog"))
+        assert info["container"] == "sess.spy"
+        assert info["tag"] == "raw"
+        assert info["extension"] == ".analog"
+
+    def test_invalid_extension(self):
+        with pytest.raises(SPYValueError):
+            filename_parser("/tmp/file.xyz")
+
+
+class TestStructDict:
+    def test_attr_access(self):
+        cfg = StructDict()
+        cfg.method = "mtmfft"
+        assert cfg["method"] == "mtmfft"
+        cfg["taper"] = "hann"
+        assert cfg.taper == "hann"
+
+    def test_get_defaults(self):
+        defaults = get_defaults(spy.freqanalysis)
+        assert defaults["method"] == "mtmfft"
+        assert defaults["output"] == "pow"
+        assert "data" not in defaults
+
+
+class TestBestMatch:
+    def test_exact(self):
+        src = np.arange(0, 100, 2.0)
+        vals, idx = best_match(src, [10, 30])
+        assert np.allclose(vals, [10, 30])
+
+    def test_nearest(self):
+        src = np.arange(0, 100, 2.0)
+        vals, idx = best_match(src, [11, 31])
+        assert np.allclose(vals, [10, 30]) or np.allclose(vals, [12, 32])
+
+    def test_span(self):
+        src = np.arange(0, 100, 2.0)
+        vals, idx = best_match(src, [10, 20], span=True)
+        assert vals[0] == 10 and vals[-1] == 20
+
+    def test_squash(self):
+        src = np.arange(0, 10.0)
+        vals, idx = best_match(src, [1.1, 1.2, 5], squash_duplicates=True)
+        assert len(vals) == 2
+
+
+class TestCfgConventions:
+    def test_cfg_positional(self, adata_equal):
+        cfg = spy.StructDict()
+        cfg.method = "mtmfft"
+        cfg.taper = "hann"
+        spec = spy.freqanalysis(adata_equal, cfg)
+        assert spec.data.shape[0] == len(adata_equal.trials)
+
+    def test_cfg_with_data_inside(self, adata_equal):
+        cfg = spy.StructDict()
+        cfg.method = "mtmfft"
+        cfg.taper = "hann"
+        cfg.data = adata_equal
+        spec = spy.freqanalysis(cfg)
+        assert spec is not None
+
+    def test_cfg_linguistic_booleans(self, adata_equal):
+        cfg = spy.StructDict()
+        cfg.method = "mtmfft"
+        cfg.taper = "hann"
+        cfg.keeptrials = "no"
+        spec = spy.freqanalysis(adata_equal, cfg)
+        assert spec.data.shape[0] == 1
+
+    def test_cfg_replay_full_chain(self, adata_equal):
+        filt = spy.preprocessing(adata_equal, filter_class="but", filter_type="lp", freq=100)
+        spec = spy.freqanalysis(filt, method="mtmfft", taper="hann")
+        # replaying the cfg on the raw data reproduces the chained result
+        refilt = spy.preprocessing(adata_equal, spec.cfg)
+        respec = spy.freqanalysis(refilt, spec.cfg)
+        assert np.allclose(np.asarray(spec.data), np.asarray(respec.data), atol=1e-6)
+
+    def test_conflicting_cfg_kwarg(self, adata_equal):
+        cfg = spy.StructDict()
+        cfg.method = "mtmfft"
+        with pytest.raises(SPYValueError):
+            spy.freqanalysis(adata_equal, cfg, method="wavelet")
+
+    def test_select_restored_on_error(self, adata_equal):
+        with pytest.raises(Exception):
+            spy.freqanalysis(adata_equal, method="nope", select={"trials": [0]})
+        assert adata_equal.selection is None
+
+
+class TestSequenceParser:
+    def test_valid(self):
+        assert sequence_parser([1, 2, 3], varname="s") == [1, 2, 3]
+
+    def test_content_type(self):
+        with pytest.raises(SPYTypeError):
+            sequence_parser([1, "a"], varname="s", content_type=int)
+
+    def test_scalar_rejected(self):
+        with pytest.raises(SPYTypeError):
+            sequence_parser(3, varname="s")
+
+
+class TestLogging:
+    def test_loggers_exist(self):
+        lg = spy.get_logger()
+        assert lg is not None
+        plg = spy.get_parallel_logger()
+        assert plg is not None
+
+    def test_set_loglevel(self):
+        spy.set_loglevel("DEBUG")
+        spy.set_loglevel("WARNING")
+
+    def test_object_log_history(self, adata_equal):
+        spec = spy.freqanalysis(adata_equal, method="mtmfft", taper="hann")
+        assert "MultiTaperFFT" in spec.log
+        assert "created" in spec.log
