@@ -6,6 +6,7 @@
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..engine.routine import ComputationalRoutine
@@ -105,7 +106,16 @@ class CrossSpectra(_CrossRoutine):
         mask = (jnp.arange(spec.shape[0]) < n_valid).astype(spec.real.dtype)
         spec = spec * mask[:, None, None, None]
         K = tapers.shape[0]
-        cs_sum = jnp.einsum("bkfi,bkfj->fij", spec, jnp.conj(spec)) / K
+
+        from ..ops.pallas_kernels import csd_accumulate, pallas_supported
+
+        if pallas_supported():
+            B, Kt, F, C = spec.shape
+            slab = jnp.transpose(spec, (2, 0, 1, 3)).reshape(F, B * Kt, C)
+            cs_re, cs_im = csd_accumulate(jnp.real(slab), jnp.imag(slab))
+            cs_sum = jax.lax.complex(cs_re, cs_im) / K
+        else:
+            cs_sum = jnp.einsum("bkfi,bkfj->fij", spec, jnp.conj(spec)) / K
         return cs_sum[None].astype(jnp.complex64)
 
 
