@@ -166,11 +166,23 @@ def wilson_sf(CSD, nIter=100, rtol=1e-6):
     converged : bool array (scalar)
     err : final max relative factorization error
     """
+    with jax.default_matmul_precision("highest"):
+        return _wilson_sf_impl(CSD, nIter, rtol)
+
+
+def _wilson_sf_impl(CSD, nIter, rtol):
+    # TPU matmuls default to bf16 accumulation, which makes the iteration
+    # diverge — wilson_sf wraps this in default_matmul_precision("highest")
     cdtype = CSD.dtype
     rdtype = jnp.float64 if cdtype == jnp.complex128 else jnp.float32
     nFreq = CSD.shape[0]
     N = CSD.shape[1]
     Ident = jnp.eye(N, dtype=cdtype)
+
+    # scale to unit mean auto-power: improves float32 conditioning; H is
+    # scale-invariant and Sigma is rescaled at the end
+    scale = jnp.mean(jnp.abs(jnp.diagonal(CSD, axis1=1, axis2=2))).astype(rdtype)
+    CSD = CSD / scale
 
     # attach negative frequencies
     CSDfull = jnp.concatenate([CSD, jnp.conj(CSD[nFreq - 2 : 0 : -1])], axis=0)
@@ -204,7 +216,7 @@ def wilson_sf(CSD, nIter=100, rtol=1e-6):
     init = (psi_init, psi0_init, jnp.asarray(jnp.inf, dtype=rdtype), jnp.asarray(0))
     psi, psi0, err, _ = jax.lax.while_loop(cond, step, init)
 
-    Sigma = psi0 @ psi0.T
+    Sigma = (psi0 @ psi0.T) * scale
     Hfunc = psi @ jnp.linalg.inv(psi0)
     return Hfunc[:nFreq], Sigma, err < rtol, err
 
