@@ -71,12 +71,16 @@ def main():
     # full warm-up run: compiles every chunk shape (persistent-cached)
     spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
 
-    t0 = time.perf_counter()
-    coh = spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
-    t1 = time.perf_counter()
-    tpu_rate = NTRIALS / (t1 - t0)
+    # best of 2 to damp transfer-bandwidth jitter
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        coh = spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
+        t1 = time.perf_counter()
+        times.append(t1 - t0)
+    tpu_rate = NTRIALS / min(times)
 
-    base_rate = numpy_baseline_rate()
+    base_rate = max(numpy_baseline_rate(), numpy_baseline_rate())
     result = {
         "metric": "trials/sec for mtmfft+coherence (1000x64ch x 1s @ 1kHz)",
         "value": round(tpu_rate, 2),
