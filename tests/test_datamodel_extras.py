@@ -1,0 +1,98 @@
+# -*- coding: utf-8 -*-
+# Data-model edge cases: registered datasets, mode switching, fancy
+# selections (modeled on reference tests/test_attach_dataset.py and
+# test_selectdata.py fancy-index cases).
+
+import h5py
+import numpy as np
+import pytest
+
+import syncopy_tpu as spy
+
+
+class TestRegisteredDatasets:
+    def test_attach_and_roundtrip(self, tmp_path, adata_equal):
+        tl = spy.timelockanalysis(adata_equal, covariance=True)
+        assert tl.avg is not None and tl.var is not None and tl.cov is not None
+        spy.save(tl, container=str(tmp_path / "tl"))
+        loaded = spy.load(str(tmp_path / "tl.spy"))
+        assert np.allclose(np.asarray(loaded.avg), np.asarray(tl.avg), atol=1e-6)
+        assert np.allclose(np.asarray(loaded.cov), np.asarray(tl.cov), atol=1e-6)
+
+    def test_register_custom(self, adata_equal):
+        adata_equal._register_dataset("extra", np.arange(10.0))
+        assert np.allclose(adata_equal._get_extra_dataset("extra"), np.arange(10.0))
+        with pytest.raises(spy.SPYValueError):
+            adata_equal._register_dataset("not an identifier!")
+
+
+class TestModeSwitching:
+    def test_readonly_mode(self, tmp_path, adata_equal):
+        fname = spy.save(adata_equal, container=str(tmp_path / "m"))
+        obj = spy.load(fname)
+        obj.mode = "r"
+        assert not obj.is_writable
+        obj.mode = "r+"
+        assert obj.is_writable
+
+
+class TestFancySelections:
+    def test_unordered_channel_selection(self, adata_equal):
+        sel = spy.selectdata(adata_equal, channel=[2, 0])
+        raw = np.asarray(adata_equal.trials[0])
+        assert np.allclose(np.asarray(sel.trials[0]), raw[:, [2, 0]])
+        assert list(sel.channel) == ["channel3", "channel1"]
+
+    def test_repeated_channel_selection(self, adata_equal):
+        sel = spy.selectdata(adata_equal, channel=[1, 1])
+        assert sel.data.shape[1] == 2
+
+    def test_unordered_trials(self, adata_equal):
+        sel = spy.selectdata(adata_equal, trials=[3, 0])
+        assert np.allclose(np.asarray(sel.trials[0]), np.asarray(adata_equal.trials[3]))
+
+    def test_spectral_taper_freq_selection(self, adata_equal):
+        spec = spy.freqanalysis(adata_equal, tapsmofrq=5, keeptapers=True, output="fourier")
+        sub = spy.selectdata(spec, taper=[0, 1], frequency=[10, 100])
+        assert sub.data.shape[1] == 2
+        assert sub.freq[0] >= 10 and sub.freq[-1] <= 100
+
+    def test_crossspectral_selection(self):
+        data = spy.synthdata.ar2_network(nTrials=10, samplerate=200, nSamples=500, seed=0)
+        coh = spy.connectivityanalysis(data, method="coh", tapsmofrq=3)
+        sub = spy.selectdata(coh, channel_i=[0], channel_j=[1], frequency=[20, 60])
+        arr = np.asarray(sub.data)
+        assert arr.shape[2] == 1 and arr.shape[3] == 1
+        assert sub.freq[0] >= 20 and sub.freq[-1] <= 60
+
+    def test_show_with_latency(self, adata_equal):
+        arr = adata_equal.show(trials=0, latency=[0.1, 0.2], squeeze=False)
+        assert arr.shape[0] == 101
+
+    def test_engine_with_fancy_channel_selection(self, adata_equal):
+        # unordered channels force the non-fast gather path through the engine
+        spec = spy.freqanalysis(
+            adata_equal, method="mtmfft", taper="hann", select={"channel": [2, 0]}
+        )
+        ref = spy.freqanalysis(adata_equal, method="mtmfft", taper="hann")
+        assert np.allclose(
+            np.asarray(spec.data), np.asarray(ref.data)[:, :, :, [2, 0]], atol=1e-6
+        )
+
+
+class TestArithmeticObjects:
+    def test_object_subtraction(self, adata_equal):
+        diff = adata_equal - adata_equal
+        assert np.allclose(np.asarray(diff.data), 0.0)
+
+    def test_selection_aware_arithmetic(self, adata_equal):
+        adata_equal.selectdata(trials=[0, 1], inplace=True)
+        doubled = adata_equal * 2
+        assert len(doubled.trials) == 2
+        adata_equal.selection = None
+
+    def test_mismatched_selection_counts(self, adata_equal):
+        other = adata_equal.copy()
+        other.selectdata(trials=[0], inplace=True)
+        with pytest.raises(spy.SPYValueError):
+            adata_equal + other
