@@ -39,6 +39,14 @@ DEFAULT_CHUNK_BUDGET = int(os.environ.get("SPY_TPU_CHUNK_BYTES", 2 * 1024**3))
 #: hard cap on trials per compute chunk (bounds compile time / HBM spikes)
 MAX_CHUNK_TRIALS = int(os.environ.get("SPY_TPU_MAX_CHUNK", 256))
 
+#: print per-phase engine timings (host gather / transfer / dispatch / fetch)
+PROFILE = bool(int(os.environ.get("SPY_TPU_PROFILE", "0")))
+
+#: optional reduced-precision host->device ingest ("float16" halves PCIe /
+#: tunnel bytes; kernels upcast to float32 on device). Raw electrophysiology
+#: is <=16-bit ADC data, so float16 ingest loses nothing for typical inputs.
+TRANSFER_DTYPE = os.environ.get("SPY_TPU_TRANSFER_DTYPE", "")
+
 #: host-RAM threshold above which outputs are written to disk-backed HDF5
 DEFAULT_HOST_BUDGET = int(os.environ.get("SPY_TPU_HOST_BYTES", 16 * 1024**3))
 
@@ -342,7 +350,10 @@ class ComputationalRoutine:
             fn = self._get_compiled(shp, mesh, in_complex)
 
             pending = None  # (device_result, chunk_positions) for pipelining
+            import time as _time
+
             for c0 in range(0, len(positions), chunk):
+                _t0 = _time.perf_counter()
                 chunk_pos = positions[c0 : c0 + chunk]
                 batch = self._gather_batch(data, chunk_pos)
                 if batch.shape[0] < chunk:
@@ -352,8 +363,16 @@ class ComputationalRoutine:
                 # (pair axis AFTER the trial axis — tiny trailing dims make
                 # TPU readback pathologically slow)
                 batch, _ = encode_host(batch, axis=1)
+                if TRANSFER_DTYPE and not in_complex and batch.dtype == np.float32:
+                    batch = batch.astype(TRANSFER_DTYPE)
+                _t1 = _time.perf_counter()
                 aux = tuple(a[c0 : c0 + chunk] for a in aux_all)
                 dev_batch, n_valid = shard_batch(batch, mesh)
+                _t2 = _time.perf_counter()
+                if PROFILE:
+                    get_logger().warning(
+                        "chunk %d: gather %.3fs put %.3fs", c0 // chunk, _t1 - _t0, _t2 - _t1
+                    )
                 dev_aux = []
                 for a in aux:
                     da, _ = shard_batch(np.asarray(a), mesh)
@@ -378,7 +397,12 @@ class ComputationalRoutine:
                 self._write_chunk(host_out, *pending, offsets, sdim, out_complex)
 
         if not self.keeptrials:
+            import time as _time
+
+            _t0 = _time.perf_counter()
             avg = decode_host(np.asarray(jax.device_get(acc)), out_complex, axis=0) / self.numTrials
+            if PROFILE:
+                get_logger().warning("final fetch %.3fs", _time.perf_counter() - _t0)
             host_out[...] = avg.astype(self.dtype, copy=False)
 
         out.data = host_out if isinstance(host_out, np.ndarray) else host_out
