@@ -32,6 +32,7 @@ from .shared.log import (  # noqa: F401
     get_parallel_logger,
     set_loglevel,
 )
+from .shared.profiling import profile, Timer  # noqa: F401
 from .datatype.util import setup_storage, storage_dir  # noqa: F401
 
 #: session-scoped temp-storage directory (reference `__storage__`)
