@@ -349,6 +349,13 @@ class ComputationalRoutine:
             in_complex = np.issubdtype(np.dtype(data.data.dtype), np.complexfloating)
             fn = self._get_compiled(shp, mesh, in_complex)
 
+            # channel mesh axis: shard the data's channel dimension too (the
+            # reference's chan_per_worker analog); batch axis 0 is the trial
+            # axis, +1 for the complex pair axis when encoded
+            chan_axis = None
+            if mesh is not None and "channel" in data.dimord:
+                chan_axis = data.dimord.index("channel") + 1 + (1 if in_complex else 0)
+
             pending = None  # (device_result, chunk_positions) for pipelining
             import time as _time
 
@@ -367,7 +374,7 @@ class ComputationalRoutine:
                     batch = batch.astype(TRANSFER_DTYPE)
                 _t1 = _time.perf_counter()
                 aux = tuple(a[c0 : c0 + chunk] for a in aux_all)
-                dev_batch, n_valid = shard_batch(batch, mesh)
+                dev_batch, n_valid = shard_batch(batch, mesh, channel_axis_pos=chan_axis)
                 _t2 = _time.perf_counter()
                 if PROFILE:
                     get_logger().warning(

@@ -233,6 +233,54 @@ def _resample_kernel(up, down, T, lpfreq, order, orig_fs):
     return design_wsinc("hamming", order=int(order), f_c=f_c / up)
 
 
+def apply_fir_time_sharded(x, fkernel, mesh, axis_name="trial"):
+    """
+    FIR filtering of a signal whose TIME axis is sharded across the mesh —
+    the context-parallelism analog for recordings too long for one device
+    (SURVEY.md §5 "long-context"): each shard exchanges a filter-halo of
+    ``(K-1)//2`` samples with its ring neighbors over ICI (`lax.ppermute`),
+    convolves locally, and crops — no full-signal gather anywhere.
+
+    Parameters
+    ----------
+    x : (nSamples, nChannels) array, nSamples divisible by the mesh axis
+    fkernel : odd-length 1d FIR kernel
+    mesh : jax.sharding.Mesh with `axis_name`
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    K = len(fkernel)
+    if K % 2 == 0:
+        raise ValueError("apply_fir_time_sharded requires an odd-length kernel")
+    halo = (K - 1) // 2
+    n_dev = mesh.shape[axis_name]
+    kern = jnp.asarray(fkernel, dtype=jnp.float32)
+
+    def local(xs):
+        # xs: (T/n, C) local shard
+        idx = jax.lax.axis_index(axis_name)
+        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        # halo from the LEFT neighbor (its last samples travel forward)
+        left = jax.lax.ppermute(xs[-halo:], axis_name, fwd)
+        # halo from the RIGHT neighbor (its first samples travel backward)
+        right = jax.lax.ppermute(xs[:halo], axis_name, bwd)
+        zeros = jnp.zeros_like(xs[:halo])
+        left = jnp.where(idx == 0, zeros, left)  # zero boundary extension
+        right = jnp.where(idx == n_dev - 1, zeros, right)
+        ext = jnp.concatenate([left, xs, right], axis=0)
+        y = apply_fir(ext, kern)
+        return y[halo : halo + xs.shape[0]]
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=P(axis_name, None), out_specs=P(axis_name, None),
+        check_rep=False,
+    )
+    x_sharded = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(axis_name, None)))
+    return fn(x_sharded)
+
+
 def resample_poly(x, up, down, fkernel):
     """
     Polyphase resampling: zero-stuff by `up`, FIR low-pass (gain `up`),

@@ -172,5 +172,10 @@ def shard_batch(host_batch, mesh, channel_axis_pos=None):
     if n_pad != n:
         pad_width = [(0, n_pad - n)] + [(0, 0)] * (host_batch.ndim - 1)
         host_batch = np.pad(host_batch, pad_width)
+    # only shard the channel axis when it divides evenly
+    if channel_axis_pos is not None:
+        n_chan_shard = mesh.shape[CHANNEL_AXIS]
+        if host_batch.shape[channel_axis_pos] % n_chan_shard != 0:
+            channel_axis_pos = None
     sharding = trial_sharding(mesh, host_batch.ndim, channel_axis_pos)
     return jax.device_put(host_batch, sharding), n

@@ -1,0 +1,63 @@
+# -*- coding: utf-8 -*-
+# Multi-device sharding tests on the virtual 8-device CPU mesh: channel
+# axis sharding through the engine, halo-exchange time sharding, and the
+# graft entry points.
+
+import numpy as np
+import pytest
+
+import syncopy_tpu as spy
+
+
+class TestHaloFIR:
+    def test_matches_unsharded(self, testmesh):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.filtering import apply_fir, apply_fir_time_sharded, design_wsinc
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1600, 4)).astype("f4")
+        kern = design_wsinc("hamming", 200, 0.1, "lp")  # odd length 201
+        ref = np.asarray(apply_fir(jnp.asarray(x), kern))
+        got = np.asarray(apply_fir_time_sharded(x, kern, testmesh, axis_name="trial"))
+        assert np.abs(got - ref).max() < 1e-5
+
+    def test_rejects_even_kernel(self, testmesh):
+        from syncopy_tpu.ops.filtering import apply_fir_time_sharded
+
+        with pytest.raises(ValueError):
+            apply_fir_time_sharded(np.zeros((800, 2), "f4"), np.ones(10), testmesh)
+
+
+class TestChannelAxisSharding:
+    def test_engine_results_invariant(self, testmesh):
+        """4x2 (trial x channel) mesh with the channel dim actually sharded
+        must reproduce the single-device result."""
+        data = spy.synthdata.white_noise(nTrials=8, nSamples=512, nChannels=8, seed=0)
+        seq = spy.freqanalysis(data, method="mtmfft", taper="hann")
+        with spy.use_mesh(testmesh):
+            par = spy.freqanalysis(data, method="mtmfft", taper="hann")
+        assert np.allclose(np.asarray(seq.data), np.asarray(par.data), atol=1e-6)
+
+    def test_cross_spectra_with_channel_sharding(self, testmesh):
+        data = spy.synthdata.ar2_network(nTrials=16, samplerate=200, nSamples=512, seed=1)
+        # 2 channels over a 2-way channel axis
+        seq = spy.connectivityanalysis(data, method="coh", tapsmofrq=3)
+        with spy.use_mesh(testmesh):
+            par = spy.connectivityanalysis(data, method="coh", tapsmofrq=3)
+        assert np.allclose(np.asarray(seq.data), np.asarray(par.data), atol=1e-5)
+
+
+class TestGraftEntry:
+    def test_entry_and_dryrun(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import jax
+
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape[-1] == out.shape[-2]
+        g.dryrun_multichip(8)
