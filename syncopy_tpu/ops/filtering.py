@@ -275,7 +275,7 @@ def apply_fir_time_sharded(x, fkernel, mesh, axis_name="trial"):
 
     fn = shard_map(
         local, mesh=mesh, in_specs=P(axis_name, None), out_specs=P(axis_name, None),
-        check_rep=False,
+        check_vma=False,
     )
     x_sharded = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(axis_name, None)))
     return fn(x_sharded)
