@@ -36,7 +36,7 @@ from .shared.profiling import profile, Timer  # noqa: F401
 from .datatype.util import setup_storage, storage_dir  # noqa: F401
 
 #: session-scoped temp-storage directory (reference `__storage__`)
-__storage__ = setup_storage()
+__storage__, __storage_size_gb__, __storage_nfiles__ = setup_storage()
 
 # persistent XLA compilation cache: TPU (re)compiles are expensive; cached
 # executables survive across processes (override dir via SPYJAXCACHE)
