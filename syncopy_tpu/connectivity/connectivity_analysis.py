@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..datatype.continuous_data import AnalogData, CrossSpectralData, SpectralData
-from ..shared.errors import SPYError, SPYTypeError, SPYValueError, SPYWarning, SPYInfo
+from ..shared.errors import SPYTypeError, SPYValueError, SPYWarning, SPYInfo
 from ..shared.input_processors import (
     check_effective_parameters,
     check_passed_kwargs,

@@ -13,20 +13,18 @@
 import getpass
 import os
 import socket
-import sys
 import time
-from abc import ABC, abstractmethod
+from abc import ABC
 from copy import copy as _shallow_copy
 from datetime import datetime
-from itertools import islice
 
 import h5py
 import numpy as np
 
-from ..shared.errors import SPYError, SPYTypeError, SPYValueError, SPYWarning
+from ..shared.errors import SPYError, SPYTypeError, SPYValueError
 from ..shared.filetypes import FILE_EXT, extension_by_class
 from ..shared.tools import SerializableDict, StructDict
-from .util import TimeIndexer, TrialIndexer, gen_session_filename
+from .util import TrialIndexer, gen_session_filename
 
 __all__ = ["BaseData", "FauxTrial"]
 

@@ -7,7 +7,7 @@
 
 import numpy as np
 
-from ..shared.errors import SPYError, SPYTypeError, SPYValueError
+from ..shared.errors import SPYValueError
 from .base_data import BaseData
 from .util import TimeIndexer
 

@@ -9,7 +9,7 @@
 
 import numpy as np
 
-from ..shared.errors import SPYError, SPYTypeError, SPYValueError
+from ..shared.errors import SPYValueError
 from .base_data import BaseData
 
 __all__ = ["DiscreteData", "SpikeData", "EventData"]

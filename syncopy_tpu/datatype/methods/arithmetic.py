@@ -13,7 +13,7 @@ import numbers
 
 import numpy as np
 
-from ...shared.errors import SPYError, SPYTypeError, SPYValueError, SPYWarning
+from ...shared.errors import SPYError, SPYTypeError, SPYValueError
 
 __all__ = ["_process_operator"]
 

@@ -8,7 +8,7 @@
 
 import numpy as np
 
-from ...shared.errors import SPYError, SPYTypeError, SPYValueError
+from ...shared.errors import SPYTypeError, SPYValueError
 
 __all__ = ["concat"]
 

@@ -8,8 +8,7 @@
 
 import numpy as np
 
-from ...shared.errors import SPYError, SPYTypeError, SPYValueError
-from ...shared.parsers import array_parser
+from ...shared.errors import SPYError, SPYValueError
 
 __all__ = ["definetrial"]
 

@@ -8,7 +8,7 @@
 
 import numpy as np
 
-from ...shared.errors import SPYError, SPYTypeError, SPYValueError, SPYWarning
+from ...shared.errors import SPYError, SPYValueError
 from ...shared.kwarg_decorators import unwrap_cfg
 
 __all__ = ["redefinetrial"]

@@ -12,7 +12,7 @@
 
 import numpy as np
 
-from ...shared.errors import SPYError, SPYValueError, SPYInfo
+from ...shared.errors import SPYError, SPYValueError
 from ...shared.kwarg_decorators import unwrap_cfg
 from ...shared.tools import get_frontend_cfg, get_defaults
 

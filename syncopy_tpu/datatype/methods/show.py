@@ -6,7 +6,6 @@
 
 import numpy as np
 
-from ...shared.errors import SPYInfo
 
 __all__ = ["show"]
 

@@ -12,7 +12,7 @@ import numbers
 
 import numpy as np
 
-from ..shared.errors import SPYError, SPYTypeError, SPYValueError
+from ..shared.errors import SPYTypeError, SPYValueError
 from ..shared.tools import best_match
 
 __all__ = ["Selector"]

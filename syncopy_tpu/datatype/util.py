@@ -9,10 +9,7 @@
 # is opt-in/automatic for large data, so the tmp-storage dir is only used
 # for disk-backed objects.
 
-import getpass
 import os
-import shutil
-import socket
 import uuid
 
 import numpy as np

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..parallel.device_io import decode_host, decode_in_jit, encode_host, encode_in_jit
 from ..parallel.mesh import TRIAL_AXIS, pad_to_multiple, resolve_parallel, shard_batch
-from ..shared.errors import SPYError, SPYValueError, SPYWarning
+from ..shared.errors import SPYError, SPYValueError
 from ..shared.log import get_logger
 
 __all__ = ["ComputationalRoutine"]

@@ -9,7 +9,7 @@ import os
 
 import numpy as np
 
-from ..shared.errors import SPYError, SPYIOError, SPYValueError, SPYWarning
+from ..shared.errors import SPYIOError, SPYWarning
 
 __all__ = ["load_ft_raw"]
 

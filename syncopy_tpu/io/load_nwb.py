@@ -11,7 +11,7 @@ import os
 
 import numpy as np
 
-from ..shared.errors import SPYError, SPYIOError, SPYValueError, SPYWarning
+from ..shared.errors import SPYIOError, SPYValueError
 
 __all__ = ["load_nwb"]
 

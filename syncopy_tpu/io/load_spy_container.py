@@ -10,7 +10,7 @@ import os
 import h5py
 import numpy as np
 
-from ..shared.errors import SPYError, SPYIOError, SPYValueError, SPYWarning
+from ..shared.errors import SPYIOError, SPYValueError
 from ..shared.filetypes import FILE_EXT, class_by_extension
 from ..shared.kwarg_decorators import unwrap_cfg
 from .utils import hash_file

@@ -12,7 +12,7 @@ import struct
 
 import numpy as np
 
-from ..shared.errors import SPYError, SPYIOError, SPYValueError, SPYWarning
+from ..shared.errors import SPYIOError, SPYValueError
 
 __all__ = ["load_tdt"]
 

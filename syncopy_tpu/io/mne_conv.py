@@ -6,7 +6,7 @@
 
 import numpy as np
 
-from ..shared.errors import SPYError, SPYTypeError, SPYValueError
+from ..shared.errors import SPYError, SPYTypeError
 
 __all__ = [
     "raw_adata_to_mne_raw",

@@ -8,7 +8,7 @@
 
 import numpy as np
 
-from ..shared.errors import SPYError, SPYWarning
+from ..shared.errors import SPYError
 
 __all__ = ["_analog_to_nwb", "_timelock_to_nwb", "_spike_to_nwb"]
 

@@ -9,7 +9,7 @@ import os
 import shutil
 import time
 
-from ..shared.errors import SPYTypeError, SPYValueError, SPYInfo
+from ..shared.errors import SPYTypeError, SPYInfo
 
 __all__ = ["cleanup", "clear", "hash_file"]
 

@@ -14,14 +14,13 @@
 
 import contextlib
 import math
-import os
 
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..shared.errors import SPYParallelError, SPYWarning
+from ..shared.errors import SPYParallelError
 from ..shared.log import get_logger
 
 __all__ = [

@@ -7,7 +7,7 @@
 
 import numpy as np
 
-from ..shared.errors import SPYError, SPYValueError, SPYWarning
+from ..shared.errors import SPYError, SPYWarning
 from . import _plotting as _plt
 
 __all__ = ["singlepanelplot", "multipanelplot"]

@@ -7,7 +7,7 @@
 import numpy as np
 
 from ..datatype.continuous_data import AnalogData
-from ..shared.errors import SPYError, SPYValueError, SPYWarning
+from ..shared.errors import SPYValueError
 from ..shared.input_processors import check_effective_parameters, check_passed_kwargs
 from ..shared.kwarg_decorators import detect_parallel_client, unwrap_cfg, unwrap_select
 from ..shared.parsers import data_parser, scalar_parser

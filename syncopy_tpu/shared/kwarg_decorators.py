@@ -7,9 +7,8 @@
 # host/device staging is done inside the engine, not per-worker.
 
 import functools
-import inspect
 
-from .errors import SPYError, SPYTypeError, SPYValueError, SPYWarning
+from .errors import SPYError, SPYTypeError, SPYValueError
 from .tools import StructDict
 
 __all__ = ["unwrap_cfg", "unwrap_select", "detect_parallel_client"]

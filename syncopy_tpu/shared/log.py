@@ -12,9 +12,7 @@
 import logging
 import os
 import platform
-import socket
 import sys
-import tempfile
 
 __all__ = [
     "setup_logging",

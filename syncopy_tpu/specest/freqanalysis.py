@@ -8,7 +8,7 @@
 import numpy as np
 
 from ..datatype.continuous_data import SpectralData
-from ..shared.errors import SPYError, SPYTypeError, SPYValueError, SPYWarning, SPYInfo
+from ..shared.errors import SPYTypeError, SPYValueError, SPYWarning
 from ..shared.input_processors import (
     check_effective_parameters,
     check_passed_kwargs,

@@ -7,7 +7,7 @@
 import numpy as np
 
 from ..datatype.continuous_data import TimeLockData
-from ..shared.errors import SPYError, SPYTypeError, SPYValueError, SPYWarning, SPYInfo
+from ..shared.errors import SPYTypeError, SPYValueError, SPYInfo
 from ..shared.input_processors import check_passed_kwargs
 from ..shared.kwarg_decorators import detect_parallel_client, unwrap_cfg, unwrap_select
 from ..shared.latency import create_trial_selection, get_analysis_window

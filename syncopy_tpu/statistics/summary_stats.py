@@ -12,7 +12,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..shared.errors import SPYError, SPYTypeError, SPYValueError, SPYWarning
+from ..shared.errors import SPYError, SPYValueError
 from ..shared.kwarg_decorators import detect_parallel_client, unwrap_cfg, unwrap_select
 from ..shared.parsers import data_parser
 from .compRoutines import NumpyStatDim, _propagate_dim_props
