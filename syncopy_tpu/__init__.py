@@ -54,6 +54,16 @@ except Exception:  # pragma: no cover - cache is an optimization only
 
 setup_logging(session_id=__sessionid__)
 
+from .shared.errors import install_exception_handler as _install_eh
+
+_install_eh()  # concise SPYError tracebacks in interactive sessions
+
+if __storage_size_gb__ > 10 and not os.environ.get("SPYSILENTSTARTUP"):
+    print(
+        "syncopy_tpu: temp storage holds {:.1f} GB in {} files; consider "
+        "spy.cleanup()".format(__storage_size_gb__, __storage_nfiles__)
+    )
+
 from .datatype import (  # noqa: F401
     AnalogData,
     SpectralData,

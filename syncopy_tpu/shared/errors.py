@@ -6,6 +6,7 @@
 # SPYWarning/SPYInfo/SPYLog helpers). Re-designed: no custom sys.excepthook
 # (plays badly with JAX tracebacks); plain exception classes + logging.
 
+import os
 import sys
 import warnings
 
@@ -90,6 +91,35 @@ class SPYParallelError(SPYError):
     def __init__(self, msg, client=None):
         self.client = client
         super().__init__(str(msg))
+
+
+def install_exception_handler():
+    """
+    Install a traceback-truncating excepthook for *interactive* sessions
+    (reference errors.py:142-300, `SPYExceptionHandler`): SPYError family
+    exceptions print a single concise line instead of the full stack.
+    Inactive in scripts/pytest; disable entirely with SPYFULLTRACEBACK=1.
+    """
+    if os.environ.get("SPYFULLTRACEBACK"):
+        return
+    interactive = hasattr(sys, "ps1") or bool(getattr(sys, "__IPYTHON__", False))
+    try:  # Jupyter/IPython
+        get_ipython  # type: ignore # noqa: B018
+        interactive = True
+    except NameError:
+        pass
+    if not interactive:
+        return
+
+    default_hook = sys.excepthook
+
+    def spy_excepthook(exc_type, exc, tb):
+        if issubclass(exc_type, SPYError):
+            print("{}: {}".format(exc_type.__name__, exc), file=sys.stderr)
+        else:
+            default_hook(exc_type, exc, tb)
+
+    sys.excepthook = spy_excepthook
 
 
 def SPYWarning(msg, caller=None):

@@ -106,16 +106,13 @@ def freqanalysis(
         fooof_flavour = output
         output = "pow"
 
-    # (selected) trial geometry
+    # (selected) trial geometry (selector trialdefinition already carries
+    # the post-selection per-trial lengths)
     if data.selection is not None:
-        sel = data.selection
-        lenTrials = np.array(
-            [sel.select_trial_array(data, k).shape[timeAxis] for k in range(len(sel.trial_ids))]
-        )
-        trl_def = sel.trialdefinition
+        trl_def = data.selection.trialdefinition
     else:
         trl_def = data.trialdefinition
-        lenTrials = (trl_def[:, 1] - trl_def[:, 0]).astype(int)
+    lenTrials = (trl_def[:, 1] - trl_def[:, 0]).astype(int)
     if lenTrials.size == 0:
         raise SPYValueError(legal="at least one trial", varname="data")
     tStart = trl_def[:, 2] / data.samplerate
