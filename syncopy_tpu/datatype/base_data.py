@@ -54,7 +54,16 @@ class BaseData(ABC):
     # construction
     # ------------------------------------------------------------------ #
 
+    #: monotonically increasing payload-version tokens (engine device-cache
+    #: invalidation): bumped whenever the payload or trial layout changes
+    _token_counter = 0
+
+    def _bump_cache_token(self):
+        BaseData._token_counter += 1
+        self._cache_token = BaseData._token_counter
+
     def __init__(self, filename=None, dimord=None):
+        self._bump_cache_token()
         self._cfg = StructDict()
         self._info = SerializableDict()
         self._data = None
@@ -182,6 +191,7 @@ class BaseData(ABC):
     # ------------------------------------------------------------------ #
 
     def _set_dataset_property(self, inData, propertyName, ndim=None):
+        self._bump_cache_token()
         if inData is None:
             self._close_hdf()
             if propertyName == "data":

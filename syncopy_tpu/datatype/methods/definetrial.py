@@ -89,6 +89,7 @@ def _payload_samples(obj):
 
 
 def _attach(obj, trl):
+    obj._bump_cache_token()
     obj._trialdefinition = np.array(trl, dtype=float)
     obj._selection = None
     obj.log = "set trialdefinition ({} trials)".format(trl.shape[0])

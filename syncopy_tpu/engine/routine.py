@@ -56,6 +56,45 @@ DEFAULT_HOST_BUDGET = int(os.environ.get("SPY_TPU_HOST_BYTES", 16 * 1024**3))
 #: this every frontend invocation would re-trace and re-compile
 _GLOBAL_JIT_CACHE = {}
 
+#: HBM-resident trial store: encoded device chunks keyed by
+#: (dataset identity+mutation counter, selection, chunking, mesh). Repeated
+#: analyses on the same (selected) data skip the host->device upload — the
+#: TPU-native analog of the reference's OS page cache over HDF5 re-reads.
+#: Bounded LRU by bytes; disable with SPY_TPU_DEVICE_CACHE_BYTES=0.
+DEVICE_CACHE_BYTES = int(os.environ.get("SPY_TPU_DEVICE_CACHE_BYTES", 4 * 1024**3))
+_DEVICE_CACHE = {}  # key -> list of device chunks
+_DEVICE_CACHE_ORDER = []  # LRU order of keys
+_DEVICE_CACHE_SIZE = [0]
+
+
+def _device_cache_put(key, chunks, nbytes):
+    if DEVICE_CACHE_BYTES <= 0 or nbytes > DEVICE_CACHE_BYTES:
+        return
+    while _DEVICE_CACHE_ORDER and _DEVICE_CACHE_SIZE[0] + nbytes > DEVICE_CACHE_BYTES:
+        old = _DEVICE_CACHE_ORDER.pop(0)
+        _, old_bytes = _DEVICE_CACHE.pop(old)
+        _DEVICE_CACHE_SIZE[0] -= old_bytes
+    _DEVICE_CACHE[key] = (chunks, nbytes)
+    _DEVICE_CACHE_ORDER.append(key)
+    _DEVICE_CACHE_SIZE[0] += nbytes
+
+
+def _device_cache_get(key):
+    entry = _DEVICE_CACHE.get(key)
+    if entry is None:
+        return None
+    if key in _DEVICE_CACHE_ORDER:
+        _DEVICE_CACHE_ORDER.remove(key)
+        _DEVICE_CACHE_ORDER.append(key)
+    return entry[0]
+
+
+def clear_device_cache():
+    """Drop all HBM-cached trial batches."""
+    _DEVICE_CACHE.clear()
+    _DEVICE_CACHE_ORDER.clear()
+    _DEVICE_CACHE_SIZE[0] = 0
+
 
 def _cfg_fingerprint(obj):
     """Hashable deep fingerprint of a CR cfg dict (arrays by content)."""
@@ -213,6 +252,18 @@ class ComputationalRoutine:
         self._per_trial_out_shapes_ordered = out_shapes
         self.numTrials = n_sel
 
+    def _selection_fingerprint(self, data):
+        """Hashable description of the active selection's gather plan (for
+        the HBM trial-store cache key)."""
+        sel = self.selector
+        try:
+            parts = [tuple(sel.trial_ids)]
+            for k in range(len(sel.trial_ids)):
+                parts.append(repr(sel.trial_indexer(data, k)))
+            return hash(tuple(parts))
+        except Exception:
+            return None
+
     def _plan_fast_gather(self, data):
         """
         Precompute a vectorized host-gather plan: when the (selected) trials
@@ -356,29 +407,54 @@ class ComputationalRoutine:
             if mesh is not None and "channel" in data.dimord:
                 chan_axis = data.dimord.index("channel") + 1 + (1 if in_complex else 0)
 
+            # HBM-resident trial store: reuse device chunks across calls
+            cache_key = (
+                getattr(data, "_cache_token", None),
+                self._selection_fingerprint(data),
+                shp,
+                chunk,
+                TRANSFER_DTYPE,
+                None if mesh is None else tuple(mesh.shape.items()),
+                in_complex,
+                tuple(positions),
+            )
+            cacheable = cache_key[0] is not None and cache_key[1] is not None
+            cached_chunks = _device_cache_get(cache_key) if cacheable else None
+            built_chunks = [] if (cached_chunks is None and cacheable) else None
+            chunk_idx = -1
+
             pending = None  # (device_result, chunk_positions) for pipelining
             import time as _time
 
             for c0 in range(0, len(positions), chunk):
                 _t0 = _time.perf_counter()
                 chunk_pos = positions[c0 : c0 + chunk]
-                batch = self._gather_batch(data, chunk_pos)
-                if batch.shape[0] < chunk:
-                    pad = np.zeros((chunk - batch.shape[0],) + batch.shape[1:], batch.dtype)
-                    batch = np.concatenate([batch, pad], axis=0)
-                # complex data crosses the device boundary as a real pair
-                # (pair axis AFTER the trial axis — tiny trailing dims make
-                # TPU readback pathologically slow)
-                batch, _ = encode_host(batch, axis=1)
-                if TRANSFER_DTYPE and not in_complex and batch.dtype == np.float32:
-                    batch = batch.astype(TRANSFER_DTYPE)
-                _t1 = _time.perf_counter()
+                chunk_idx += 1
+                if cached_chunks is not None:
+                    dev_batch = cached_chunks[chunk_idx]
+                    n_valid = len(chunk_pos)
+                    _t1 = _t2 = _time.perf_counter()
+                else:
+                    batch = self._gather_batch(data, chunk_pos)
+                    if batch.shape[0] < chunk:
+                        pad = np.zeros((chunk - batch.shape[0],) + batch.shape[1:], batch.dtype)
+                        batch = np.concatenate([batch, pad], axis=0)
+                    # complex data crosses the device boundary as a real pair
+                    # (pair axis AFTER the trial axis — tiny trailing dims
+                    # make TPU readback pathologically slow)
+                    batch, _ = encode_host(batch, axis=1)
+                    if TRANSFER_DTYPE and not in_complex and batch.dtype == np.float32:
+                        batch = batch.astype(TRANSFER_DTYPE)
+                    _t1 = _time.perf_counter()
+                    dev_batch, n_valid = shard_batch(batch, mesh, channel_axis_pos=chan_axis)
+                    if built_chunks is not None:
+                        built_chunks.append(dev_batch)
+                    _t2 = _time.perf_counter()
                 aux = tuple(a[c0 : c0 + chunk] for a in aux_all)
-                dev_batch, n_valid = shard_batch(batch, mesh, channel_axis_pos=chan_axis)
-                _t2 = _time.perf_counter()
                 if PROFILE:
                     get_logger().warning(
-                        "chunk %d: gather %.3fs put %.3fs", c0 // chunk, _t1 - _t0, _t2 - _t1
+                        "chunk %d: gather %.3fs put %.3fs%s", c0 // chunk, _t1 - _t0,
+                        _t2 - _t1, " (cached)" if cached_chunks is not None else "",
                     )
                 dev_aux = []
                 for a in aux:
@@ -402,6 +478,10 @@ class ComputationalRoutine:
 
             if pending is not None:
                 self._write_chunk(host_out, *pending, offsets, sdim, out_complex)
+
+            if built_chunks:
+                nbytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize for c in built_chunks)
+                _device_cache_put(cache_key, built_chunks, nbytes)
 
         if not self.keeptrials:
             import time as _time
