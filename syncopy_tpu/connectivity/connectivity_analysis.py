@@ -187,7 +187,28 @@ def connectivityanalysis(
     st_out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
     st_keeptrials = bool(keeptrials or jackknife or method == "ppc")
 
+    # operator fusion: plain coherence = trial-averaged CSD + normalization;
+    # the normalization runs on-device fused onto the ST stage's reduction
+    # (no intermediate CSD round-trip, replaces the separate AV pass)
+    fuse_coh = method == "coh" and not st_keeptrials
+
     st_compRoutine.initialize(data, st_out._stackingDim, keeptrials=st_keeptrials)
+    if fuse_coh:
+        import functools
+
+        st_compRoutine.compute(
+            data, st_out, parallel=parallel, log_dict=log_dict,
+            post_device_fn=functools.partial(_coh_post, output=output),
+            post_key=("coh", output),
+        )
+        out = st_out
+        if send_idx is not None:
+            out = out.selectdata(channel_i=[str(c) for c in np.asarray(data.channel)[send_idx]])
+            out = out.selectdata(channel_j=[str(c) for c in np.asarray(data.channel)[rec_idx]])
+        out.cfg.update(data.cfg)
+        new_cfg.update({"output": output})
+        out.cfg.update({"connectivityanalysis": new_cfg})
+        return out
     st_compRoutine.compute(data, st_out, parallel=parallel, log_dict=log_dict)
 
     replicates_avg = None
@@ -239,6 +260,14 @@ def connectivityanalysis(
 # ------------------------------------------------------------------------ #
 # helpers
 # ------------------------------------------------------------------------ #
+
+
+def _coh_post(csd_avg, output="abs"):
+    """Device-side coherence normalization fused onto the trial-averaged
+    CSD (reference AV_compRoutines.normalize_csd_cF)."""
+    from ..ops.connectivity import normalize_csd
+
+    return normalize_csd(csd_avg, output)
 
 
 def _digest_channelcmb(data, channelcmb):

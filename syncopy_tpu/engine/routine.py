@@ -349,10 +349,24 @@ class ComputationalRoutine:
     # ------------------------------------------------------------------ #
 
     def compute(self, data, out, parallel=None, parallel_store=None, method=None,
-                mem_thresh=None, log_dict=None, parallel_debug=False):
+                mem_thresh=None, log_dict=None, parallel_debug=False,
+                post_device_fn=None, post_key=None):
+        """
+        Run the routine. `post_device_fn` (with a hashable `post_key` for
+        executable caching) is an optional device-side transform fused onto
+        the trial-averaged result when ``keeptrials=False`` — it replaces a
+        separate averaged-input pass (no intermediate host round-trip).
+        """
         if self.buckets is None:
             raise SPYError("call initialize() before compute()")
         self.log_dict = log_dict
+        self._post_fn = post_device_fn
+        self._post_key = post_key
+        if post_device_fn is not None and not self.keeptrials:
+            spec = jax.ShapeDtypeStruct(self.outputShape, self.dtype)
+            res = jax.eval_shape(post_device_fn, spec)
+            self.outputShape = tuple(res.shape)
+            self.dtype = np.dtype(res.dtype)
 
         mesh = resolve_parallel(parallel)
         if parallel_debug:
@@ -370,7 +384,13 @@ class ComputationalRoutine:
     def _run(self, data, out, mesh):
         sdim = self.out_stackingdim
         host_out = self._preallocate_output(out)
-        out_complex = np.issubdtype(self.dtype, np.complexfloating)
+        # dtype of the per-trial kernel outputs (differs from self.dtype when
+        # a fused post_device_fn changes the final dtype)
+        kernel_dtype = next(iter(self.out_per_trial_shapes.values()))[1]
+        acc_complex = np.issubdtype(kernel_dtype, np.complexfloating)
+        out_complex = acc_complex if getattr(self, "_post_fn", None) is None else (
+            np.issubdtype(self.dtype, np.complexfloating)
+        )
 
         # row offsets of each selected trial in the stacked output
         stack_lens = [oshp[sdim] for oshp in self._per_trial_out_shapes_ordered]
@@ -470,14 +490,14 @@ class ComputationalRoutine:
                 if self.keeptrials:
                     # drain previous chunk while this one computes
                     if pending is not None:
-                        self._write_chunk(host_out, *pending, offsets, sdim, out_complex)
+                        self._write_chunk(host_out, *pending, offsets, sdim, acc_complex)
                     pending = (res, chunk_pos, n_valid)
                 else:
                     # fn already masked + summed over the batch on device
                     acc = res if acc is None else acc + res
 
             if pending is not None:
-                self._write_chunk(host_out, *pending, offsets, sdim, out_complex)
+                self._write_chunk(host_out, *pending, offsets, sdim, acc_complex)
 
             if built_chunks:
                 nbytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize for c in built_chunks)
@@ -487,7 +507,11 @@ class ComputationalRoutine:
             import time as _time
 
             _t0 = _time.perf_counter()
-            avg = decode_host(np.asarray(jax.device_get(acc)), out_complex, axis=0) / self.numTrials
+            if getattr(self, "_post_fn", None) is not None:
+                acc = self._apply_post_fn(acc, acc_complex)
+                avg = decode_host(np.asarray(jax.device_get(acc)), out_complex, axis=0)
+            else:
+                avg = decode_host(np.asarray(jax.device_get(acc)), acc_complex, axis=0) / self.numTrials
             if PROFILE:
                 get_logger().warning("final fetch %.3fs", _time.perf_counter() - _t0)
             host_out[...] = avg.astype(self.dtype, copy=False)
@@ -496,6 +520,25 @@ class ComputationalRoutine:
         if not isinstance(host_out, np.ndarray):
             # h5py dataset: re-point the object at the file
             out._data = host_out
+
+    def _apply_post_fn(self, acc, kernel_complex):
+        """Fuse the post transform (incl. the /numTrials normalization)
+        into one cached device program."""
+        key = (
+            self.__class__.__qualname__, "post", self._post_key,
+            tuple(acc.shape), str(acc.dtype), kernel_complex,
+        )
+        if key not in _GLOBAL_JIT_CACHE:
+            post = self._post_fn
+
+            def finalize(a, n):
+                x = decode_in_jit(a, kernel_complex, axis=0) / n
+                y = post(x)
+                return encode_in_jit(y, axis=0)[0]
+
+            _GLOBAL_JIT_CACHE[key] = jax.jit(finalize)
+        n = jnp.asarray(float(self.numTrials), dtype=jnp.float32)
+        return _GLOBAL_JIT_CACHE[key](acc, n)
 
     def _write_chunk(self, host_out, res, chunk_pos, n_valid, offsets, sdim, out_complex):
         arr = decode_host(np.asarray(jax.device_get(res)), out_complex, axis=1)[:n_valid]
