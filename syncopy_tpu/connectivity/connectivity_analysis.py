@@ -187,22 +187,27 @@ def connectivityanalysis(
     st_out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
     st_keeptrials = bool(keeptrials or jackknife or method == "ppc")
 
-    # operator fusion: plain coherence = trial-averaged CSD + normalization;
-    # the normalization runs on-device fused onto the ST stage's reduction
-    # (no intermediate CSD round-trip, replaces the separate AV pass)
-    fuse_coh = method == "coh" and not st_keeptrials
-
-    st_compRoutine.initialize(data, st_out._stackingDim, keeptrials=st_keeptrials)
-    if fuse_coh:
+    # operator fusion: coherence/cross-correlation = trial-averaged cross
+    # quantity + normalization; the normalization runs on-device fused onto
+    # the ST stage's reduction (no intermediate round-trip, replaces the
+    # separate AV pass)
+    fused_post = None
+    if not st_keeptrials:
         import functools
 
+        if method == "coh":
+            fused_post = (functools.partial(_coh_post, output=output), ("coh", output))
+        elif method == "corr":
+            fused_post = (_corr_post, ("corr",))
+
+    st_compRoutine.initialize(data, st_out._stackingDim, keeptrials=st_keeptrials)
+    if fused_post is not None:
         st_compRoutine.compute(
             data, st_out, parallel=parallel, log_dict=log_dict,
-            post_device_fn=functools.partial(_coh_post, output=output),
-            post_key=("coh", output),
+            post_device_fn=fused_post[0], post_key=fused_post[1],
         )
         out = st_out
-        if send_idx is not None:
+        if send_idx is not None and method == "coh":
             out = out.selectdata(channel_i=[str(c) for c in np.asarray(data.channel)[send_idx]])
             out = out.selectdata(channel_j=[str(c) for c in np.asarray(data.channel)[rec_idx]])
         out.cfg.update(data.cfg)
@@ -268,6 +273,15 @@ def _coh_post(csd_avg, output="abs"):
     from ..ops.connectivity import normalize_csd
 
     return normalize_csd(csd_avg, output)
+
+
+def _corr_post(ccov_avg):
+    """Device-side cross-correlation normalization fused onto the
+    trial-averaged cross-covariance (reference
+    AV_compRoutines.normalize_ccov_cF)."""
+    from ..ops.connectivity import normalize_ccov
+
+    return normalize_ccov(ccov_avg)
 
 
 def _digest_channelcmb(data, channelcmb):
