@@ -145,7 +145,13 @@ def _biquad(b, a, x, x0):
     def combine(left, right):
         A1, b1v = left
         A2, b2v = right
-        return A2 @ A1, jnp.einsum("...ij,...jc->...ic", A2, b1v) + b2v
+        # TPU matmuls default to bf16 — the recurrence is numerically
+        # sensitive, pin full precision
+        prec = jax.lax.Precision.HIGHEST
+        return (
+            jnp.matmul(A2, A1, precision=prec),
+            jnp.einsum("...ij,...jc->...ic", A2, b1v, precision=prec) + b2v,
+        )
 
     _, states = jax.lax.associative_scan(combine, (As, bs), axis=0)
     return states[:, 0, :]  # y[n]
