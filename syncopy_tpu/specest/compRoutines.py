@@ -156,25 +156,27 @@ class _TimeFreqRoutine(ComputationalRoutine):
         if sel_trl.shape[1] > 3:
             trl[:, 3:] = sel_trl[:n_trials, 3:]
 
+        # per-trial onsets in output sampling units; for a trial average the
+        # onsets of the (equal-length) input trials are averaged
         if isinstance(toi, np.ndarray):
             steps = np.diff(toi)
             if steps.size and np.allclose(steps, steps[0]):
                 new_rate = 1.0 / steps[0]
             else:
                 new_rate = 1.0
-            trl[:, 2] = toi[0] * new_rate
+            offsets = np.full(sel_trl.shape[0], toi[0] * new_rate)
         elif isinstance(toi, str):  # 'all'
             new_rate = samplerate
-            trl[:, 2] = sel_trl[:, 2]
+            offsets = sel_trl[:, 2].astype(float)
         else:  # percentage
             hop = self._hop()
             new_rate = samplerate / hop
-            trl[:, 2] = sel_trl[:, 2] / hop
+            offsets = sel_trl[:, 2] / hop
 
-        if not self.keeptrials:
-            t0 = trl[:, 2].mean()
-            trl = trl[[0], :]
-            trl[:, 2] = t0
+        if self.keeptrials:
+            trl[:, 2] = offsets[:n_trials]
+        else:
+            trl[:, 2] = offsets.mean()
         return trl, new_rate
 
     def process_metadata(self, data, out):

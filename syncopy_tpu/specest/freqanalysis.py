@@ -155,6 +155,11 @@ def freqanalysis(
                     "tapsmofrq": tapsmofrq, "pad": pad}
 
     elif method in ("mtmconvol", "welch"):
+        if method == "welch" and output != "pow":
+            raise SPYValueError(
+                legal="'pow', Welch estimates are real-valued power averages",
+                varname="output", actual=output,
+            )
         if t_ftimwin is None:
             raise SPYValueError(
                 legal="window length `t_ftimwin` (in seconds)", varname="t_ftimwin",

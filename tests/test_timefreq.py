@@ -152,6 +152,22 @@ class TestWelch:
         with pytest.raises(spy.SPYValueError):
             spy.freqanalysis(data, method="welch", t_ftimwin=0.25, toi="all")
 
+    def test_welch_rejects_fourier_output(self):
+        data = spy.synthdata.white_noise(nTrials=2, nSamples=500, nChannels=1, seed=0)
+        with pytest.raises(spy.SPYValueError):
+            spy.freqanalysis(data, method="welch", t_ftimwin=0.25, toi=0.5, output="fourier")
+
+    def test_welch_multitaper(self):
+        data = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=3, nSamples=1000, nChannels=1)
+        res = spy.freqanalysis(data, method="welch", t_ftimwin=0.5, toi=0.5, tapsmofrq=6)
+        arr = np.asarray(res.data)
+        assert res.freq[np.argmax(arr[0, 0, :, 0])] == pytest.approx(30, abs=6)
+
+    def test_welch_keeptrials_false(self):
+        data = spy.synthdata.white_noise(nTrials=4, nSamples=1000, nChannels=2, seed=1)
+        res = spy.freqanalysis(data, method="welch", t_ftimwin=0.25, toi=0.5, keeptrials=False)
+        assert res.data.shape[0] == 1
+
 
 class TestSummaryStats:
     def test_mean_channel(self, adata_equal):
