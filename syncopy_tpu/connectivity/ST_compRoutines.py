@@ -115,7 +115,10 @@ class CrossSpectra(_CrossRoutine):
             cs_re, cs_im = csd_accumulate(jnp.real(slab), jnp.imag(slab))
             cs_sum = jax.lax.complex(cs_re, cs_im) / K
         else:
-            cs_sum = jnp.einsum("bkfi,bkfj->fij", spec, jnp.conj(spec)) / K
+            cs_sum = jnp.einsum(
+                "bkfi,bkfj->fij", spec, jnp.conj(spec),
+                precision=jax.lax.Precision.HIGHEST,
+            ) / K
         return cs_sum[None].astype(jnp.complex64)
 
 

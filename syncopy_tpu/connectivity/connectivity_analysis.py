@@ -236,6 +236,12 @@ def connectivityanalysis(
         out = _compute_ppc(st_out)
     elif method == "granger" and send_idx is not None:
         out = _granger_pairwise(st_out, send_idx, rec_idx, data, av_compRoutine)
+    elif method == "granger" and not jax.config.jax_enable_x64:
+        # Wilson factorization needs float64; with x64 unavailable on the
+        # device (TPU production configs) the (small) averaged CSD is
+        # factorized on the host — the trial-parallel CSD stage above did
+        # the heavy lifting on device
+        out = _granger_host_full(st_out, av_compRoutine)
     else:
         out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
         av_compRoutine.initialize(st_out, out._stackingDim)
@@ -390,6 +396,33 @@ def _compute_ppc(st_out):
     return out
 
 
+def _granger_host_full(st_avg, av_routine):
+    """Full-matrix Granger with host float64 factorization
+    (fallback when JAX x64 is disabled)."""
+    from ..ops.connectivity import granger_host, regularize_csd_host, wilson_sf_host
+
+    cfg = av_routine.cfg
+    csd_avg = np.asarray(st_avg.trials[0])[0]  # (F, N, N)
+    CSDreg, factor, ini_cn = regularize_csd_host(csd_avg, cond_max=cfg["cond_max"], eps_max=1e-1)
+    H, Sigma, conv, err = wilson_sf_host(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
+    G = granger_host(CSDreg, H, Sigma).astype(np.float32)
+
+    out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
+    out.data = G[None]
+    out.samplerate = st_avg.samplerate
+    out.trialdefinition = np.array([[0, 1.0, 0]])
+    out.channel_i = np.asarray(st_avg.channel_i)
+    out.channel_j = np.asarray(st_avg.channel_j)
+    out.freq = np.asarray(st_avg.freq)
+    out.info["converged"] = bool(conv)
+    out.info["max rel. err"] = float(err)
+    out.info["reg. factor"] = float(factor)
+    out.info["initial cond. num"] = float(ini_cn)
+    out._log = str(st_avg._log)
+    out.log = "computed Granger causality (host float64 factorization)"
+    return out
+
+
 def _granger_pairwise(st_avg, send_idx, rec_idx, data, av_routine):
     """
     Pairwise Granger over (senders x receivers): one vmapped
@@ -409,13 +442,28 @@ def _granger_pairwise(st_avg, send_idx, rec_idx, data, av_routine):
 
     cfg = av_routine.cfg
 
-    def one_pair(CSD):
-        CSDreg, _, _ = regularize_csd(CSD, cond_max=cfg["cond_max"], eps_max=1e-1)
-        H, Sigma, conv, err = wilson_sf(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
-        G = granger_kernel(CSDreg, H, Sigma)
-        return G[:, 0, 1], conv, err
+    if jax.config.jax_enable_x64:
 
-    G_pairs, convs, errs = run_on_device(jax.vmap(one_pair), sub_np)
+        def one_pair(CSD):
+            CSDreg, _, _ = regularize_csd(CSD, cond_max=cfg["cond_max"], eps_max=1e-1)
+            H, Sigma, conv, err = wilson_sf(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
+            G = granger_kernel(CSDreg, H, Sigma)
+            return G[:, 0, 1], conv, err
+
+        G_pairs, convs, errs = run_on_device(jax.vmap(one_pair), sub_np)
+    else:
+        # float64 unavailable on device: factorize the (2x2) pair CSDs on
+        # the host
+        from ..ops.connectivity import granger_host, regularize_csd_host, wilson_sf_host
+
+        G_list, convs, errs = [], [], []
+        for p in range(sub_np.shape[0]):
+            CSDreg, _, _ = regularize_csd_host(sub_np[p], cond_max=cfg["cond_max"], eps_max=1e-1)
+            H, Sigma, conv, err = wilson_sf_host(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
+            G_list.append(granger_host(CSDreg, H, Sigma)[:, 0, 1])
+            convs.append(conv)
+            errs.append(err)
+        G_pairs = np.stack(G_list)
     G_pairs = np.asarray(G_pairs, dtype=np.float32)  # (P, F)
     result = G_pairs.reshape(len(send_idx), len(rec_idx), -1).transpose(2, 0, 1)[None]
 

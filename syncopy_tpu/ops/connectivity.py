@@ -52,7 +52,9 @@ def cross_spectra_trial(trial, samplerate, nfft, taper="hann", taper_opt=None,
     if freq_idx is not None:
         specs = jnp.take(specs, jnp.asarray(freq_idx), axis=1)
     # outer product over channels, mean over tapers: (F, C, C)
-    CS = jnp.einsum("kfi,kfj->fij", specs, jnp.conj(specs)) / specs.shape[0]
+    CS = jnp.einsum(
+        "kfi,kfj->fij", specs, jnp.conj(specs), precision=jax.lax.Precision.HIGHEST
+    ) / specs.shape[0]
     return CS[None].astype(jnp.complex64)
 
 
@@ -76,7 +78,9 @@ def spectral_dyadic_product(spec, send_idx=None, rec_idx=None):
         b = jnp.take(spec, jnp.asarray(rec_idx), axis=3)
     else:
         a = b = spec
-    CS = jnp.einsum("tkfi,tkfj->tfij", a, jnp.conj(b)) / spec.shape[1]
+    CS = jnp.einsum(
+        "tkfi,tkfj->tfij", a, jnp.conj(b), precision=jax.lax.Precision.HIGHEST
+    ) / spec.shape[1]
     return CS.astype(jnp.complex64)
 
 
@@ -180,12 +184,20 @@ def _wilson_sf_impl(CSD, nIter, rtol):
     Ident = jnp.eye(N, dtype=cdtype)
 
     # scale to unit mean auto-power: improves float32 conditioning; H is
-    # scale-invariant and Sigma is rescaled at the end
+    # scale-invariant and Sigma is rescaled at the end. Hermitize to remove
+    # float rounding asymmetry from the upstream accumulation.
+    CSD = (CSD + jnp.conj(jnp.swapaxes(CSD, 1, 2))) / 2
     scale = jnp.mean(jnp.abs(jnp.diagonal(CSD, axis1=1, axis2=2))).astype(rdtype)
     CSD = CSD / scale
 
     # attach negative frequencies
     CSDfull = jnp.concatenate([CSD, jnp.conj(CSD[nFreq - 2 : 0 : -1])], axis=0)
+
+    # bins with negligible power (e.g. the demeaned DC bin is pure float
+    # noise) cannot be factorized to relative tolerance and are excluded
+    # from the convergence metric
+    diag_power = jnp.mean(jnp.abs(jnp.diagonal(CSDfull, axis1=1, axis2=2)), axis=1)
+    valid_bin = (diag_power > 1e-9 * jnp.max(diag_power))[:, None, None]
 
     # initialization: cholesky of the zero-lag covariance (wilson_sf.py:131-148)
     gamma0 = jnp.fft.fft(CSDfull, axis=0)[0]
@@ -206,7 +218,8 @@ def _wilson_sf_impl(CSD, nIter, rtol):
         psi_new = psi @ (gplus + S)
         psi0_new = psi0 @ (gplus_0 + S)
         CSDfac = psi_new @ jnp.conj(jnp.swapaxes(psi_new, 1, 2))
-        new_err = jnp.max(jnp.abs(CSDfull - CSDfac) / jnp.abs(CSDfull))
+        rel = jnp.abs(CSDfull - CSDfac) / jnp.abs(CSDfull)
+        new_err = jnp.max(jnp.where(valid_bin, rel, 0.0))
         return psi_new, psi0_new, new_err.astype(rdtype), it + 1
 
     def cond(state):
@@ -247,6 +260,75 @@ def regularize_csd(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
     return CSDreg, eps, ini_cond
 
 
+def wilson_sf_host(CSD, nIter=100, rtol=1e-6):
+    """
+    Host-side float64 Wilson factorization — same algorithm as
+    :func:`wilson_sf`, in numpy. Used when the device cannot run float64
+    (JAX x64 disabled, e.g. TPU production configs): the factorization is
+    numerically infeasible in float32 for wide channel counts, while its
+    cost is negligible next to the trial-parallel CSD stage.
+    """
+    CSD = np.asarray(CSD, dtype=np.complex128)
+    CSD = (CSD + np.conj(np.swapaxes(CSD, 1, 2))) / 2
+    nFreq, N = CSD.shape[0], CSD.shape[1]
+    Ident = np.eye(N)
+
+    scale = np.mean(np.abs(np.einsum("fii->fi", CSD)))
+    CSD = CSD / scale
+    CSDfull = np.concatenate([CSD, np.conj(CSD[nFreq - 2 : 0 : -1])], axis=0)
+
+    diag_power = np.mean(np.abs(np.einsum("fii->fi", CSDfull)), axis=1)
+    valid_bin = (diag_power > 1e-9 * diag_power.max())[:, None, None]
+
+    gamma0 = np.fft.fft(CSDfull, axis=0)[0]
+    gamma0 = np.real((gamma0 + np.conj(gamma0.T)) / 2)
+    psi0 = np.linalg.cholesky(gamma0).T
+    psi = np.tile(psi0, (CSDfull.shape[0], 1, 1)).astype(np.complex128)
+    psi0 = psi0.astype(np.complex128)
+
+    U = np.linalg.cholesky(CSDfull)
+    err = np.inf
+    converged = False
+    n_lag = CSDfull.shape[0] // 2
+    for _ in range(nIter):
+        g = np.linalg.inv(psi) @ U
+        g = g @ np.conj(np.swapaxes(g, 1, 2)) + Ident
+        beta = np.real(np.fft.ifft(g, axis=0)).astype(np.complex128)
+        beta[0] *= 0.5
+        g0 = beta[0].copy()
+        beta[n_lag] *= 0.5
+        beta[n_lag + 1 :] = 0
+        gplus = np.fft.fft(beta, axis=0)
+        S = np.triu(g0)
+        S = S - np.conj(S.T)
+        psi = psi @ (gplus + S)
+        psi0 = psi0 @ (g0 + S)
+        CSDfac = psi @ np.conj(np.swapaxes(psi, 1, 2))
+        rel = np.abs(CSDfull - CSDfac) / np.abs(CSDfull)
+        err = float(np.max(np.where(valid_bin, rel, 0.0)))
+        if err < rtol:
+            converged = True
+            break
+
+    Sigma = (psi0 @ psi0.T) * scale
+    Hfunc = psi @ np.linalg.inv(psi0)
+    return Hfunc[:nFreq], Sigma, converged, err
+
+
+def regularize_csd_host(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
+    """Host-side counterpart of :func:`regularize_csd`."""
+    CSD = np.asarray(CSD, dtype=np.complex128)
+    I = np.eye(CSD.shape[1])
+    ini = float(np.linalg.cond(CSD).max())
+    if ini < cond_max:
+        return CSD, 0.0, ini
+    for eps in np.logspace(-10, np.log10(eps_max), nSteps):
+        CSDreg = CSD + eps * I
+        if float(np.linalg.cond(CSDreg).max()) < cond_max:
+            return CSDreg, float(eps), ini
+    return CSDreg, -1.0, ini
+
+
 def granger(CSD, Hfunc, Sigma):
     """
     Pairwise Granger-Geweke causality, Eq. 8 of Dhamala et al. 2008
@@ -262,6 +344,21 @@ def granger(CSD, Hfunc, Sigma):
     denom = SigmaII.T - SigmaJI**2 / SigmaII
     denom = Smat - denom * Hmat
     return jnp.log(Smat / denom)
+
+
+def granger_host(CSD, Hfunc, Sigma):
+    """Host-side float64 counterpart of :func:`granger` (same Eq. 8)."""
+    CSD, Hfunc, Sigma = (np.asarray(a) for a in (CSD, Hfunc, Sigma))
+    nChannels = CSD.shape[1]
+    auto_spectra = np.abs(np.einsum("fii->fi", CSD))
+    Smat = auto_spectra[:, None, :] * np.ones((nChannels, 1))
+    Hmat = np.abs(np.swapaxes(Hfunc, 1, 2)) ** 2
+    SigmaJI = np.abs(Sigma.T)
+    auto_cov = np.abs(np.diag(Sigma))
+    SigmaII = auto_cov[None, :] * np.ones((nChannels, 1))
+    denom = SigmaII.T - SigmaJI**2 / SigmaII
+    denom = Smat - denom * Hmat
+    return np.log(Smat / denom)
 
 
 def ppc_from_spectra(cs_stack):

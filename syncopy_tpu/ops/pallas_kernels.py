@@ -27,10 +27,13 @@ def _csd_kernel(ar_ref, ai_ref, or_ref, oi_ref):
     ai = ai_ref[0]  # (N, C) imag parts
     # cs_ij = sum_n a_ni * conj(a_nj):
     #   Re = Ar^T Ar + Ai^T Ai ; Im = Ai^T Ar - Ar^T Ai
-    rr = jnp.dot(ar.T, ar, preferred_element_type=jnp.float32)
-    ii = jnp.dot(ai.T, ai, preferred_element_type=jnp.float32)
-    ri = jnp.dot(ai.T, ar, preferred_element_type=jnp.float32)
-    ir = jnp.dot(ar.T, ai, preferred_element_type=jnp.float32)
+    # full float32 multiply precision: the CSD feeds Wilson's factorization
+    # downstream, which needs a numerically Hermitian-PSD input
+    prec = jax.lax.Precision.HIGHEST
+    rr = jnp.dot(ar.T, ar, preferred_element_type=jnp.float32, precision=prec)
+    ii = jnp.dot(ai.T, ai, preferred_element_type=jnp.float32, precision=prec)
+    ri = jnp.dot(ai.T, ar, preferred_element_type=jnp.float32, precision=prec)
+    ir = jnp.dot(ar.T, ai, preferred_element_type=jnp.float32, precision=prec)
     or_ref[0] = rr + ii
     oi_ref[0] = ri - ir
 
