@@ -208,7 +208,7 @@ def _wilson_sf_impl(CSD, nIter, rtol):
     U = jnp.linalg.cholesky(CSDfull)
 
     def step(state):
-        psi, psi0, err, it = state
+        psi, psi0, err, prev_err, it = state
         psi_inv = jnp.linalg.inv(psi)
         g = psi_inv @ U
         g = g @ jnp.conj(jnp.swapaxes(g, 1, 2))
@@ -220,14 +220,21 @@ def _wilson_sf_impl(CSD, nIter, rtol):
         CSDfac = psi_new @ jnp.conj(jnp.swapaxes(psi_new, 1, 2))
         rel = jnp.abs(CSDfull - CSDfac) / jnp.abs(CSDfull)
         new_err = jnp.max(jnp.where(valid_bin, rel, 0.0))
-        return psi_new, psi0_new, new_err.astype(rdtype), it + 1
+        return psi_new, psi0_new, new_err.astype(rdtype), err, it + 1
 
     def cond(state):
-        _, _, err, it = state
-        return jnp.logical_and(err >= rtol, it < nIter)
+        _, _, err, prev_err, it = state
+        # fixed-point exit: only once the fit is already tight (err < 1e-2)
+        # and progress has stopped — Wilson's error is non-monotonic early on
+        plateau = jnp.logical_and(err < 1e-2, prev_err - err < 1e-4 * err)
+        keep = jnp.logical_and(err >= rtol, it < nIter)
+        return jnp.logical_and(keep, jnp.logical_not(plateau))
 
-    init = (psi_init, psi0_init, jnp.asarray(jnp.inf, dtype=rdtype), jnp.asarray(0))
-    psi, psi0, err, _ = jax.lax.while_loop(cond, step, init)
+    init = (
+        psi_init, psi0_init, jnp.asarray(jnp.inf, dtype=rdtype),
+        jnp.asarray(jnp.inf, dtype=rdtype), jnp.asarray(0),
+    )
+    psi, psi0, err, _, _ = jax.lax.while_loop(cond, step, init)
 
     Sigma = (psi0 @ psi0.T) * scale
     Hfunc = psi @ jnp.linalg.inv(psi0)
@@ -290,6 +297,7 @@ def wilson_sf_host(CSD, nIter=100, rtol=1e-6):
     err = np.inf
     converged = False
     n_lag = CSDfull.shape[0] // 2
+    prev_err = np.inf
     for _ in range(nIter):
         g = np.linalg.inv(psi) @ U
         g = g @ np.conj(np.swapaxes(g, 1, 2)) + Ident
@@ -309,6 +317,12 @@ def wilson_sf_host(CSD, nIter=100, rtol=1e-6):
         if err < rtol:
             converged = True
             break
+        if err < 1e-2 and prev_err - err < 1e-4 * err:
+            # fixed point above tolerance (typically a low-power bin whose
+            # RELATIVE error floors while the absolute fit is tight) — no
+            # further progress possible
+            break
+        prev_err = err
 
     Sigma = (psi0 @ psi0.T) * scale
     Hfunc = psi @ np.linalg.inv(psi0)
