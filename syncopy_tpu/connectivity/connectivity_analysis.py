@@ -450,7 +450,10 @@ def _granger_pairwise(st_avg, send_idx, rec_idx, data, av_routine):
             G = granger_kernel(CSDreg, H, Sigma)
             return G[:, 0, 1], conv, err
 
-        G_pairs, convs, errs = run_on_device(jax.vmap(one_pair), sub_np)
+        G_pairs, convs, errs = run_on_device(
+            jax.vmap(one_pair), sub_np,
+            key=("granger_pairs", cfg["rtol"], cfg["nIter"], cfg["cond_max"]),
+        )
     else:
         # float64 unavailable on device: factorize the (2x2) pair CSDs on
         # the host

@@ -65,11 +65,17 @@ def encode_in_jit(x, axis=0):
     return x, False
 
 
-def run_on_device(fn, *host_arrays):
+#: compiled-wrapper cache for run_on_device: avoids re-tracing when the
+#: same (keyed) function is called repeatedly with the same shapes
+_RUN_CACHE = {}
+
+
+def run_on_device(fn, *host_arrays, key=None):
     """
     Execute `fn` (a pure jax function) on the default device with numpy
     inputs/outputs, encoding complex arrays as real pairs at both
-    boundaries.
+    boundaries. Pass a hashable `key` when `fn` is a per-call closure so
+    the compiled wrapper is reused across calls.
     """
     enc_inputs = []
     in_flags = []
@@ -77,24 +83,39 @@ def run_on_device(fn, *host_arrays):
         enc, flag = encode_host(arr, axis=0)
         enc_inputs.append(enc)
         in_flags.append(flag)
+    in_flags = tuple(in_flags)
+    shapes = tuple((a.shape, str(a.dtype)) for a in enc_inputs)
 
-    @jax.jit
-    def wrapper(*enc_args):
-        args = tuple(decode_in_jit(a, f, axis=0) for a, f in zip(enc_args, tuple(in_flags)))
-        res = fn(*args)
-        flat, _ = jax.tree_util.tree_flatten(res)
-        return [encode_in_jit(x, axis=0)[0] for x in flat]
+    cache_key = (key if key is not None else fn, in_flags, shapes)
+    try:
+        cached = _RUN_CACHE.get(cache_key)
+    except TypeError:  # unhashable key -> no caching
+        cached = None
+        cache_key = None
 
-    shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in enc_inputs]
+    if cached is None:
 
-    def logical(*enc_args):
-        args = tuple(decode_in_jit(a, f, axis=0) for a, f in zip(enc_args, tuple(in_flags)))
-        return fn(*args)
+        @jax.jit
+        def wrapper(*enc_args):
+            args = tuple(decode_in_jit(a, f, axis=0) for a, f in zip(enc_args, in_flags))
+            res = fn(*args)
+            flat, _ = jax.tree_util.tree_flatten(res)
+            return [encode_in_jit(x, axis=0)[0] for x in flat]
 
-    out_shape = jax.eval_shape(logical, *shapes)
-    flat_spec, treedef = jax.tree_util.tree_flatten(out_shape)
-    out_flags = [np.issubdtype(s.dtype, np.complexfloating) for s in flat_spec]
+        specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in enc_inputs]
 
+        def logical(*enc_args):
+            args = tuple(decode_in_jit(a, f, axis=0) for a, f in zip(enc_args, in_flags))
+            return fn(*args)
+
+        out_shape = jax.eval_shape(logical, *specs)
+        flat_spec, treedef = jax.tree_util.tree_flatten(out_shape)
+        out_flags = [np.issubdtype(s.dtype, np.complexfloating) for s in flat_spec]
+        cached = (wrapper, treedef, out_flags)
+        if cache_key is not None:
+            _RUN_CACHE[cache_key] = cached
+
+    wrapper, treedef, out_flags = cached
     results = wrapper(*enc_inputs)
     host = [
         decode_host(np.asarray(jax.device_get(r)), f, axis=0)

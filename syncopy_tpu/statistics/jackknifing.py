@@ -41,7 +41,7 @@ def trial_avg_replicates(trl_ensemble):
         avg = jnp.mean(stack, axis=0)
         return (n_trials * avg[None] - stack) / (n_trials - 1)
 
-    loo = run_on_device(_loo, np.stack(arrs))
+    loo = run_on_device(_loo, np.stack(arrs), key=("jack_loo", n_trials))
 
     replicates = trl_ensemble.__class__(dimord=trl_ensemble.dimord)
     sdim = trl_ensemble._stackingDim
@@ -93,7 +93,7 @@ def bias_var(direct_estimate, replicates):
         var_arr = (n_trials - 1) * jnp.sum(jnp.abs(rep_stack - jack_avg[None]) ** 2, axis=0)
         return bias_arr, var_arr
 
-    bias_host, var_host = run_on_device(_bias_var, rep_host, direct_host)
+    bias_host, var_host = run_on_device(_bias_var, rep_host, direct_host, key=("jack_bias_var", n_trials))
 
     bias = direct_estimate.__class__(dimord=direct_estimate.dimord)
     bias.data = bias_host

@@ -140,7 +140,7 @@ def _trial_statistics(in_data, operation="mean"):
     else:
         raise SPYValueError(legal="mean/var/std/itc", varname="operation", actual=operation)
 
-    result = run_on_device(op, np.stack(arrs))
+    result = run_on_device(op, np.stack(arrs), key=("trial_stat", operation, in_data.dimord.index("taper") if operation == "itc" else None))
     if operation != "itc" and np.isrealobj(np.asarray(in_data.data)[:0]):
         result = result.astype(np.asarray(arrs[0]).dtype, copy=False)
 
