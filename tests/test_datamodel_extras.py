@@ -96,3 +96,15 @@ class TestArithmeticObjects:
         other.selectdata(trials=[0], inplace=True)
         with pytest.raises(spy.SPYValueError):
             adata_equal + other
+
+
+class TestCrossSpectralStats:
+    def test_mean_over_channel_i(self):
+        data = spy.synthdata.ar2_network(nTrials=8, samplerate=200, nSamples=400, seed=2)
+        csd = spy.connectivityanalysis(data, method="csd", keeptrials=True)
+        res = spy.mean(csd, dim="channel_i")
+        assert res.data.shape[2] == 1
+        assert list(res.channel_i) == ["mean"]
+        assert np.allclose(
+            np.asarray(res.data), np.asarray(csd.data).mean(axis=2, keepdims=True), atol=1e-6
+        )
