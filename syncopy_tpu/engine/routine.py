@@ -408,6 +408,11 @@ class ComputationalRoutine:
                 # fused reduction: per-trial outputs are never materialized
                 out_bytes = 0
             per_trial = (in_bytes + out_bytes) * 2
+            # CRs with large internal workspaces (e.g. CWT FFT banks)
+            # declare them so chunk sizing respects HBM
+            mem_hook = getattr(self, "device_bytes_per_trial", None)
+            if mem_hook is not None:
+                per_trial = max(per_trial, int(mem_hook(shp, out_shp, out_dt)))
             chunk = max(n_shard, int(self._chunk_budget // max(per_trial, 1)))
             chunk = min(chunk, MAX_CHUNK_TRIALS)
             # round to a power of two and keep it FIXED regardless of the

@@ -243,6 +243,23 @@ class MultiTaperFFTConvol(_TimeFreqRoutine):
             foi=foi,
         )
 
+    def device_bytes_per_trial(self, shp, out_shp, out_dt):
+        """STFT workspace: (nTime, nTaper, nperseg, nChannels) frames +
+        their rfft."""
+        T, C = shp[0], shp[1]
+        nperseg = self.cfg["nperseg"]
+        toi = self.cfg["toi"]
+        if isinstance(toi, np.ndarray):
+            n_time = toi.size
+        elif isinstance(toi, str):
+            n_time = T
+        else:
+            n_time = int(np.ceil(T / self._hop()))
+        n_taper = 1
+        if (self.cfg.get("taper_opt") or {}).get("Kmax"):
+            n_taper = self.cfg["taper_opt"]["Kmax"]
+        return n_time * n_taper * nperseg * C * 4 * 4
+
     def process_single_trial(self, trial, *aux, **cfg):
         nperseg = cfg["nperseg"]
         taper_opt = dict(cfg["taper_opt"] or {})
@@ -284,6 +301,18 @@ class WaveletTransform(_TimeFreqRoutine):
             toi=toi, output=output, polyremoval=polyremoval, foi=foi, taper=None,
         )
 
+    def device_bytes_per_trial(self, shp, out_shp, out_dt):
+        """CWT workspace: (nScales, fft_len, nChannels) complex buffers
+        (input spectrum broadcast, product, inverse transform)."""
+        from ..ops.wavelet import _next_fast_len
+
+        T, C = shp[0], shp[1]
+        scales = np.asarray(self.cfg["scales"])
+        dt = 1.0 / self.cfg["samplerate"]
+        max_support = int(np.ceil(10 * scales.max() / dt)) + 1
+        L = _next_fast_len(T + max_support)
+        return len(scales) * L * C * 8 * 4
+
     def process_single_trial(self, trial, *aux, **cfg):
         x = detrend(trial.astype(jnp.float32), cfg["polyremoval"], axis=0)
         spec = cwt(x, cfg["wavelet"], cfg["scales"], 1.0 / cfg["samplerate"])
@@ -311,6 +340,19 @@ class SuperletTransform(_TimeFreqRoutine):
             order_min=int(order_min), c_1=int(c_1), adaptive=bool(adaptive),
             toi=toi, output=output, polyremoval=polyremoval, foi=foi, taper=None,
         )
+
+    def device_bytes_per_trial(self, shp, out_shp, out_dt):
+        """Superlet workspace: per-order CWT banks with cycle-scaled
+        supports (the largest order dominates)."""
+        from ..ops.wavelet import _next_fast_len
+
+        T, C = shp[0], shp[1]
+        scales = np.asarray(self.cfg["scales"])
+        dt = 1.0 / self.cfg["samplerate"]
+        max_cycles = self.cfg["c_1"] * self.cfg["order_max"]
+        max_support = int(np.ceil(10 * scales.max() * max_cycles / dt)) + 1
+        L = _next_fast_len(T + max_support)
+        return len(scales) * L * C * 8 * 4
 
     def process_single_trial(self, trial, *aux, **cfg):
         x = detrend(trial.astype(jnp.float32), cfg["polyremoval"], axis=0)
