@@ -20,6 +20,7 @@
 # once (static shapes for XLA) and streams through the device(s) in chunks.
 
 import os
+import time as _time
 
 import numpy as np
 
@@ -151,7 +152,6 @@ class ComputationalRoutine:
         self.out_per_trial_shapes = None
         self.selector = None
         self._chunk_budget = DEFAULT_CHUNK_BUDGET
-        self._jit_cache = {}
         self.log_dict = None
 
     # ------------------------------------------------------------------ #
@@ -162,7 +162,6 @@ class ComputationalRoutine:
         raise NotImplementedError
 
     def process_batch(self, batch, *aux, **cfg):
-        in_axes = (0,) + (0,) * len(aux)
         return jax.vmap(lambda x, *a: self.process_single_trial(x, *a, **cfg))(batch, *aux)
 
     def per_trial_inputs(self, data, trial_positions):
@@ -449,8 +448,6 @@ class ComputationalRoutine:
             chunk_idx = -1
 
             pending = None  # (device_result, chunk_positions) for pipelining
-            import time as _time
-
             for c0 in range(0, len(positions), chunk):
                 _t0 = _time.perf_counter()
                 chunk_pos = positions[c0 : c0 + chunk]
@@ -509,8 +506,6 @@ class ComputationalRoutine:
                 _device_cache_put(cache_key, built_chunks, nbytes)
 
         if not self.keeptrials:
-            import time as _time
-
             _t0 = _time.perf_counter()
             if getattr(self, "_post_fn", None) is not None:
                 acc = self._apply_post_fn(acc, acc_complex)
