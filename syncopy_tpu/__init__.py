@@ -107,6 +107,21 @@ from .io.mne_conv import (  # noqa: F401
 )
 from .plotting import singlepanelplot, multipanelplot  # noqa: F401
 from . import synthdata  # noqa: F401
+from .datatype.methods.copy import copy  # noqa: F401
+from .datatype.util import TrialIndexer, TimeIndexer  # noqa: F401
+from .ops.wavelet import (  # noqa: F401
+    Morlet,
+    Paul,
+    DOG,
+    Ricker,
+    MorletSL,
+    cwt,
+)
+from .io import mne_conv  # noqa: F401
+
+#: aliases kept for reference-API parity
+Marr = Ricker
+Mexican_hat = Ricker
 
 __all__ = [
     "AnalogData",
@@ -151,4 +166,17 @@ __all__ = [
     "best_match",
     "setup_logging",
     "set_loglevel",
+    "copy",
+    "TrialIndexer",
+    "TimeIndexer",
+    "Morlet",
+    "Paul",
+    "DOG",
+    "Ricker",
+    "MorletSL",
+    "Marr",
+    "Mexican_hat",
+    "cwt",
+    "profile",
+    "Timer",
 ]
