@@ -224,3 +224,32 @@ class TestDiscreteData:
         sel = spy.selectdata(sd, unit=[0])
         arr = np.asarray(sel.data)
         assert np.all(arr[:, 2] == 0)
+
+
+class TestRedefinetrialEdges:
+    def test_begsample_endsample(self, adata_equal):
+        out = spy.redefinetrial(adata_equal, begsample=100, endsample=500)
+        lens = out.trialdefinition[:, 1] - out.trialdefinition[:, 0]
+        assert np.all(lens == 400)
+        assert np.all(out.trialdefinition[:, 2] == 100)
+        assert np.allclose(
+            np.asarray(out.trials[0]), np.asarray(adata_equal.trials[0])[100:500]
+        )
+
+    def test_minlength(self, adata_ragged):
+        out = spy.redefinetrial(adata_ragged, minlength=0.95)
+        lens = out.trialdefinition[:, 1] - out.trialdefinition[:, 0]
+        assert np.all(lens >= 950)
+
+    def test_exclusive_args(self, adata_equal):
+        with pytest.raises(spy.SPYValueError):
+            spy.redefinetrial(adata_equal, toilim=[0, 0.5], begsample=10)
+
+
+class TestConcatSpectral:
+    def test_taper_concat(self, adata_equal):
+        a = spy.freqanalysis(adata_equal, tapsmofrq=4, keeptapers=True, output="fourier")
+        b = spy.freqanalysis(adata_equal, tapsmofrq=4, keeptapers=True, output="fourier")
+        out = spy.concat(a, b, dim="taper")
+        assert out.data.shape[1] == 2 * a.data.shape[1]
+        assert len(out.taper) == 2 * len(a.taper)
