@@ -97,6 +97,24 @@ def clear_device_cache():
     _DEVICE_CACHE_SIZE[0] = 0
 
 
+def _flatten_for_readback(x):
+    """Inside jit: relayout to (N, 128) — device->host readback of arrays
+    with narrow trailing dims is several times slower on TPU tiled
+    layouts (measured 12-16 MB/s at 64 lanes vs ~28 MB/s at 128)."""
+    flat = x.reshape(-1)
+    pad = (-flat.shape[0]) % 128
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return flat.reshape(-1, 128)
+
+
+def _fetch_readback(dev2d, enc_shape):
+    """Host side: undo :func:`_flatten_for_readback`."""
+    flat = np.asarray(jax.device_get(dev2d)).reshape(-1)
+    n = int(np.prod(enc_shape))
+    return flat[:n].reshape(enc_shape)
+
+
 def _cfg_fingerprint(obj):
     """Hashable deep fingerprint of a CR cfg dict (arrays by content)."""
     if isinstance(obj, dict):
@@ -490,10 +508,11 @@ class ComputationalRoutine:
                     self.aux_info = {k: np.asarray(jax.device_get(v)) for k, v in aux_info.items()}
 
                 if self.keeptrials:
+                    enc_shape = (chunk,) + ((2,) if acc_complex else ()) + out_shp
                     # drain previous chunk while this one computes
                     if pending is not None:
                         self._write_chunk(host_out, *pending, offsets, sdim, acc_complex)
-                    pending = (res, chunk_pos, n_valid)
+                    pending = (res, enc_shape, chunk_pos, n_valid)
                 else:
                     # fn already masked + summed over the batch on device
                     acc = res if acc is None else acc + res
@@ -540,8 +559,8 @@ class ComputationalRoutine:
         n = jnp.asarray(float(self.numTrials), dtype=jnp.float32)
         return _GLOBAL_JIT_CACHE[key](acc, n)
 
-    def _write_chunk(self, host_out, res, chunk_pos, n_valid, offsets, sdim, out_complex):
-        arr = decode_host(np.asarray(jax.device_get(res)), out_complex, axis=1)[:n_valid]
+    def _write_chunk(self, host_out, res, enc_shape, chunk_pos, n_valid, offsets, sdim, out_complex):
+        arr = decode_host(_fetch_readback(res, enc_shape), out_complex, axis=1)[:n_valid]
         for i, pos in enumerate(chunk_pos):
             row0, row1 = offsets[pos], offsets[pos + 1]
             sl = [slice(None)] * (arr.ndim - 1)
@@ -584,6 +603,7 @@ class ComputationalRoutine:
                     res, _ = encode_in_jit(res, axis=0)
                 else:
                     res, _ = encode_in_jit(res, axis=1)
+                    res = _flatten_for_readback(res)
                 return res if aux_info is None else (res, aux_info)
 
             _GLOBAL_JIT_CACHE[key] = jax.jit(batched)
