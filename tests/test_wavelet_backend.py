@@ -132,3 +132,41 @@ class TestSynthData:
         A = mk_RandomAdjMat(nChannels=5, seed=0)
         assert A.shape == (5, 5)
         assert np.all(np.diag(A) == 0)
+
+
+class TestWaveletAnalysis:
+    def test_transform_and_power(self):
+        import syncopy_tpu as spy
+
+        fs = 200.0
+        t = np.arange(800) / fs
+        sig = np.cos(2 * np.pi * 15 * t).astype("f4")
+        wa = spy.WaveletAnalysis(sig, dt=1 / fs)
+        assert wa.wavelet_transform.shape[0] == len(wa.scales)
+        # power peaks at 15 Hz
+        gws = wa.global_wavelet_spectrum
+        peak = wa.fourier_frequencies[np.argmax(gws)]
+        assert abs(peak - 15) < 3
+
+    def test_reconstruction(self):
+        import syncopy_tpu as spy
+
+        rng = np.random.default_rng(0)
+        fs = 100.0
+        t = np.arange(512) / fs
+        sig = (np.cos(2 * np.pi * 5 * t) + 0.5 * np.cos(2 * np.pi * 12 * t)).astype("f4")
+        wa = spy.WaveletAnalysis(sig, dt=1 / fs, dj=0.05)
+        rec = wa.reconstruction()[:, 0]
+        interior = slice(64, -64)
+        corr = np.corrcoef(rec[interior], sig[interior])[0, 1]
+        assert corr > 0.95
+
+    def test_coi_mask(self):
+        import syncopy_tpu as spy
+
+        sig = np.random.default_rng(1).normal(size=400).astype("f4")
+        wa = spy.WaveletAnalysis(sig, dt=0.01, mask_coi=True)
+        power = wa.wavelet_power
+        # edges of the largest scales are masked
+        assert np.isnan(power[-1, 0, 0])
+        assert not np.isnan(power[0, 200, 0])
