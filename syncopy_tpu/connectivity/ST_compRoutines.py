@@ -171,6 +171,13 @@ class CrossCovariance(_CrossRoutine):
     def __init__(self, samplerate=1.0, polyremoval=0, norm=False):
         super().__init__(samplerate=samplerate, polyremoval=polyremoval, norm=norm, foi=None)
 
+    def device_bytes_per_trial(self, shp, out_shp, out_dt):
+        """FFT-correlation workspace: (fft_len, C, C) complex spectrum
+        product + its inverse transform."""
+        T, C = shp[0], shp[1]
+        L = 1 << int(2 * T - 1).bit_length()
+        return L * C * C * 16
+
     def process_single_trial(self, trial, **cfg):
         return cross_covariance_trial(trial, polyremoval=cfg["polyremoval"], norm=cfg["norm"])
 
