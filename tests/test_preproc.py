@@ -211,3 +211,26 @@ class TestChained:
         with spy.use_mesh(testmesh):
             par = spy.preprocessing(data, filter_class="but", filter_type="lp", freq=50)
         assert np.allclose(np.asarray(seq.data), np.asarray(par.data), atol=1e-5)
+
+
+class TestPreprocSelection:
+    def test_select_through_filter(self):
+        data = two_band_signal(nTrials=4)
+        filt = spy.preprocessing(
+            data, filter_class="but", filter_type="lp", freq=50,
+            select={"trials": [0, 2], "channel": [1]},
+        )
+        assert len(filt.trials) == 2
+        assert filt.data.shape[1] == 1
+        ref = spy.preprocessing(data, filter_class="but", filter_type="lp", freq=50)
+        assert np.allclose(
+            np.asarray(filt.trials[0]), np.asarray(ref.trials[0])[:, [1]], atol=1e-5
+        )
+        assert data.selection is None
+
+    def test_resample_with_selection(self):
+        data = two_band_signal(nTrials=4)
+        out = spy.resampledata(
+            data, method="downsample", resamplefs=500, select={"trials": [1]}
+        )
+        assert len(out.trials) == 1
