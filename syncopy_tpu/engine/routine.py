@@ -289,10 +289,13 @@ class ComputationalRoutine:
         gather instead of per-trial copies (the host-side analog of the
         reference's per-worker HDF5 reads).
         """
+        import h5py
+
         sel = self.selector
         if "sample" in data.dimord:
             return None
-        if not isinstance(data.data, np.ndarray):
+        is_hdf5 = isinstance(data.data, h5py.Dataset)
+        if not (isinstance(data.data, np.ndarray) or is_hdf5):
             return None
         if data._stackingDim != 0:
             return None
@@ -318,6 +321,7 @@ class ComputationalRoutine:
             "starts": np.asarray(starts),
             "lens": np.asarray(lens),
             "others": others_raw,
+            "hdf5": is_hdf5,
         }
 
     def _gather_batch(self, data, chunk_pos):
@@ -326,8 +330,18 @@ class ComputationalRoutine:
         if plan is not None:
             pos = np.asarray(chunk_pos)
             L = int(plan["lens"][pos[0]])
-            idx = plan["starts"][pos][:, None] + np.arange(L)
-            batch = data.data[idx]
+            starts = plan["starts"][pos]
+            if plan["hdf5"]:
+                # HDF5: one contiguous slice per chunk when possible
+                # (per-row fancy reads are slow through h5py)
+                if starts.size > 1 and np.all(np.diff(starts) == L):
+                    arr = data.data[int(starts[0]) : int(starts[-1]) + L]
+                    batch = np.asarray(arr).reshape((len(pos), L) + data.data.shape[1:])
+                else:
+                    batch = np.stack([data.data[int(s) : int(s) + L] for s in starts], axis=0)
+            else:
+                idx = starts[:, None] + np.arange(L)
+                batch = data.data[idx]
             # original data axis k lands on batch axis k+1 (trial axis first);
             # plan["others"] starts at original axis 1 -> batch axis 2
             for ax, ind in enumerate(plan["others"], start=2):
