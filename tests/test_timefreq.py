@@ -217,3 +217,29 @@ class TestSummaryStats:
         res = spy.mean(adata_equal, dim="trials", select={"trials": [0, 1]})
         expected = np.stack([np.asarray(adata_equal.trials[k]) for k in (0, 1)]).mean(axis=0)
         assert np.allclose(np.asarray(res.data), expected, atol=1e-6)
+
+
+class TestTimeFreqITC:
+    def test_itc_over_tf_spectra(self):
+        data = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=8, nSamples=500, nChannels=1)
+        tf = spy.freqanalysis(
+            data, method="mtmconvol", t_ftimwin=0.2, toi=0.5, taper="hann", output="fourier"
+        )
+        res = spy.itc(tf)
+        arr = np.asarray(res.data)
+        f30 = np.argmin(np.abs(res.freq - 30))
+        # phase-locked harmonic: ITC ~ 1 at 30 Hz in interior windows
+        assert arr[2, 0, f30, 0] > 0.99
+        assert arr.shape[0] == np.asarray(tf.trials[0]).shape[0]
+
+
+class TestRaggedConnectivity:
+    def test_coherence_with_ragged_trials(self):
+        rng = np.random.default_rng(5)
+        trls = [rng.normal(size=(n, 2)).astype("f4") for n in (400, 500, 450, 500, 400, 450)]
+        ad = spy.AnalogData(data=trls, samplerate=1000)
+        coh = spy.connectivityanalysis(ad, method="coh", tapsmofrq=5)
+        arr = np.asarray(coh.data)
+        # padding to maxperlen unifies the frequency grid
+        assert arr.shape[1] == 251
+        assert np.allclose(arr[0, :, 0, 0], 1.0, atol=1e-4)
