@@ -170,3 +170,23 @@ class TestMNEGated:
             pass
         with pytest.raises(spy.SPYError):
             spy.raw_adata_to_mne_raw(adata_equal)
+
+
+class TestContainerMultiObject:
+    def test_dict_load(self, tmp_path, adata_equal):
+        container = str(tmp_path / "sess")
+        spy.save(adata_equal, container=container, tag="raw")
+        spec = spy.freqanalysis(adata_equal, method="mtmfft", taper="hann")
+        spy.save(spec, container=container, tag="spec")
+        loaded = spy.load(container + ".spy")
+        assert isinstance(loaded, dict) and len(loaded) == 2
+        classes = {type(v).__name__ for v in loaded.values()}
+        assert classes == {"AnalogData", "SpectralData"}
+
+    def test_dataclass_filter(self, tmp_path, adata_equal):
+        container = str(tmp_path / "sess2")
+        spy.save(adata_equal, container=container, tag="raw")
+        spec = spy.freqanalysis(adata_equal, method="mtmfft", taper="hann")
+        spy.save(spec, container=container, tag="spec")
+        only_spec = spy.load(container + ".spy", dataclass="SpectralData")
+        assert isinstance(only_spec, spy.SpectralData)
