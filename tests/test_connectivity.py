@@ -213,3 +213,16 @@ class TestParallelConnectivity:
         with spy.use_mesh(testmesh):
             par = spy.connectivityanalysis(ar2_data, method="coh", tapsmofrq=3)
         assert np.allclose(np.asarray(seq.data), np.asarray(par.data), atol=1e-5)
+
+
+class TestSpectralInputSelections:
+    def test_inplace_selection_on_spectral(self, ar2_data):
+        spec = spy.freqanalysis(ar2_data, tapsmofrq=3, output="fourier", keeptapers=True)
+        spec.selectdata(trials=list(range(0, 60)), inplace=True)
+        coh = spy.connectivityanalysis(spec, method="coh")
+        spec.selection = None
+        full = spy.connectivityanalysis(spec, method="coh")
+        arr_sel, arr_full = np.asarray(coh.data), np.asarray(full.data)
+        # subset average differs from full average but both are valid coherences
+        assert arr_sel.shape == arr_full.shape
+        assert np.all(arr_sel <= 1.0 + 1e-5)

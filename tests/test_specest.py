@@ -168,3 +168,17 @@ class TestFreqanalysisFrontend:
             spy.freqanalysis(adata, method="mtmfft", output="nope")
         with pytest.raises(spy.SPYValueError):
             spy.freqanalysis(adata, method="mtmfft", foi=[10], foilim=[10, 20])
+
+
+class TestOutParameter:
+    def test_preallocated_out(self):
+        adata = spy.synthdata.white_noise(nTrials=3, nSamples=400, nChannels=2, seed=10)
+        out = spy.SpectralData(dimord=spy.SpectralData._defaultDimord)
+        res = spy.freqanalysis(adata, method="mtmfft", taper="hann", out=out)
+        assert res is out
+        assert out.data.shape[0] == 3
+
+    def test_out_wrong_class_rejected(self):
+        adata = spy.synthdata.white_noise(nTrials=2, nSamples=200, nChannels=2, seed=11)
+        with pytest.raises(spy.SPYValueError):
+            spy.freqanalysis(adata, method="mtmfft", taper="hann", out=adata)
