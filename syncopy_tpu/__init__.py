@@ -117,6 +117,7 @@ from .ops.wavelet import (  # noqa: F401
     MorletSL,
     cwt,
     WaveletAnalysis,
+    WaveletTransform,
 )
 from .io import mne_conv  # noqa: F401
 

@@ -36,6 +36,7 @@ __all__ = [
     "superlet",
     "superlet_weights",
     "WaveletAnalysis",
+    "WaveletTransform",
 ]
 
 
@@ -377,3 +378,7 @@ def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False, dt=1.0
         term = wj.astype(jnp.complex64) * logspec
         acc = term if acc is None else acc + term
     return jnp.exp(acc).astype(jnp.complex64)
+
+
+# Reference exports both names for the same class (wavelets/transform.py:11,614).
+WaveletTransform = WaveletAnalysis
