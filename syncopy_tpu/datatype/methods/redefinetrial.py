@@ -16,7 +16,7 @@ __all__ = ["redefinetrial"]
 
 @unwrap_cfg
 def redefinetrial(
-    data,
+    data_obj,
     trials=None,
     minlength=None,
     offset=None,
@@ -34,6 +34,7 @@ def redefinetrial(
     ``[begin, end]`` restricts to a time window, `begsample`/`endsample`
     trim relative to trial starts, `trl` replaces the trialdefinition.
     """
+    data = data_obj
     if data.data is None:
         raise SPYError("Cannot redefine trials of empty object")
 
