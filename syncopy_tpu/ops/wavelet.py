@@ -61,6 +61,19 @@ class Morlet:
         coeff = np.sqrt(self.w0 * self.w0 + 2)
         return period * (coeff + self.w0) / (4.0 * np.pi)
 
+    def frequency(self, w, s=1.0):
+        """Fourier transform of the Morlet wavelet at angular frequency
+        ``w`` (Torrence & Compo Table 1; reference wavelets.py:104-126).
+        Analytic: zero for non-positive frequencies."""
+        x = np.asarray(w, dtype=float) * s
+        support = (np.asarray(w) > 0).astype(float)
+        return np.pi ** (-0.25) * support * np.exp(-0.5 * (x - self.w0) ** 2)
+
+    def coi(self, s):
+        """e-folding time of the wavelet-power autocorrelation
+        (reference wavelets.py:128-138)."""
+        return 2**0.5 * s
+
 
 class Paul:
     """Complex Paul wavelet (reference wavelets/wavelets.py:140-237)."""
@@ -79,6 +92,18 @@ class Paul:
 
     def scale_from_period(self, period):
         return period * (2 * self.m + 1) / (4 * np.pi)
+
+    def frequency(self, w, s=1.0):
+        """Fourier transform of the Paul wavelet (Torrence & Compo
+        Table 1; reference wavelets.py:204-226): analytic, one-sided."""
+        m = self.m
+        x = np.asarray(w, dtype=float) * s
+        support = 0.5 * (np.sign(x) + 1)
+        const = 2**m / (m * math.factorial(2 * m - 1)) ** 0.5
+        return const * support * x**m * np.exp(-x)
+
+    def coi(self, s):
+        return s / 2**0.5
 
 
 class DOG:
@@ -99,6 +124,17 @@ class DOG:
 
     def scale_from_period(self, period):
         return period * np.sqrt(self.m + 0.5) / (2 * np.pi)
+
+    def frequency(self, w, s=1.0):
+        """Fourier transform of the m-th derivative-of-Gaussian wavelet
+        (Torrence & Compo Table 1; reference wavelets.py:326-350)."""
+        m = self.m
+        x = np.asarray(w, dtype=float) * s
+        const = -(1j**m) / _gamma(m + 0.5) ** 0.5
+        return const * x**m * np.exp(-0.5 * x**2)
+
+    def coi(self, s):
+        return 2**0.5 * s
 
 
 class Ricker(DOG):

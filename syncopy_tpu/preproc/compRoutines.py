@@ -167,12 +167,12 @@ class Resample(_ResamplingRoutine):
     valid_kws = ["resamplefs", "method", "lpfreq", "order"]
 
     def __init__(self, samplerate=1.0, new_samplerate=1.0, lpfreq=None, order=None):
-        import fractions
+        from .resampledata import _get_updn
 
-        frac = fractions.Fraction.from_float(new_samplerate / samplerate).limit_denominator()
+        up, down = _get_updn(samplerate, new_samplerate)
         super().__init__(
             samplerate=samplerate, new_samplerate=new_samplerate,
-            up=frac.numerator, down=frac.denominator, lpfreq=lpfreq, order=order,
+            up=up, down=down, lpfreq=lpfreq, order=order,
         )
 
     def process_single_trial(self, trial, **cfg):

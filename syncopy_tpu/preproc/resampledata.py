@@ -4,6 +4,8 @@
 #
 # Parity target: reference syncopy/preproc/resampledata.py:31-230.
 
+import fractions
+
 import numpy as np
 
 from ..datatype.continuous_data import AnalogData
@@ -90,3 +92,11 @@ def _run(cr, data, keeptrials, parallel, log_dict):
     cr.initialize(data, out._stackingDim, keeptrials=keeptrials)
     cr.compute(data, out, parallel=parallel, log_dict=log_dict)
     return out
+
+
+def _get_updn(orig_fs, new_fs):
+    """Rational up/down factors for polyphase resampling (reference
+    resampling.py:123-139). Near-irrational rate ratios can yield large
+    factors — same caveat as the reference."""
+    frac = fractions.Fraction.from_float(new_fs / orig_fs).limit_denominator()
+    return frac.numerator, frac.denominator
