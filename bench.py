@@ -75,9 +75,9 @@ def main():
     # full warm-up run: compiles every chunk shape (persistent-cached)
     spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
 
-    # best of 2 to damp transfer-bandwidth jitter
+    # best of 3 to damp tunnel-bandwidth jitter
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         coh = spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
         t1 = time.perf_counter()
