@@ -48,6 +48,14 @@ PROFILE = bool(int(os.environ.get("SPY_TPU_PROFILE", "0")))
 #: is <=16-bit ADC data, so float16 ingest loses nothing for typical inputs.
 TRANSFER_DTYPE = os.environ.get("SPY_TPU_TRANSFER_DTYPE", "")
 
+
+def _readback_dtype():
+    """Optional reduced-precision device->host readback for per-trial REAL
+    outputs (power spectra, TFRs): ``SPY_TPU_READBACK_DTYPE=float16`` halves
+    the bytes on the readback-bound paths (~1e-3 relative quantization).
+    Complex/fourier outputs are never downcast (phase would degrade)."""
+    return os.environ.get("SPY_TPU_READBACK_DTYPE", "")
+
 #: host-RAM threshold above which outputs are written to disk-backed HDF5
 DEFAULT_HOST_BUDGET = int(os.environ.get("SPY_TPU_HOST_BYTES", 16 * 1024**3))
 
@@ -589,10 +597,12 @@ class ComputationalRoutine:
             mesh if mesh is None else tuple(mesh.shape.items()),
             in_complex,
             self.keeptrials,
+            _readback_dtype(),
         )
         if key not in _GLOBAL_JIT_CACHE:
             cfg = self.cfg
             keeptrials = self.keeptrials
+            rb16 = _readback_dtype() == "float16"
 
             has_sum = hasattr(self, "process_batch_sum")
 
@@ -616,8 +626,10 @@ class ComputationalRoutine:
                     res = jnp.sum(jnp.where(mask, res, jnp.zeros((), res.dtype)), axis=0)
                     res, _ = encode_in_jit(res, axis=0)
                 else:
-                    res, _ = encode_in_jit(res, axis=1)
+                    res, was_complex = encode_in_jit(res, axis=1)
                     res = _flatten_for_readback(res)
+                    if rb16 and not was_complex and res.dtype == jnp.float32:
+                        res = res.astype(jnp.float16)
                 return res if aux_info is None else (res, aux_info)
 
             _GLOBAL_JIT_CACHE[key] = jax.jit(batched)

@@ -140,3 +140,22 @@ class TestProvenance:
         spy.save(out, container=str(tmp_path / "crout"))
         loaded = spy.load(str(tmp_path / "crout.spy"))
         assert loaded == out
+
+
+class TestReadbackDtype:
+    def test_f16_readback_knob(self, monkeypatch):
+        """SPY_TPU_READBACK_DTYPE=float16 halves readback bytes for real
+        per-trial outputs within ~1e-3 quantization; complex outputs are
+        never downcast."""
+        import syncopy_tpu as spy
+
+        ad = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=3, nSamples=400, nChannels=2)
+        ref = np.asarray(spy.freqanalysis(ad, method="mtmfft", taper="hann", output="pow").data)
+        monkeypatch.setenv("SPY_TPU_READBACK_DTYPE", "float16")
+        got = np.asarray(spy.freqanalysis(ad, method="mtmfft", taper="hann", output="pow").data)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-3
+
+        four = np.asarray(spy.freqanalysis(ad, method="mtmfft", taper="hann", output="fourier").data)
+        monkeypatch.delenv("SPY_TPU_READBACK_DTYPE")
+        four_ref = np.asarray(spy.freqanalysis(ad, method="mtmfft", taper="hann", output="fourier").data)
+        assert np.abs(four - four_ref).max() == 0
