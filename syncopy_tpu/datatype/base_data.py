@@ -386,9 +386,18 @@ class BaseData(ABC):
     @property
     def sampleinfo(self):
         """nTrials x 2 [start, stop] sample indices"""
-        if self._trialdefinition is None:
+        trl = self._trialdefinition
+        if trl is None:
             return None
-        return self._trialdefinition[:, :2].astype(np.int64)
+        # hot path (engine shape planning touches this per trial): cache the
+        # int view keyed by array identity — trialdefinition is only ever
+        # REASSIGNED (never mutated in place) throughout the package
+        cached = getattr(self, "_sampleinfo_cache", None)
+        if cached is not None and cached[0] is trl:
+            return cached[1]
+        si = trl[:, :2].astype(np.int64)
+        self._sampleinfo_cache = (trl, si)
+        return si
 
     @sampleinfo.setter
     def sampleinfo(self, si):
