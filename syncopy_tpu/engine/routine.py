@@ -218,9 +218,22 @@ class ComputationalRoutine:
             raise SPYValueError(legal="at least one selected trial", varname="trials", actual="0")
 
         # per-(selected-)trial input shapes after applying the selection
-        shapes = []
-        for k in range(n_sel):
-            shapes.append(self._selected_trial_shape(data, k))
+        sel = self.selector
+        if "sample" not in data.dimord and getattr(sel, "time", None) is None:
+            # fast path: without a time selection, trials differ only in the
+            # stacking-dim extent — vectorize over sampleinfo instead of
+            # indexing per trial (hot for 1000s of trials)
+            si = data.sampleinfo
+            lens = (si[:, 1] - si[:, 0]).astype(np.int64)
+            taxis = data.dimord.index("time")
+            base = list(self._selected_trial_shape(data, 0))
+            shapes = []
+            for tid in sel.trial_ids:
+                s = base.copy()
+                s[taxis] = int(lens[tid])
+                shapes.append(tuple(s))
+        else:
+            shapes = [self._selected_trial_shape(data, k) for k in range(n_sel)]
         in_dtype = np.dtype(data.data.dtype)
 
         # bucket positions by identical shape (static shapes for XLA)
