@@ -38,7 +38,7 @@ __all__ = ["ComputationalRoutine"]
 DEFAULT_CHUNK_BUDGET = int(os.environ.get("SPY_TPU_CHUNK_BYTES", 2 * 1024**3))
 
 #: hard cap on trials per compute chunk (bounds compile time / HBM spikes)
-MAX_CHUNK_TRIALS = int(os.environ.get("SPY_TPU_MAX_CHUNK", 256))
+MAX_CHUNK_TRIALS = int(os.environ.get("SPY_TPU_MAX_CHUNK", 1024))
 
 #: print per-phase engine timings (host gather / transfer / dispatch / fetch)
 PROFILE = bool(int(os.environ.get("SPY_TPU_PROFILE", "0")))
