@@ -202,9 +202,15 @@ def connectivityanalysis(
 
     st_compRoutine.initialize(data, st_out._stackingDim, keeptrials=st_keeptrials)
     if fused_post is not None:
+        pack = unpack = None
+        if method == "coh" and output in _COH_MIRROR_SIGN:
+            # post-selection channel count from the ST stage's planned output
+            n_chan = next(iter(st_compRoutine.out_per_trial_shapes.values()))[0][-1]
+            pack, unpack = _make_triu_pack(int(n_chan), _COH_MIRROR_SIGN[output])
         st_compRoutine.compute(
             data, st_out, parallel=parallel, log_dict=log_dict,
             post_device_fn=fused_post[0], post_key=fused_post[1],
+            post_pack=pack, post_unpack=unpack,
         )
         out = st_out
         if send_idx is not None and method == "coh":
@@ -288,6 +294,32 @@ def _corr_post(ccov_avg):
     from ..ops.connectivity import normalize_ccov
 
     return normalize_ccov(ccov_avg)
+
+
+#: mirror sign of the Hermitian coherency matrix per real output flavor
+_COH_MIRROR_SIGN = {"abs": 1.0, "pow": 1.0, "real": 1.0, "imag": -1.0, "angle": -1.0}
+
+
+def _make_triu_pack(n_chan, sign):
+    """(pack, unpack) closures: device-side upper-triangle gather of the
+    channel x channel block + host-side (anti)symmetric reconstruction —
+    halves the result readback bytes losslessly (the matrix is Hermitian)."""
+    iu0, iu1 = np.triu_indices(n_chan)
+    flat_idx = (iu0 * n_chan + iu1).astype(np.int32)
+
+    def pack(y):
+        import jax.numpy as jnp
+
+        flat = y.reshape(y.shape[:-2] + (n_chan * n_chan,))
+        return jnp.take(flat, jnp.asarray(flat_idx), axis=-1)
+
+    def unpack(packed):
+        full = np.empty(packed.shape[:-1] + (n_chan, n_chan), dtype=packed.dtype)
+        full[..., iu1, iu0] = sign * packed
+        full[..., iu0, iu1] = packed  # second: diagonal from the direct copy
+        return full
+
+    return pack, unpack
 
 
 def _digest_channelcmb(data, channelcmb):

@@ -402,17 +402,24 @@ class ComputationalRoutine:
 
     def compute(self, data, out, parallel=None, parallel_store=None, method=None,
                 mem_thresh=None, log_dict=None, parallel_debug=False,
-                post_device_fn=None, post_key=None):
+                post_device_fn=None, post_key=None,
+                post_pack=None, post_unpack=None):
         """
         Run the routine. `post_device_fn` (with a hashable `post_key` for
         executable caching) is an optional device-side transform fused onto
         the trial-averaged result when ``keeptrials=False`` — it replaces a
         separate averaged-input pass (no intermediate host round-trip).
+        `post_pack` (device, jit-safe) / `post_unpack` (host) optionally
+        compress the fused result for the device->host readback (e.g.
+        triangular packing of symmetric connectivity matrices — halves the
+        readback bytes losslessly); `post_pack` must return a REAL array.
         """
         if self.buckets is None:
             raise SPYError("call initialize() before compute()")
         self.log_dict = log_dict
         self._post_fn = post_device_fn
+        self._post_pack = post_pack
+        self._post_unpack = post_unpack
         self._post_key = post_key
         if post_device_fn is not None and not self.keeptrials:
             spec = jax.ShapeDtypeStruct(self.outputShape, self.dtype)
@@ -563,7 +570,10 @@ class ComputationalRoutine:
             _t0 = _time.perf_counter()
             if getattr(self, "_post_fn", None) is not None:
                 acc = self._apply_post_fn(acc, acc_complex)
-                avg = decode_host(np.asarray(jax.device_get(acc)), out_complex, axis=0)
+                if getattr(self, "_post_unpack", None) is not None:
+                    avg = self._post_unpack(np.asarray(jax.device_get(acc)))
+                else:
+                    avg = decode_host(np.asarray(jax.device_get(acc)), out_complex, axis=0)
             else:
                 avg = decode_host(np.asarray(jax.device_get(acc)), acc_complex, axis=0) / self.numTrials
             if PROFILE:
@@ -578,9 +588,10 @@ class ComputationalRoutine:
     def _apply_post_fn(self, acc, kernel_complex):
         """Fuse the post transform (incl. the /numTrials normalization)
         into one cached device program."""
+        pack = getattr(self, "_post_pack", None)
         key = (
             self.__class__.__qualname__, "post", self._post_key,
-            tuple(acc.shape), str(acc.dtype), kernel_complex,
+            tuple(acc.shape), str(acc.dtype), kernel_complex, pack is not None,
         )
         if key not in _GLOBAL_JIT_CACHE:
             post = self._post_fn
@@ -588,6 +599,8 @@ class ComputationalRoutine:
             def finalize(a, n):
                 x = decode_in_jit(a, kernel_complex, axis=0) / n
                 y = post(x)
+                if pack is not None:
+                    return pack(y)
                 return encode_in_jit(y, axis=0)[0]
 
             _GLOBAL_JIT_CACHE[key] = jax.jit(finalize)
