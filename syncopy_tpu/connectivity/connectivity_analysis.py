@@ -199,14 +199,19 @@ def connectivityanalysis(
             fused_post = (functools.partial(_coh_post, output=output), ("coh", output))
         elif method == "corr":
             fused_post = (_corr_post, ("corr",))
+        elif method == "csd":
+            # no normalization, but fusing an identity post enables the
+            # Hermitian triangular packing of the averaged-CSD readback
+            fused_post = (lambda x: x, ("csd",))
 
     st_compRoutine.initialize(data, st_out._stackingDim, keeptrials=st_keeptrials)
     if fused_post is not None:
         pack = unpack = None
+        n_chan = int(next(iter(st_compRoutine.out_per_trial_shapes.values()))[0][-1])
         if method == "coh" and output in _COH_MIRROR_SIGN:
-            # post-selection channel count from the ST stage's planned output
-            n_chan = next(iter(st_compRoutine.out_per_trial_shapes.values()))[0][-1]
-            pack, unpack = _make_triu_pack(int(n_chan), _COH_MIRROR_SIGN[output])
+            pack, unpack = _make_triu_pack(n_chan, _COH_MIRROR_SIGN[output])
+        elif method == "csd":
+            pack, unpack = _make_herm_pack(n_chan)
         st_compRoutine.compute(
             data, st_out, parallel=parallel, log_dict=log_dict,
             post_device_fn=fused_post[0], post_key=fused_post[1],
@@ -317,6 +322,30 @@ def _make_triu_pack(n_chan, sign):
         full = np.empty(packed.shape[:-1] + (n_chan, n_chan), dtype=packed.dtype)
         full[..., iu1, iu0] = sign * packed
         full[..., iu0, iu1] = packed  # second: diagonal from the direct copy
+        return full
+
+    return pack, unpack
+
+
+def _make_herm_pack(n_chan):
+    """(pack, unpack) for a COMPLEX Hermitian matrix result (averaged CSD):
+    upper triangle as a leading (re, im) pair on device, conjugate-mirrored
+    reconstruction on host. Halves the complex readback bytes losslessly."""
+    import jax.numpy as jnp
+
+    iu0, iu1 = np.triu_indices(n_chan)
+    flat_idx = (iu0 * n_chan + iu1).astype(np.int32)
+
+    def pack(y):
+        flat = y.reshape(y.shape[:-2] + (n_chan * n_chan,))
+        tri = jnp.take(flat, jnp.asarray(flat_idx), axis=-1)
+        return jnp.stack([jnp.real(tri), jnp.imag(tri)], axis=0)
+
+    def unpack(packed):
+        tri = packed[0] + 1j * packed[1]
+        full = np.empty(tri.shape[:-1] + (n_chan, n_chan), dtype=np.complex64)
+        full[..., iu1, iu0] = np.conj(tri)
+        full[..., iu0, iu1] = tri
         return full
 
     return pack, unpack
