@@ -226,3 +226,24 @@ class TestSpectralInputSelections:
         # subset average differs from full average but both are valid coherences
         assert arr_sel.shape == arr_full.shape
         assert np.all(arr_sel <= 1.0 + 1e-5)
+
+
+class TestPackedReadback:
+    """The fused coh/csd paths pack the Hermitian result's upper triangle
+    for the device->host readback; reconstruction must be exact."""
+
+    def test_coh_outputs_mirror(self):
+        d = spy.synthdata.ar2_network(nTrials=20, samplerate=200, nSamples=400, seed=7)
+        for output, sign in [("abs", 1), ("pow", 1), ("real", 1), ("imag", -1), ("angle", -1)]:
+            coh = spy.connectivityanalysis(d, method="coh", tapsmofrq=3, output=output)
+            arr = np.asarray(coh.data)[0]
+            assert np.allclose(arr, sign * np.swapaxes(arr, -1, -2), atol=1e-5), output
+
+    def test_csd_hermitian_and_mean(self):
+        d = spy.synthdata.ar2_network(nTrials=20, samplerate=200, nSamples=400, seed=8)
+        csd = spy.connectivityanalysis(d, method="csd", tapsmofrq=2)
+        arr = np.asarray(csd.data)[0]
+        assert np.allclose(arr, np.conj(np.swapaxes(arr, -1, -2)), atol=1e-6)
+        per_trial = spy.connectivityanalysis(d, method="csd", keeptrials=True, tapsmofrq=2)
+        mean = np.asarray(per_trial.data).mean(axis=0)
+        assert np.abs(arr - mean).max() / np.abs(mean).max() < 1e-5
