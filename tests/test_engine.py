@@ -159,3 +159,37 @@ class TestReadbackDtype:
         monkeypatch.delenv("SPY_TPU_READBACK_DTYPE")
         four_ref = np.asarray(spy.freqanalysis(ad, method="mtmfft", taper="hann", output="fourier").data)
         assert np.abs(four - four_ref).max() == 0
+
+
+class TestPostPackHook:
+    def test_pack_unpack_roundtrip(self):
+        """compute(post_pack=, post_unpack=) compresses the fused readback;
+        the host reconstruction must be what the post fn produced."""
+        import jax.numpy as jnp
+
+        import syncopy_tpu as spy
+        from syncopy_tpu.datatype.continuous_data import SpectralData
+        from syncopy_tpu.engine.routine import ComputationalRoutine
+
+        class MeanPow(ComputationalRoutine):
+            def process_single_trial(self, trial, **cfg):
+                return jnp.abs(jnp.fft.rfft(trial, axis=0))[None, None] ** 2
+
+            def process_metadata(self, data, out):
+                self.propagate_properties(data, out)
+                out.trialdefinition = np.array([[0, 1, 0]])
+
+        ad = spy.synthdata.white_noise(nTrials=6, nSamples=200, nChannels=2, seed=9)
+
+        def run(pack, unpack):
+            cr = MeanPow()
+            out = SpectralData(dimord=SpectralData._defaultDimord)
+            cr.initialize(ad, out._stackingDim, keeptrials=False)
+            cr.compute(ad, out, post_device_fn=lambda x: x * 2.0, post_key=("x2",),
+                       post_pack=pack, post_unpack=unpack)
+            return np.asarray(out.data)
+
+        plain = run(None, None)
+        packed = run(lambda y: y.reshape(-1)[::-1],
+                     lambda p: p[::-1].reshape(plain.shape))
+        assert np.allclose(plain, packed, atol=1e-6)
