@@ -532,7 +532,18 @@ class ComputationalRoutine:
                     if built_chunks is not None:
                         built_chunks.append(dev_batch)
                     _t2 = _time.perf_counter()
-                aux = tuple(a[c0 : c0 + chunk] for a in aux_all)
+                aux = []
+                for a in aux_all:
+                    a = np.asarray(a[c0 : c0 + chunk])
+                    if a.shape[0] < chunk:
+                        # pad by repeating the last row: padded trials are
+                        # masked out downstream, but gather-index aux inputs
+                        # must stay within bounds (zeros would also be valid,
+                        # repetition is safe for any aux semantic)
+                        reps = np.repeat(a[-1:], chunk - a.shape[0], axis=0)
+                        a = np.concatenate([a, reps], axis=0)
+                    aux.append(a)
+                aux = tuple(aux)
                 if PROFILE:
                     get_logger().warning(
                         "chunk %d: gather %.3fs put %.3fs%s", c0 // chunk, _t1 - _t0,

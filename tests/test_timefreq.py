@@ -243,3 +243,17 @@ class TestRaggedConnectivity:
         # padding to maxperlen unifies the frequency grid
         assert arr.shape[1] == 251
         assert np.allclose(arr[0, :, 0, 0], 1.0, atol=1e-4)
+
+
+class TestNonPow2TrialCount:
+    def test_wavelet_aux_padding(self):
+        """Chunk zero-padding must pad per-trial aux inputs too (regression:
+        61 trials -> 64-trial chunk crashed vmap on the toi gather indices)."""
+        d = spy.synthdata.white_noise(nTrials=61, nSamples=300, nChannels=2, seed=12)
+        toi = np.linspace(0.05, 0.25, 9)
+        tfr = spy.freqanalysis(d, method="wavelet", foi=[15, 30, 60], toi=toi)
+        assert tfr.data.shape == (61 * 9, 1, 3, 2)
+        # last trial's values identical to a small-batch run of the same trial
+        solo = spy.freqanalysis(d, method="wavelet", foi=[15, 30, 60], toi=toi,
+                                select={"trials": [60]})
+        assert np.allclose(np.asarray(tfr.trials[60]), np.asarray(solo.data), atol=1e-5)
