@@ -199,9 +199,10 @@ def connectivityanalysis(
             fused_post = (functools.partial(_coh_post, output=output), ("coh", output))
         elif method == "corr":
             fused_post = (_corr_post, ("corr",))
-        elif method == "csd":
+        elif method in ("csd", "granger"):
             # no normalization, but fusing an identity post enables the
             # Hermitian triangular packing of the averaged-CSD readback
+            # (for granger the packed CSD then feeds the factorization)
             fused_post = (lambda x: x, ("csd",))
 
     st_compRoutine.initialize(data, st_out._stackingDim, keeptrials=st_keeptrials)
@@ -210,22 +211,24 @@ def connectivityanalysis(
         n_chan = int(next(iter(st_compRoutine.out_per_trial_shapes.values()))[0][-1])
         if method == "coh" and output in _COH_MIRROR_SIGN:
             pack, unpack = _make_triu_pack(n_chan, _COH_MIRROR_SIGN[output])
-        elif method == "csd":
+        elif method in ("csd", "granger"):
             pack, unpack = _make_herm_pack(n_chan)
         st_compRoutine.compute(
             data, st_out, parallel=parallel, log_dict=log_dict,
             post_device_fn=fused_post[0], post_key=fused_post[1],
             post_pack=pack, post_unpack=unpack,
         )
-        out = st_out
-        if send_idx is not None and method == "coh":
-            out = out.selectdata(channel_i=[str(c) for c in np.asarray(data.channel)[send_idx]])
-            out = out.selectdata(channel_j=[str(c) for c in np.asarray(data.channel)[rec_idx]])
-        out.cfg.update(data.cfg)
-        new_cfg.update({"output": output})
-        out.cfg.update({"connectivityanalysis": new_cfg})
-        return out
-    st_compRoutine.compute(data, st_out, parallel=parallel, log_dict=log_dict)
+        if method != "granger":
+            out = st_out
+            if send_idx is not None and method == "coh":
+                out = out.selectdata(channel_i=[str(c) for c in np.asarray(data.channel)[send_idx]])
+                out = out.selectdata(channel_j=[str(c) for c in np.asarray(data.channel)[rec_idx]])
+            out.cfg.update(data.cfg)
+            new_cfg.update({"output": output})
+            out.cfg.update({"connectivityanalysis": new_cfg})
+            return out
+    else:
+        st_compRoutine.compute(data, st_out, parallel=parallel, log_dict=log_dict)
 
     replicates_avg = None
     if jackknife:
