@@ -214,3 +214,39 @@ class TestResamplingParity:
 
         for orig, new in [(1000.0, 400.0), (1017.25, 250.0), (44100.0, 16000.0)]:
             assert _get_updn(orig, new) == ref_resampling._get_updn(orig, new)
+
+
+class TestStftParity:
+    def test_mtmconvol_vs_reference_stft(self, ref_mtmfft):
+        """Our gather-framed STFT equals the reference stft pipeline
+        (boundary='zeros' + _norm_taper window + internal _norm_spec) at the
+        equidistant window centers."""
+        ref_stft = _load("refspy.specest.stft", "specest/stft.py", pkg="refspy.specest")
+        norm = sys.modules["refspy.specest._norm_spec"]
+        from scipy.signal import windows as sp_windows
+
+        rng = np.random.default_rng(21)
+        fs, nperseg, nstep = 250.0, 64, 16
+        dat = rng.normal(size=(400, 3))
+        win = norm._norm_taper("hann", np.atleast_2d(sp_windows.hann(nperseg)), nperseg)[0]
+        ref, freqs, _ = ref_stft.stft(
+            dat.copy(), fs=fs, window=win, nperseg=nperseg,
+            noverlap=nperseg - nstep, boundary="zeros", padded=True,
+        )
+        # ref: (nFreq, nChannel, nSeg) -> (nSeg, nFreq, nChannel)
+        ref = np.transpose(ref, (2, 0, 1))
+
+        from syncopy_tpu.ops.stft import mtmconvol
+        from syncopy_tpu.ops.windows import make_tapers
+
+        # boundary='zeros' centers segment k on original sample k*nstep
+        centers = np.arange(ref.shape[0]) * nstep
+        tapers = make_tapers("hann", None, nperseg, nperseg, fs)
+        got = np.asarray(
+            mtmconvol(dat.astype("f4"), tapers, centers, nperseg, output="fourier")
+        )
+        # got: (nTime, nTaper, nFreq, nChannel)
+        got = got[:, 0]
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 5e-6
