@@ -250,3 +250,71 @@ class TestStftParity:
         assert got.shape == ref.shape
         scale = np.abs(ref).max()
         assert np.abs(got - ref).max() / scale < 5e-6
+
+
+@pytest.fixture(scope="module")
+def ref_csd(ref_mtmfft):
+    """Load reference connectivity/csd.py with stubbed absolute imports."""
+    fake_spy = sys.modules.setdefault("syncopy", types.ModuleType("syncopy"))
+    specest = types.ModuleType("syncopy.specest")
+    specest.mtmfft = ref_mtmfft
+    sys.modules["syncopy.specest"] = specest
+    sys.modules["syncopy.specest.mtmfft"] = ref_mtmfft
+    shared = types.ModuleType("syncopy.shared")
+    errors = types.ModuleType("syncopy.shared.errors")
+    errors.SPYValueError = ValueError
+    const_def = types.ModuleType("syncopy.shared.const_def")
+    const_def.spectralConversions = {
+        "pow": lambda x: (x * np.conj(x)).real.astype("f4"),
+        "abs": lambda x: np.abs(x).astype("f4"),
+        "fourier": lambda x: x.astype("c8"),
+        "complex": lambda x: x.astype("c8"),
+        "angle": lambda x: np.angle(x).astype("f4"),
+        "imag": lambda x: np.imag(x).astype("f4"),
+        "real": lambda x: np.real(x).astype("f4"),
+    }
+    shared.errors, shared.const_def = errors, const_def
+    sys.modules["syncopy.shared"] = shared
+    sys.modules["syncopy.shared.errors"] = errors
+    sys.modules["syncopy.shared.const_def"] = const_def
+    fake_spy.specest, fake_spy.shared = specest, shared
+    try:
+        yield _load("refspy.connectivity.csd", "connectivity/csd.py", pkg="refspy.connectivity")
+    finally:
+        for m in ("syncopy", "syncopy.specest", "syncopy.specest.mtmfft",
+                  "syncopy.shared", "syncopy.shared.errors", "syncopy.shared.const_def"):
+            sys.modules.pop(m, None)
+
+
+class TestCsdParity:
+    @pytest.mark.parametrize("taper,topt", [("hann", None), ("dpss", {"Kmax": 3, "NW": 2})])
+    def test_single_trial_csd_match(self, ref_csd, taper, topt):
+        rng = np.random.default_rng(31)
+        fs, T, C = 500.0, 400, 4
+        dat = rng.normal(size=(T, C))
+        ref, freqs = ref_csd.csd(dat.copy(), samplerate=fs, nSamples=T, taper=taper, taper_opt=topt)
+
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import cross_spectra_trial
+
+        got = np.asarray(cross_spectra_trial(
+            jnp.asarray(dat, dtype=jnp.float32), fs, T, taper=taper, taper_opt=topt,
+            polyremoval=None,
+        ))[0]
+        scale = np.abs(ref).max()
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() / scale < 5e-6
+
+    def test_normalize_csd_match(self, ref_csd):
+        rng = np.random.default_rng(32)
+        X = rng.normal(size=(40, 1, 51, 3)) + 1j * rng.normal(size=(40, 1, 51, 3))
+        csd_av = np.einsum("ntfi,ntfj->tfij", X, np.conj(X)).astype("c8") / 40
+        ref = ref_csd.normalize_csd(csd_av.copy(), output="abs")
+
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import normalize_csd
+
+        got = np.asarray(normalize_csd(jnp.asarray(csd_av), output="abs"))
+        assert np.abs(got - ref).max() < 1e-5
