@@ -19,8 +19,8 @@ def _calc_time(samples, trl_start, onset, samplerate):
 
 
 def Rice_rule(nSamples):
-    """nBins = ceil(2 * n^(1/3)) (reference psth.py:225-230)."""
-    return int(np.ceil(2 * nSamples ** (1 / 3)))
+    """nBins = int(2 * n^(1/3)), truncating (reference psth.py:225-230)."""
+    return int(2 * nSamples ** (1 / 3))
 
 
 def sqrt_rule(nSamples):
@@ -79,9 +79,9 @@ def psth(trl_dat, trl_start, onset, trl_end, chan_unit_combs=None, tbins=None,
         widths = np.diff(tbins)
         counts = counts / widths[:, None]
     elif output == "proportion":
-        widths = np.diff(tbins)
-        total = counts.sum(axis=0, keepdims=True)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            counts = counts / (total * widths[:, None])
-        counts[np.isnan(counts)] = 0.0
+        # reference code semantics (psth.py:163-168): each (chan, unit)
+        # column SUMS to 1 over the time bins (not area = 1)
+        total = counts.sum(axis=0, keepdims=True).copy()
+        total[total == 0] = 1.0
+        counts = counts / total
     return counts

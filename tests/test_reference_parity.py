@@ -318,3 +318,42 @@ class TestCsdParity:
 
         got = np.asarray(normalize_csd(jnp.asarray(csd_av), output="abs"))
         assert np.abs(got - ref).max() < 1e-5
+
+
+class TestPsthParity:
+    @pytest.mark.parametrize("output", ["rate", "spikecount", "proportion"])
+    def test_single_trial_psth_match(self, output):
+        ref_psth = _load("refspy.statistics.psth", "statistics/psth.py", pkg="refspy.statistics")
+        rng = np.random.default_rng(41)
+        nEvents = 300
+        trl = np.column_stack([
+            np.sort(rng.integers(1000, 3000, nEvents)),
+            rng.integers(0, 3, nEvents),
+            rng.integers(0, 2, nEvents),
+        ])
+        combs = ref_psth.get_chan_unit_combs([trl])
+        # trigger at sample 1500 of [1000, 3000) -> trigger-relative window
+        # [-0.5 s, 1.5 s]; bins inside it so the reference masks nothing
+        tbins = np.linspace(-0.5, 1.5, 21)
+        ref, _bins = ref_psth.psth(trl.copy(), trl_start=1000, onset=-500, trl_end=3000,
+                                   chan_unit_combs=combs, tbins=tbins, output=output,
+                                   samplerate=1000)
+        ref = np.asarray(ref, dtype=float)
+        assert not np.isnan(ref).any()
+
+        from syncopy_tpu.statistics.psth import get_chan_unit_combs, psth
+
+        combs2 = get_chan_unit_combs([trl])
+        assert np.array_equal(np.asarray(combs), np.asarray(combs2))
+        got = psth(trl, trl_start=1000, onset=-500, trl_end=3000,
+                   chan_unit_combs=combs2, tbins=tbins, output=output,
+                   samplerate=1000)
+        assert np.allclose(np.asarray(got, dtype=float), ref, atol=1e-10), output
+
+    def test_bin_rules_match(self):
+        ref_psth = _load("refspy.statistics.psth", "statistics/psth.py", pkg="refspy.statistics")
+        from syncopy_tpu.statistics.psth import Rice_rule, sqrt_rule
+
+        for n in (10, 100, 1234):
+            assert Rice_rule(n) == ref_psth.Rice_rule(n)
+            assert sqrt_rule(n) == ref_psth.sqrt_rule(n)

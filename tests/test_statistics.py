@@ -119,11 +119,8 @@ class TestSpikePSTH:
             nTrials=4, nSpikes=4000, nChannels=1, nUnits=2, samplerate=1000, seed=5
         )
         res = spy.spike_psth(spd, binsize=0.2, output="proportion", latency="minperiod")
-        arr = np.asarray(res.data)
-        binsize = 0.2
-        # area under each PSTH ~ 1 per (chan, unit) with spikes
-        n_bins = int(np.asarray(res.trials[0]).shape[0])
         first = np.asarray(res.trials[0])
-        sums = np.nansum(first, axis=0) * binsize
+        # reference semantics: proportions SUM to 1 per (chan, unit) column
+        sums = np.nansum(first, axis=0)
         nonzero = sums[sums > 0]
         assert np.allclose(nonzero, 1.0, atol=0.05)
