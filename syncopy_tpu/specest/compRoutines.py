@@ -173,6 +173,8 @@ class _TimeFreqRoutine(ComputationalRoutine):
             new_rate = samplerate / hop
             offsets = sel_trl[:, 2] / hop
 
+        if self.cfg.get("time_average"):
+            offsets = np.zeros_like(offsets)  # matches spy.mean(dim='time')
         if self.keeptrials:
             trl[:, 2] = offsets[:n_trials]
         else:
@@ -230,17 +232,18 @@ class MultiTaperFFTConvol(_TimeFreqRoutine):
         "t_ftimwin",
         "output",
         "polyremoval",
+        "time_average",
     ]
 
     def __init__(self, samplerate=1.0, nperseg=256, toi="all", taper="hann",
                  taper_opt=None, output="pow", keeptapers=False, polyremoval=0,
-                 freq_idx=None, foi=None):
+                 freq_idx=None, foi=None, time_average=False):
         super().__init__(
             samplerate=samplerate, nperseg=int(nperseg), toi=toi, taper=taper,
             taper_opt=taper_opt, output=output, keeptapers=keeptapers,
             polyremoval=polyremoval,
             freq_idx=None if freq_idx is None else np.asarray(freq_idx, dtype=int),
-            foi=foi,
+            foi=foi, time_average=bool(time_average),
         )
 
     def device_bytes_per_trial(self, shp, out_shp, out_dt):
@@ -273,11 +276,17 @@ class MultiTaperFFTConvol(_TimeFreqRoutine):
             centers = aux[0]
         else:
             centers = self._centers_for(trial.shape[0])
-        return mtmconvol(
+        spec = mtmconvol(
             trial, tapers, centers, nperseg,
             polyremoval=cfg["polyremoval"], output=cfg["output"],
             keeptapers=cfg["keeptapers"], freq_idx=cfg["freq_idx"],
         )
+        if cfg.get("time_average"):
+            # Welch: segment-average ON DEVICE — the full spectrogram never
+            # crosses the device boundary (reference welch = mtmconvol +
+            # spy.mean(dim='time'), freqanalysis.py:1054-1056)
+            spec = jnp.mean(spec, axis=0, keepdims=True)
+        return spec
 
 
 class WaveletTransform(_TimeFreqRoutine):

@@ -201,6 +201,7 @@ def freqanalysis(
             polyremoval=polyremoval,
             freq_idx=freq_idx,
             foi=out_foi,
+            time_average=(method == "welch"),
         )
         log_dict = {"method": method, "output": output, "taper": taper,
                     "t_ftimwin": t_ftimwin, "toi": toi if not isinstance(toi, np.ndarray) else "array"}
@@ -309,11 +310,6 @@ def freqanalysis(
         data, out._stackingDim, chan_per_worker=chan_per_worker, keeptrials=keeptrials
     )
     specestMethod.compute(data, out, parallel=parallel, log_dict=log_dict)
-
-    if method == "welch":
-        from ..statistics.summary_stats import mean as spy_mean
-
-        out = spy_mean(out, dim="time")
 
     if fooof_flavour is not None:
         from .fooof_route import run_fooof

@@ -182,3 +182,24 @@ class TestOutParameter:
         adata = spy.synthdata.white_noise(nTrials=2, nSamples=200, nChannels=2, seed=11)
         with pytest.raises(spy.SPYValueError):
             spy.freqanalysis(adata, method="mtmfft", taper="hann", out=adata)
+
+
+class TestWelchFused:
+    def test_welch_equals_mtmconvol_plus_mean(self):
+        """The on-device segment average matches the compositional
+        definition welch = mtmconvol + mean(dim='time') exactly."""
+        d = spy.synthdata.white_noise(nTrials=4, nSamples=800, nChannels=3, seed=13)
+        w = spy.freqanalysis(d, method="welch", t_ftimwin=0.2, toi=0.5)
+        conv = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2, toi=0.5,
+                                taper="hann", output="pow", keeptapers=False)
+        ref = spy.mean(conv, dim="time")
+        assert w.data.shape == ref.data.shape
+        assert w.samplerate == ref.samplerate
+        assert np.allclose(np.asarray(w.data), np.asarray(ref.data), atol=1e-6)
+
+    def test_welch_keeptrials_false(self):
+        d = spy.synthdata.white_noise(nTrials=4, nSamples=800, nChannels=2, seed=14)
+        w = spy.freqanalysis(d, method="welch", t_ftimwin=0.2, toi=0.5, keeptrials=False)
+        wt = spy.freqanalysis(d, method="welch", t_ftimwin=0.2, toi=0.5)
+        assert w.data.shape[0] == 1
+        assert np.allclose(np.asarray(w.data)[0], np.asarray(wt.data).mean(axis=0), atol=1e-6)
