@@ -61,3 +61,23 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert out.shape[-1] == out.shape[-2]
         g.dryrun_multichip(8)
+
+
+class TestShardedNewPaths:
+    def test_welch_on_mesh(self, testmesh):
+        import syncopy_tpu as spy
+
+        d = spy.synthdata.white_noise(nTrials=8, nSamples=512, nChannels=4, seed=21)
+        seq = spy.freqanalysis(d, method="welch", t_ftimwin=0.25, toi=0.5)
+        with spy.use_mesh(testmesh):
+            par = spy.freqanalysis(d, method="welch", t_ftimwin=0.25, toi=0.5)
+        assert np.allclose(np.asarray(seq.data), np.asarray(par.data), atol=1e-6)
+
+    def test_packed_csd_on_mesh(self, testmesh):
+        import syncopy_tpu as spy
+
+        d = spy.synthdata.ar2_network(nTrials=16, samplerate=200, nSamples=400, seed=22)
+        seq = spy.connectivityanalysis(d, method="csd", tapsmofrq=2)
+        with spy.use_mesh(testmesh):
+            par = spy.connectivityanalysis(d, method="csd", tapsmofrq=2)
+        assert np.allclose(np.asarray(seq.data), np.asarray(par.data), atol=1e-6)
