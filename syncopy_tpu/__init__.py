@@ -84,6 +84,7 @@ from .parallel.mesh import (  # noqa: F401
     use_mesh,
     active_mesh,
     cluster_cleanup,
+    esi_cluster_setup,
     init_distributed,
 )
 from .specest import freqanalysis  # noqa: F401

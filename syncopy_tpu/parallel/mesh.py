@@ -34,6 +34,7 @@ __all__ = [
     "shard_batch",
     "init_distributed",
     "cluster_cleanup",
+    "esi_cluster_setup",
 ]
 
 TRIAL_AXIS = "trial"
@@ -108,6 +109,30 @@ def active_mesh():
 def cluster_cleanup(client=None):
     """Clear the active mesh (API parity with reference cluster_cleanup)."""
     set_active_mesh(None)
+
+
+def esi_cluster_setup(n_workers=None, **kwargs):
+    """
+    API-familiar stand-in for the reference's ACME SLURM helper
+    (reference __init__.py:72-79): on TPU there is no external scheduler —
+    "starting a cluster" means installing a device mesh. Builds a
+    ``("trial", "channel")`` mesh over `n_workers` devices (all devices if
+    None), installs it as the active mesh for subsequent frontend calls,
+    and returns it. Tear down with :func:`cluster_cleanup`.
+    Extra ACME kwargs (partition, mem_per_worker, ...) are accepted and
+    ignored for drop-in compatibility.
+    """
+    devices = jax.devices()
+    if n_workers is not None:
+        if n_workers > len(devices):
+            raise SPYParallelError(
+                "{} workers requested but only {} devices available".format(
+                    n_workers, len(devices))
+            )
+        devices = devices[:n_workers]
+    mesh = make_mesh(devices=devices)
+    set_active_mesh(mesh)
+    return mesh
 
 
 def resolve_parallel(parallel=None):

@@ -198,3 +198,26 @@ class TestLogging:
         spec = spy.freqanalysis(adata_equal, method="mtmfft", taper="hann")
         assert "MultiTaperFFT" in spec.log
         assert "created" in spec.log
+
+
+class TestClusterSetup:
+    def test_esi_cluster_setup_installs_mesh(self):
+        import syncopy_tpu as spy
+
+        mesh = spy.esi_cluster_setup(n_workers=2, partition="8GBXS", mem_per_worker="2GB")
+        try:
+            assert spy.active_mesh() is mesh
+            assert mesh.shape["trial"] * mesh.shape.get("channel", 1) == 2
+            # analyses pick up the installed mesh via parallel=None
+            d = spy.synthdata.white_noise(nTrials=4, nSamples=256, nChannels=2, seed=30)
+            spec = spy.freqanalysis(d, method="mtmfft", taper="hann")
+            assert spec.data.shape[0] == 4
+        finally:
+            spy.cluster_cleanup()
+        assert spy.active_mesh() is None
+
+    def test_too_many_workers(self):
+        import syncopy_tpu as spy
+
+        with pytest.raises(spy.SPYParallelError):
+            spy.esi_cluster_setup(n_workers=10**6)
