@@ -124,3 +124,31 @@ class TestSpikePSTH:
         sums = np.nansum(first, axis=0)
         nonzero = sums[sums > 0]
         assert np.allclose(nonzero, 1.0, atol=0.05)
+
+
+class TestJackknifeOracle:
+    def test_bias_var_vs_manual_loo(self):
+        """Jackknife bias/variance of the coherence equal an explicit
+        leave-one-out loop (reference statistics/jackknifing.py:14-160)."""
+        d = spy.synthdata.ar2_network(nTrials=12, samplerate=200, nSamples=300, seed=33)
+        coh = spy.connectivityanalysis(d, method="coh", tapsmofrq=3, jackknife=True)
+        var = np.asarray(coh._get_extra_dataset("jack_var"))
+        bias = np.asarray(coh._get_extra_dataset("jack_bias"))
+
+        # manual LOO replicates through the public API
+        n = 12
+        reps = []
+        for k in range(n):
+            keep = [t for t in range(n) if t != k]
+            r = spy.connectivityanalysis(d, method="coh", tapsmofrq=3,
+                                         select={"trials": keep})
+            reps.append(np.asarray(r.data))
+        reps = np.stack(reps)
+        theta_hat = np.asarray(coh.data)
+        theta_dot = reps.mean(axis=0)
+        bias_ref = (n - 1) * (theta_dot - theta_hat)
+        # the reference uses var = (N-1) * sum_i |mean - rep_i|^2
+        # (reference jackknifing.py:170-177), NOT the (N-1)/N textbook form
+        var_ref = (n - 1) * ((reps - theta_dot) ** 2).sum(axis=0)
+        assert np.abs(bias - bias_ref).max() < 1e-4
+        assert np.abs(var - var_ref).max() < 1e-4
