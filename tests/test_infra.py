@@ -221,3 +221,20 @@ class TestClusterSetup:
 
         with pytest.raises(spy.SPYParallelError):
             spy.esi_cluster_setup(n_workers=10**6)
+
+
+class TestChainedCfgReplay:
+    def test_two_stage_pipeline_replay(self):
+        """A chained analysis is fully reproducible from the final object's
+        cfg (reference tests/test_cfg.py pattern): each frontend stage can
+        be replayed with the same cfg container."""
+        import syncopy_tpu as spy
+
+        d = spy.synthdata.ar2_network(nTrials=15, samplerate=200, nSamples=300, seed=34)
+        spec = spy.freqanalysis(d, tapsmofrq=3, output="fourier", keeptapers=True)
+        coh = spy.connectivityanalysis(spec, method="coh")
+
+        spec2 = spy.freqanalysis(d, coh.cfg)
+        coh2 = spy.connectivityanalysis(spec2, coh.cfg)
+        assert np.allclose(np.asarray(coh.data), np.asarray(coh2.data))
+        assert list(coh2.cfg.keys()) == list(coh.cfg.keys())
