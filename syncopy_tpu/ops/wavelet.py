@@ -45,6 +45,8 @@ class Morlet:
 
     def __init__(self, w0=6):
         self.w0 = w0
+        if w0 == 6:
+            self.C_d = 0.776  # Torrence & Compo 1998 Table 2
 
     def time(self, t, s=1.0, complete=True):
         w = self.w0
@@ -111,6 +113,10 @@ class DOG:
 
     def __init__(self, m=2):
         self.m = m
+        if m == 2:
+            self.C_d = 3.541  # Torrence & Compo 1998 Table 2
+        elif m == 6:
+            self.C_d = 1.966
 
     def time(self, t, s=1.0):
         x = t / s
@@ -340,6 +346,79 @@ class WaveletAnalysis:
         mean_power = np.nanmean(self.wavelet_power, axis=(1, 2))
         var = self.anomaly.var()
         return mean_power / var if var > 0 else mean_power
+
+    @property
+    def N(self):
+        return self.n_samples
+
+    @property
+    def w_k(self):
+        """Angular frequencies of the Fourier indices (T&C eq. 5)."""
+        return 2 * np.pi * np.fft.fftfreq(self.n_samples, self.dt)
+
+    @property
+    def fourier_period(self):
+        return self.wavelet.fourier_period
+
+    @property
+    def scale_from_period(self):
+        return self.wavelet.scale_from_period
+
+    def find_s0(self):
+        """Smallest resolvable scale: fourier_period(s0) = 2 dt
+        (reference transform.py:309-319)."""
+        from scipy.optimize import fsolve
+
+        return float(fsolve(lambda s: self.wavelet.fourier_period(s) - 2 * self.dt, 1.0)[0])
+
+    @property
+    def s0(self):
+        if not hasattr(self, "_s0"):
+            self._s0 = self.find_s0()
+        return self._s0
+
+    @s0.setter
+    def s0(self, value):
+        self._s0 = float(value)
+
+    def compute_optimal_scales(self):
+        """Fractional powers of two s_j = s0 * 2^(j dj) up to N dt
+        (T&C eq. 9-10; reference transform.py:332-366)."""
+        J = int(np.floor((1.0 / self.dj) * np.log2(self.n_samples * self.dt / self.s0)))
+        return self.s0 * 2.0 ** (self.dj * np.arange(J + 1))
+
+    @property
+    def wavelet_transform_delta(self):
+        """Transform of a delta function, summed over Fourier indices —
+        used to derive C_delta empirically (T&C section 3.i)."""
+        WK, S = np.meshgrid(self.w_k, self.scales)
+        norm = (2 * np.pi * S / self.dt) ** 0.5
+        return (1.0 / self.n_samples) * np.sum(norm * self.wavelet.frequency(WK, S), axis=1)
+
+    def compute_Cdelta(self):
+        """Empirical C_delta from the delta-function transform."""
+        Y_00 = self.wavelet.time(0.0)
+        real_sum = np.sum(self.wavelet_transform_delta.real / self.scales**0.5)
+        return float(np.real(real_sum * (self.dj * self.dt**0.5 / Y_00)))
+
+    @property
+    def C_d(self):
+        """Reconstruction constant: tabulated on the wavelet when known
+        (T&C Table 2), else derived via :meth:`compute_Cdelta`."""
+        return getattr(self.wavelet, "C_d", None) or self.compute_Cdelta()
+
+    @property
+    def wavelet_variance(self):
+        """Parseval analog: total variance from the scale-normalized power
+        (T&C eq. 14)."""
+        A = self.dj * self.dt / (self.C_d * self.n_samples)
+        return A * np.sum(np.abs(self.wavelet_transform) ** 2 / self.scales[:, None, None])
+
+    def coi_mean(self, axis=1):
+        """Time-mean of the wavelet power restricted to the cone of
+        influence (reference transform.py:460-474)."""
+        power = np.where(self.inside_coi[:, :, None], self.wavelet_power, np.nan)
+        return np.nanmean(power, axis=axis)
 
     def reconstruction(self):
         """Inverse transform (Torrence & Compo Eq. 11, C_delta for Morlet)."""

@@ -357,3 +357,32 @@ class TestPsthParity:
         for n in (10, 100, 1234):
             assert Rice_rule(n) == ref_psth.Rice_rule(n)
             assert sqrt_rule(n) == ref_psth.sqrt_rule(n)
+
+
+class TestWaveletAnalysisParity:
+    def test_class_methods_match(self, ref_wavelets):
+        """s0, optimal scales, delta transform, C_d, and wavelet variance of
+        the object-oriented wrapper match the reference class."""
+        wavmod, tramod = ref_wavelets
+        rng = np.random.default_rng(51)
+        sig = (np.sin(2 * np.pi * 12 * np.arange(400) / 200.0)
+               + 0.2 * rng.normal(size=400))
+        dt, dj = 1 / 200.0, 0.125
+        ref = tramod.WaveletTransform(data=sig.copy(), dt=dt, dj=dj,
+                                      wavelet=wavmod.Morlet(6), axis=-1)
+
+        from syncopy_tpu.ops.wavelet import Morlet, WaveletAnalysis
+
+        ours = WaveletAnalysis(sig, dt=dt, dj=dj, wavelet=Morlet(6))
+        assert ours.s0 == pytest.approx(ref.s0, rel=1e-9)
+        assert np.allclose(ours.compute_optimal_scales(), ref.compute_optimal_scales(), rtol=1e-9)
+        ours.scales = np.asarray(ref.scales)
+        assert np.allclose(ours.wavelet_transform_delta, ref.wavelet_transform_delta, atol=1e-9)
+        assert ours.C_d == pytest.approx(ref.C_d, rel=1e-9)
+        assert ours.compute_Cdelta() == pytest.approx(ref.compute_Cdelta(), rel=1e-6)
+        # transform + variance use the same cwt normalization
+        W_ref = ref.wavelet_transform
+        W_ours = ours.wavelet_transform[:, :, 0]
+        scale = np.abs(W_ref).max()
+        assert np.abs(W_ours - W_ref).max() / scale < 5e-5
+        assert float(ours.wavelet_variance) == pytest.approx(float(ref.wavelet_variance), rel=1e-3)
