@@ -190,3 +190,45 @@ class TestContainerMultiObject:
         spy.save(spec, container=container, tag="spec")
         only_spec = spy.load(container + ".spy", dataclass="SpectralData")
         assert isinstance(only_spec, spy.SpectralData)
+
+
+class TestTDTBlock:
+    def test_tsq_tev_with_trials(self, tmp_path):
+        """Synthetic .tsq/.tev block: stream records + scalar trigger codes
+        (reference io/load_tdt.py block layout)."""
+        d = tmp_path / "block2"
+        d.mkdir()
+        fs = 1017.25
+        npts = 256
+        code = struct.unpack("<I", b"LFPs")[0]
+        start_code = struct.unpack("<I", b"TRG_")[0]
+        size_field = npts * 4 // 4 + 10  # float32: size quads incl. header
+        rec_dt = np.dtype([("size", "<i4"), ("type", "<i4"), ("code", "<u4"),
+                           ("channel", "<u2"), ("sortcode", "<u2"),
+                           ("timestamp", "<f8"), ("offset", "<u8"),
+                           ("format", "<i4"), ("frequency", "<f4")])
+        recs, payload = [], []
+        offset = 0
+        t0 = 100.0
+        rng = np.random.default_rng(3)
+        for blk in range(3):
+            for ch in (1, 2):
+                sig = rng.normal(size=npts).astype("f4")
+                payload.append(sig)
+                recs.append((size_field, 0x8101, code, ch, 0,
+                             t0 + blk * npts / fs, offset, 0, fs))
+                offset += npts * 4
+        # two trial triggers (scalar events)
+        for k in range(2):
+            recs.append((10, 0x0201, start_code, 0, 0, t0 + 0.1 + 0.3 * k, 0, 0, 0.0))
+        arr = np.array(recs, dtype=rec_dt)
+        arr.tofile(d / "block2.tsq")
+        np.concatenate(payload).tofile(d / "block2.tev")
+
+        obj = spy.load_tdt(str(d), start_code="TRG_")
+        assert obj.samplerate == pytest.approx(fs, rel=1e-5)
+        assert obj.data.shape == (3 * npts, 2)
+        assert list(obj.channel) == ["LFPs_1", "LFPs_2"]
+        assert obj.trialdefinition.shape[0] == 2
+        # first trial starts 0.1 s after stream onset
+        assert obj.trialdefinition[0, 0] == pytest.approx(0.1 * fs, abs=1)
