@@ -108,3 +108,23 @@ class TestCrossSpectralStats:
         assert np.allclose(
             np.asarray(res.data), np.asarray(csd.data).mean(axis=2, keepdims=True), atol=1e-6
         )
+
+
+class TestDtypeRobustness:
+    def test_int16_adc_input(self):
+        """Raw int16 ADC data flows through spectral + filter paths
+        (upcast to float32 on device)."""
+        raw = (np.random.default_rng(0).normal(size=(400, 2)) * 1000).astype(np.int16)
+        ad = spy.AnalogData(data=raw, samplerate=1000.0)
+        ad.trialdefinition = np.array([[0, 200, 0], [200, 400, 0]])
+        spec = spy.freqanalysis(ad, method="mtmfft", taper="hann")
+        assert spec.data.dtype == np.float32
+        filt = spy.preprocessing(ad, filter_class="but", filter_type="lp", freq=100)
+        assert filt.data.dtype == np.float32
+
+    def test_eventdata_custom_dimord(self):
+        ev = spy.EventData(
+            data=np.array([[10, 1, 7], [20, 2, 8]]),
+            dimord=["sample", "eventid", "extra"], samplerate=1000.0,
+        )
+        assert ev.dimord == ["sample", "eventid", "extra"]
