@@ -207,6 +207,12 @@ class Selector:
             return
         self.time = []
         lat = self.latency
+        if isinstance(lat, str) and lat != "all":
+            # 'maxperiod'/'minperiod'/'prestim'/'poststim' shorthands
+            # (reference latency.py:17-96 via selectdata)
+            from ..shared.latency import get_analysis_window
+
+            lat = list(get_analysis_window(data, lat))
         for tid in self.trial_ids:
             n_samp = int(data.sampleinfo[tid, 1] - data.sampleinfo[tid, 0])
             if lat is None or (isinstance(lat, str) and lat == "all"):

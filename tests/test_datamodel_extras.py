@@ -128,3 +128,21 @@ class TestDtypeRobustness:
             dimord=["sample", "eventid", "extra"], samplerate=1000.0,
         )
         assert ev.dimord == ["sample", "eventid", "extra"]
+
+
+class TestLatencyStringModes:
+    def test_selectdata_latency_shorthands(self):
+        """'maxperiod'/'minperiod'/'prestim'/'poststim' resolve through the
+        Selector (reference latency.py:17-96 + selector latency path)."""
+        d = spy.synthdata.white_noise(nTrials=3, nSamples=400, nChannels=2, seed=0)
+        trl = d.trialdefinition
+        trl[:, 2] = -100
+        d.trialdefinition = trl
+        pre = spy.selectdata(d, latency="prestim")
+        assert np.asarray(pre.trials[0]).shape[0] == 101
+        assert pre.time[0][-1] <= 0.0
+        post = spy.selectdata(d, latency="poststim")
+        assert post.time[0][0] >= 0.0
+        assert np.asarray(post.trials[0]).shape[0] == 300
+        full = spy.selectdata(d, latency="maxperiod")
+        assert np.asarray(full.trials[0]).shape[0] == 400
