@@ -40,14 +40,8 @@ def show(data, squeeze=True, **kwargs):
 
     if not arrs:
         return np.empty((0,))
-    sdim = data._stackingDim if "sample" not in data.dimord else 0
-    out = arrs[0] if len(arrs) == 1 else None
-    if out is None:
-        shapes_match = all(
-            [a.shape[:sdim] + a.shape[sdim + 1:] == arrs[0].shape[:sdim] + arrs[0].shape[sdim + 1:] for a in arrs]
-        )
-        if shapes_match:
-            out = np.concatenate(arrs, axis=sdim)
-        else:
-            return [np.squeeze(a) if squeeze else a for a in arrs]
-    return np.squeeze(out) if squeeze else out
+    # reference semantics (methods/show.py:190-194): a single selected trial
+    # returns the bare array, multiple trials return a LIST of arrays
+    if len(arrs) == 1:
+        return np.squeeze(arrs[0]) if squeeze else arrs[0]
+    return [np.squeeze(a) if squeeze else a for a in arrs]

@@ -146,3 +146,15 @@ class TestLatencyStringModes:
         assert np.asarray(post.trials[0]).shape[0] == 300
         full = spy.selectdata(d, latency="maxperiod")
         assert np.asarray(full.trials[0]).shape[0] == 400
+
+
+class TestShowSemantics:
+    def test_multi_trial_returns_list(self):
+        """show() with several selected trials returns a list of per-trial
+        arrays (reference methods/show.py:190-194)."""
+        d = spy.synthdata.white_noise(nTrials=3, nSamples=100, nChannels=2, seed=2)
+        out = d.show(trials=[0, 2])
+        assert isinstance(out, list) and len(out) == 2
+        assert np.allclose(out[1], np.asarray(d.trials[2]))
+        single = d.show(trials=1)
+        assert isinstance(single, np.ndarray)
