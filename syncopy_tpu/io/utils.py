@@ -65,14 +65,15 @@ def _hash_hdf5_content(fname):
     return hash_obj.hexdigest()
 
 
-def cleanup(older_than=24, interactive=False):
+def cleanup(older_than=24, interactive=False, only_current_session=False):
     """
     Remove temp-storage files of dead sessions older than `older_than` hours
     (reference io/utils.py:63). Non-interactive by default (the reference
     prompts; pass ``interactive=True`` for parity, but stdin-less runtimes
-    get auto-deletion).
+    get auto-deletion). With ``only_current_session=True`` only files created
+    by THIS Python session are considered.
     """
-    from ..datatype.util import storage_dir
+    from ..datatype.util import __sessionid__, storage_dir
 
     if not isinstance(older_than, (int, float)):
         raise SPYTypeError(older_than, varname="older_than", expected="number of hours")
@@ -88,6 +89,8 @@ def cleanup(older_than=24, interactive=False):
         except OSError:
             continue
         if age_h < older_than:
+            continue
+        if only_current_session and __sessionid__ not in entry:
             continue
         if interactive:
             from ..shared.queries import user_yesno
