@@ -430,6 +430,32 @@ class BaseData(ABC):
         return self._trialdefinition[:, 2].astype(np.int64)
 
     @property
+    def trial_ids(self):
+        """Index list of trials (reference base_data.py:1005-1008)."""
+        if self._trialdefinition is not None:
+            return list(range(self._trialdefinition.shape[0]))
+
+    def clear(self):
+        """Flush any HDF5-backed datasets to release cached chunks
+        (reference base_data.py:1077-1086)."""
+        for propName in getattr(self, "_hdfFileDatasetProperties", ("data",)):
+            dset = getattr(self, "_" + propName, None)
+            if dset is not None and hasattr(dset, "flush"):
+                dset.flush()
+
+    def singlepanelplot(self, **kwargs):
+        """Plot this object in a single panel (reference plotting dispatch)."""
+        from ..plotting.spy_plotting import singlepanelplot
+
+        return singlepanelplot(self, **kwargs)
+
+    def multipanelplot(self, **kwargs):
+        """Plot this object in per-channel panels (reference plotting dispatch)."""
+        from ..plotting.spy_plotting import multipanelplot
+
+        return multipanelplot(self, **kwargs)
+
+    @property
     def trialintervals(self):
         """nTrials x 2 array of trial [start, end] in trigger-relative
         seconds (reference base_data.py trialintervals property)."""

@@ -158,3 +158,15 @@ class TestShowSemantics:
         assert np.allclose(out[1], np.asarray(d.trials[2]))
         single = d.show(trials=1)
         assert isinstance(single, np.ndarray)
+
+
+class TestBaseDataMemberParity:
+    def test_trial_ids_clear_and_plot_methods(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        d = spy.synthdata.white_noise(nTrials=3, nSamples=100, nChannels=2, seed=3)
+        assert d.trial_ids == [0, 1, 2]
+        d.clear()  # flush is a no-op for in-memory data, must not raise
+        assert d.singlepanelplot(trials=0) is not None
+        assert d.multipanelplot(trials=0) is not None
