@@ -75,13 +75,17 @@ def main():
     # full warm-up run: compiles every chunk shape (persistent-cached)
     spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
 
-    # best of 3 to damp tunnel-bandwidth jitter
+    # best of 3 to damp tunnel-bandwidth jitter; if the tunnel is in a
+    # degraded window (a single run already takes >15 s) stop early so the
+    # benchmark still completes
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         coh = spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
         t1 = time.perf_counter()
         times.append(t1 - t0)
+        if t1 - t0 > 15.0:
+            break
     tpu_rate = NTRIALS / min(times)
 
     base_rate = max(numpy_baseline_rate(), numpy_baseline_rate())
