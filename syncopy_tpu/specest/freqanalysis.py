@@ -23,7 +23,7 @@ from ..shared.tools import best_match, get_defaults, get_frontend_cfg
 __all__ = ["freqanalysis"]
 
 availableMethods = ("mtmfft", "mtmconvol", "wavelet", "superlet", "welch")
-availableWavelets = ("Morlet", "Paul", "DOG", "Ricker")
+availableWavelets = ("Morlet", "Paul", "DOG", "Ricker", "Marr", "Mexican_hat")
 availableOutputs = (
     "pow", "abs", "fourier", "real", "imag", "angle", "absreal", "absimag",
     "fooof", "fooof_aperiodic", "fooof_peaks",
@@ -219,6 +219,8 @@ def freqanalysis(
         elif wavelet == "DOG":
             wfun = DOG(int(order) if order is not None else 2)
         else:
+            # "Ricker" / "Marr" / "Mexican_hat" all name the 2nd-order DOG
+            # (reference freqanalysis.py:55,280)
             wfun = Ricker()
             if output not in ("abs", "real", "pow"):
                 SPYWarning("Ricker wavelet is real-valued; consider output='real'")

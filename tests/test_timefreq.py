@@ -257,3 +257,14 @@ class TestNonPow2TrialCount:
         solo = spy.freqanalysis(d, method="wavelet", foi=[15, 30, 60], toi=toi,
                                 select={"trials": [60]})
         assert np.allclose(np.asarray(tfr.trials[60]), np.asarray(solo.data), atol=1e-5)
+
+
+class TestWaveletAliases:
+    def test_marr_mexican_hat(self):
+        """'Marr' and 'Mexican_hat' alias the 2nd-order DOG (reference
+        freqanalysis.py:55)."""
+        d = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=2, nSamples=400, nChannels=1)
+        base = spy.freqanalysis(d, method="wavelet", wavelet="Ricker", foi=[10, 30], toi="all", output="real")
+        for alias in ("Marr", "Mexican_hat"):
+            got = spy.freqanalysis(d, method="wavelet", wavelet=alias, foi=[10, 30], toi="all", output="real")
+            assert np.allclose(np.asarray(got.data), np.asarray(base.data))
