@@ -287,6 +287,10 @@ class ComputationalRoutine:
         out_total[sdim] = total_stack
         self.outputShape = tuple(out_total)
         self.dtype = out_dtype
+        # pristine copies: compute() may overlay a fused post-transform shape,
+        # and must be re-runnable (idempotent) on the same initialized CR
+        self._base_outputShape = tuple(out_total)
+        self._base_dtype = out_dtype
         self._per_trial_out_shapes_ordered = out_shapes
         self.numTrials = n_sel
 
@@ -421,6 +425,13 @@ class ComputationalRoutine:
         self._post_pack = post_pack
         self._post_unpack = post_unpack
         self._post_key = post_key
+        # restart from the pristine initialize() shape every call so a second
+        # compute() on the same CR never double-applies the post transform
+        self.outputShape = self._base_outputShape
+        self.dtype = self._base_dtype
+        self.aux_info = {}
+        self._aux_per_trial = {}
+        self._aux_chunked = {}
         if post_device_fn is not None and not self.keeptrials:
             spec = jax.ShapeDtypeStruct(self.outputShape, self.dtype)
             res = jax.eval_shape(post_device_fn, spec)
@@ -434,9 +445,39 @@ class ComputationalRoutine:
         else:
             self._run(data, out, mesh=mesh)
 
+        self._finalize_aux()
         # provenance
         self.write_log(data, out, log_dict)
         self.process_metadata(data, out)
+
+    def _accumulate_aux(self, aux_info, chunk_pos, n_valid, chunk_size):
+        """Collect one chunk's aux-info dict. Entries whose leading axis is
+        the chunk batch are per-trial: padding rows are dropped and values
+        recorded under their selected-trial position. Anything else (scalar
+        diagnostics of a fused batch reduction) is kept per chunk."""
+        for k, v in aux_info.items():
+            arr = np.asarray(jax.device_get(v))
+            if arr.ndim >= 1 and arr.shape[0] == chunk_size:
+                per_trial = self._aux_per_trial.setdefault(k, {})
+                for i, pos in enumerate(chunk_pos[: int(n_valid)]):
+                    per_trial[pos] = arr[i]
+            else:
+                self._aux_chunked.setdefault(k, []).append(arr)
+
+    def _finalize_aux(self):
+        """Assemble ``self.aux_info``: per-trial entries stack to a leading
+        ``numTrials`` axis in selected-trial order; per-chunk entries stack
+        along a new leading chunk axis (single-chunk runs stay unwrapped)."""
+        aux = {}
+        for k, per_trial in self._aux_per_trial.items():
+            rows = [per_trial[p] for p in sorted(per_trial)]
+            aux[k] = np.stack(rows, axis=0) if rows else np.empty((0,))
+        for k, chunks in self._aux_chunked.items():
+            if k in aux:  # same label used both ways: per-trial wins
+                continue
+            aux[k] = chunks[0] if len(chunks) == 1 else np.stack(chunks, axis=0)
+        if aux:
+            self.aux_info = aux
 
     # -- execution ------------------------------------------------------ #
 
@@ -556,9 +597,11 @@ class ComputationalRoutine:
                 res = fn(dev_batch, jnp.asarray(n_valid, dtype=jnp.int32), *dev_aux)
                 if isinstance(res, tuple):
                     # (output, aux-info dict): aux entries are host-fetched and
-                    # exposed via self.aux_info for process_metadata
+                    # accumulated across ALL chunks (reference side-channel
+                    # collects per-trial metadata for every chunk,
+                    # metadata.py:135-220) — exposed via self.aux_info
                     res, aux_info = res
-                    self.aux_info = {k: np.asarray(jax.device_get(v)) for k, v in aux_info.items()}
+                    self._accumulate_aux(aux_info, chunk_pos, n_valid, chunk)
 
                 if self.keeptrials:
                     enc_shape = (chunk,) + ((2,) if acc_complex else ()) + out_shp

@@ -193,3 +193,80 @@ class TestPostPackHook:
         packed = run(lambda y: y.reshape(-1)[::-1],
                      lambda p: p[::-1].reshape(plain.shape))
         assert np.allclose(plain, packed, atol=1e-6)
+
+
+class TestAuxInfoAccumulation:
+    """Per-trial aux metadata must survive multi-chunk execution (the
+    reference side-channel collects metadata for ALL chunks,
+    reference shared/metadata.py:135-220)."""
+
+    class WithAux(ComputationalRoutine):
+        def process_single_trial(self, trial, **cfg):
+            return trial * 2.0, {"tmax": jnp.max(trial), "tsum": jnp.sum(trial)}
+
+        def process_metadata(self, data, out):
+            out.trialdefinition = np.array(self.selector.trialdefinition)
+            out.samplerate = data.samplerate
+
+    def _run(self, data, chunk_budget=None):
+        cr = self.WithAux()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        cr.initialize(data, out._stackingDim, keeptrials=True)
+        if chunk_budget is not None:
+            cr._chunk_budget = chunk_budget
+        cr.compute(data, out)
+        return cr, out
+
+    def test_single_chunk(self, adata_equal):
+        cr, _ = self._run(adata_equal)
+        trials = [np.asarray(t) for t in adata_equal.trials]
+        assert cr.aux_info["tmax"].shape[0] == len(trials)
+        assert np.allclose(cr.aux_info["tmax"], [t.max() for t in trials], atol=1e-6)
+
+    def test_multi_chunk_all_trials(self, adata_equal):
+        # force 1-trial chunks: every chunk's aux must be retained
+        cr, _ = self._run(adata_equal, chunk_budget=1)
+        trials = [np.asarray(t) for t in adata_equal.trials]
+        assert cr.aux_info["tmax"].shape[0] == len(trials)
+        assert np.allclose(cr.aux_info["tmax"], [t.max() for t in trials], atol=1e-6)
+        assert np.allclose(cr.aux_info["tsum"], [t.sum() for t in trials], atol=1e-3)
+
+    def test_multi_bucket_ragged(self, adata_ragged):
+        cr, _ = self._run(adata_ragged, chunk_budget=1)
+        trials = [np.asarray(t) for t in adata_ragged.trials]
+        assert cr.aux_info["tmax"].shape[0] == len(trials)
+        assert np.allclose(cr.aux_info["tmax"], [t.max() for t in trials], atol=1e-6)
+
+
+class TestComputeIdempotent:
+    """A second compute() on the same initialized CR must not double-apply
+    the fused post-transform shape overlay (engine re-entrancy)."""
+
+    def test_double_compute_post_fn(self):
+        from syncopy_tpu.datatype.continuous_data import SpectralData
+
+        class MeanPow(ComputationalRoutine):
+            def process_single_trial(self, trial, **cfg):
+                return jnp.abs(jnp.fft.rfft(trial, axis=0))[None, None] ** 2
+
+            def process_metadata(self, data, out):
+                self.propagate_properties(data, out)
+                out.trialdefinition = np.array([[0, 1, 0]])
+
+        ad = spy.synthdata.white_noise(nTrials=4, nSamples=128, nChannels=2, seed=3)
+        cr = MeanPow()
+        out1 = SpectralData(dimord=SpectralData._defaultDimord)
+        cr.initialize(ad, out1._stackingDim, keeptrials=False)
+        post = lambda x: jnp.mean(x, axis=-1, keepdims=True)  # noqa: E731
+        cr.compute(ad, out1, post_device_fn=post, post_key=("chmean",))
+        shape1, d1 = out1.data.shape, np.asarray(out1.data)
+
+        out2 = SpectralData(dimord=SpectralData._defaultDimord)
+        cr.compute(ad, out2, post_device_fn=post, post_key=("chmean",))
+        assert out2.data.shape == shape1
+        assert np.allclose(np.asarray(out2.data), d1, atol=1e-7)
+
+        # and a re-run WITHOUT the post fn returns the pristine shape
+        out3 = SpectralData(dimord=SpectralData._defaultDimord)
+        cr.compute(ad, out3)
+        assert out3.data.shape[-1] == 2
