@@ -11,6 +11,8 @@
 # (`channelcmb`) runs one vmapped Wilson factorization over all pairs
 # instead of the reference's per-pair CR re-initialization.
 
+import os
+
 import numpy as np
 
 import jax
@@ -250,11 +252,11 @@ def connectivityanalysis(
         out = _compute_ppc(st_out)
     elif method == "granger" and send_idx is not None:
         out = _granger_pairwise(st_out, send_idx, rec_idx, data, av_compRoutine)
-    elif method == "granger" and not jax.config.jax_enable_x64:
-        # Wilson factorization needs float64; with x64 unavailable on the
-        # device (TPU production configs) the (small) averaged CSD is
-        # factorized on the host — the trial-parallel CSD stage above did
-        # the heavy lifting on device
+    elif method == "granger" and os.environ.get("SPY_GRANGER_HOST", ""):
+        # escape hatch: force the host float64 factorization (the default
+        # device path runs float32 Wilson + compensated-residual Newton
+        # refinement, which matches the float64 result to ~1e-6 — see
+        # ops/connectivity.py::_wilson_refine)
         out = _granger_host_full(st_out, av_compRoutine)
     else:
         out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
@@ -506,31 +508,18 @@ def _granger_pairwise(st_avg, send_idx, rec_idx, data, av_routine):
 
     cfg = av_routine.cfg
 
-    if jax.config.jax_enable_x64:
+    # the float32 device path (Wilson + compensated-residual refinement)
+    # matches the float64 factorization to ~1e-6 — no host fallback needed
+    def one_pair(CSD):
+        CSDreg, _, _ = regularize_csd(CSD, cond_max=cfg["cond_max"], eps_max=1e-1)
+        H, Sigma, conv, err = wilson_sf(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
+        G = granger_kernel(CSDreg, H, Sigma)
+        return G[:, 0, 1], conv, err
 
-        def one_pair(CSD):
-            CSDreg, _, _ = regularize_csd(CSD, cond_max=cfg["cond_max"], eps_max=1e-1)
-            H, Sigma, conv, err = wilson_sf(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
-            G = granger_kernel(CSDreg, H, Sigma)
-            return G[:, 0, 1], conv, err
-
-        G_pairs, convs, errs = run_on_device(
-            jax.vmap(one_pair), sub_np,
-            key=("granger_pairs", cfg["rtol"], cfg["nIter"], cfg["cond_max"]),
-        )
-    else:
-        # float64 unavailable on device: factorize the (2x2) pair CSDs on
-        # the host
-        from ..ops.connectivity import granger_host, regularize_csd_host, wilson_sf_host
-
-        G_list, convs, errs = [], [], []
-        for p in range(sub_np.shape[0]):
-            CSDreg, _, _ = regularize_csd_host(sub_np[p], cond_max=cfg["cond_max"], eps_max=1e-1)
-            H, Sigma, conv, err = wilson_sf_host(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
-            G_list.append(granger_host(CSDreg, H, Sigma)[:, 0, 1])
-            convs.append(conv)
-            errs.append(err)
-        G_pairs = np.stack(G_list)
+    G_pairs, convs, errs = run_on_device(
+        jax.vmap(one_pair), sub_np,
+        key=("granger_pairs", cfg["rtol"], cfg["nIter"], cfg["cond_max"]),
+    )
     G_pairs = np.asarray(G_pairs, dtype=np.float32)  # (P, F)
     result = G_pairs.reshape(len(send_idx), len(rec_idx), -1).transpose(2, 0, 1)[None]
 

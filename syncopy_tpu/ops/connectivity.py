@@ -134,6 +134,183 @@ def cross_covariance_trial(trial, polyremoval=0, norm=False):
 
 
 # ------------------------------------------------------------------------ #
+# Compensated (double-word float32) helpers for the device Wilson path.
+#
+# The TPU runtime here has no float64, but Wilson factorization needs the
+# RESIDUAL ``R = CSD - psi @ psi^H`` resolved well below float32 rounding:
+# the iteration is Newton's method, so only the residual must be accurate —
+# every correction term may be computed in float32 (classical mixed-
+# precision iterative refinement). The residual GEMM uses Ozaki-style
+# 8-bit mantissa slicing: slice products are integer-valued and accumulate
+# EXACTLY in the MXU's float32 accumulators (2*8 mantissa bits + log2(K)
+# carry bits < 24 for K <= 256 channels), and the slice partials combine
+# via error-free TwoSum into a double-float32 value (~2^-45 relative).
+# ------------------------------------------------------------------------ #
+
+
+def _two_sum(a, b):
+    """Error-free float add (Knuth): returns (s, e) with s + e == a + b."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _split3(x, q=8):
+    """Slice a float32 array into 3 scaled q-bit mantissa pieces along the
+    last (contraction) axis: ``x = sigma * (s1 + s2 + s3)`` with `sigma` a
+    per-row power of two, |s_k| <= 2^(-(k-1)q), and s1, s2 exactly
+    representable with q mantissa bits (so their pairwise matmul products
+    accumulate exactly in float32)."""
+    m = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    # floor must be comfortably NORMAL in f32: XLA flushes subnormals to
+    # zero (CPU and TPU), and exp2(ceil(log2(0))) would poison sigma
+    sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(m, jnp.float32(1e-30)))))
+    t = x / sigma
+    p = jnp.float32(2.0**q)
+    s1 = jnp.round(t * p) / p
+    r = t - s1  # exact: s1 carries t's high bits
+    s2 = jnp.round(r * p * p) / (p * p)
+    s3 = r - s2  # exact
+    return (s1, s2, s3), sigma
+
+
+def _gemm_nt_compensated(A, B):
+    """``A @ B^T`` (contraction over the last axis of both) to double-
+    float32 accuracy: returns (hi, lo). Inputs are real float32 of shape
+    ``(..., I, K)`` / ``(..., J, K)`` with K <= 256."""
+    (a1, a2, a3), sa = _split3(A)
+    (b1, b2, b3), sb = _split3(B)
+
+    def mm(x, y):
+        return jnp.einsum("...ik,...jk->...ij", x, y, precision=jax.lax.Precision.HIGHEST)
+
+    # descending magnitude; the first four accumulate exactly, the s3 terms
+    # carry ordinary f32 rounding on already-tiny quantities
+    terms = (mm(a1, b1), mm(a1, b2), mm(a2, b1), mm(a2, b2),
+             mm(a1, b3), mm(a3, b1), mm(a2, b3), mm(a3, b2), mm(a3, b3))
+    hi = terms[0]
+    lo = jnp.zeros_like(hi)
+    for t in terms[1:]:
+        hi, e = _two_sum(hi, t)
+        lo = lo + e
+    scale = sa * jnp.swapaxes(sb, -1, -2)  # power-of-two scales: exact
+    return hi * scale, lo * scale
+
+
+def _csd_residual_df32(Sr, Si, Pr, Pi):
+    """``R = S - P @ P^H`` with the product carried in double-float32 so the
+    cancellation is resolved far below float32 rounding. Inputs/outputs are
+    the real/imag float32 parts; R itself is small and returned in f32."""
+    hr1, lr1 = _gemm_nt_compensated(Pr, Pr)
+    hr2, lr2 = _gemm_nt_compensated(Pi, Pi)
+    hi1, li1 = _gemm_nt_compensated(Pi, Pr)
+    hi2, li2 = _gemm_nt_compensated(Pr, Pi)
+    t, e = _two_sum(Sr, -hr1)
+    t, e2 = _two_sum(t, -hr2)
+    Rr = t + (e + e2 - lr1 - lr2)
+    t, e = _two_sum(Si, -hi1)
+    t, e2 = _two_sum(t, hi2)
+    Ri = t + (e + e2 - li1 + li2)
+    return Rr, Ri
+
+
+def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10):
+    """
+    Mixed-precision Newton refinement of a float32 Wilson factorization.
+
+    Linearizing the Wilson update around ``g = I + E`` with
+    ``E = psi^{-1} R psi^{-H}`` and ``R = CSD - psi psi^H`` gives
+
+        psi  <- psi  + psi  @ (plus(E) + S(E_0/2))
+        psi0 <- psi0 + psi0 @ (E_0/2   + S(E_0/2))
+
+    i.e. every correction is linear in the residual. The residual is
+    computed in compensated (double-float32) arithmetic and psi/psi0 are
+    carried as double-float32 (hi, lo) pairs, so the factorization — and
+    the truthfully reported error — reaches the reference rtol even where
+    float32 storage of psi alone could not reconstruct small off-diagonal
+    CSD entries to relative tolerance. Correction terms themselves only
+    need float32: their errors are second-order in the residual.
+    """
+    Sr = jnp.real(CSDfull)
+    Si = jnp.imag(CSDfull)
+    absS = jnp.abs(CSDfull)
+    neg = (-jnp.arange(CSDfull.shape[0])) % CSDfull.shape[0]
+
+    def symmetrize(ph, pl):
+        """Exactly enforce psi(-w) = conj(psi(w)) on the double-float32
+        state. The Wilson update assumes real lag coefficients (the plus
+        operator drops Im(ifft)): conjugate-asymmetry injected by float32
+        FFT rounding in phase 1 is invisible to the update and would stall
+        the iteration permanently — in ANY precision. TwoSum keeps the
+        projection error-free so the df32 state stays intact."""
+        y = jnp.conj(ph[neg])
+        sr, er = _two_sum(jnp.real(ph), jnp.real(y))
+        si, ei = _two_sum(jnp.imag(ph), jnp.imag(y))
+        hi = (sr + 1j * si) * 0.5
+        lo = (pl + jnp.conj(pl[neg])) * 0.5 + (er + 1j * ei) * 0.5
+        return hi.astype(ph.dtype), lo.astype(ph.dtype)
+
+    def residual(ph, pl):
+        Rr, Ri = _csd_residual_df32(Sr, Si, jnp.real(ph), jnp.imag(ph))
+        R = (Rr + 1j * Ri).astype(CSDfull.dtype)
+        # lo-part cross terms: ~2^-24 of |S|, plain f32 GEMM suffices
+        phH = jnp.conj(jnp.swapaxes(ph, 1, 2))
+        plH = jnp.conj(jnp.swapaxes(pl, 1, 2))
+        R = R - ph @ plH - pl @ phH
+        rel = jnp.abs(R) / absS
+        err = jnp.max(jnp.where(valid_bin, rel, 0.0))
+        # zero the residual at excluded (near-zero-power) bins: psi there is
+        # ~sqrt(power) tiny, so psi^{-1} R psi^{-H} would amplify residual
+        # noise into O(1) corrections that the plus operator smears across
+        # ALL frequencies — silently steering the iteration off the
+        # minimum-phase factor while the (masked) error still converges
+        R = jnp.where(valid_bin, R, jnp.zeros((), R.dtype))
+        return R, err
+
+    def df_add(hi, lo, small):
+        """double-float32 += small (TwoSum per real/imag component)."""
+        s, e = _two_sum(jnp.real(hi), jnp.real(small))
+        si, ei = _two_sum(jnp.imag(hi), jnp.imag(small))
+        return s + 1j * si, lo + (e + 1j * ei)
+
+    def step(state):
+        ph, pl, p0h, p0l, R, err, prev, it = state
+        p_inv = jnp.linalg.inv(ph)
+        E = p_inv @ R @ jnp.conj(jnp.swapaxes(p_inv, 1, 2))
+        pE, E0h = _plus_operator(E)
+        S = jnp.triu(E0h)
+        S = S - jnp.conj(S.T)
+        ph_new, pl_new = df_add(ph, pl, ph @ (pE + S))
+        ph_new, pl_new = symmetrize(ph_new, pl_new)
+        p0h_new, p0l_new = df_add(p0h, p0l, p0h @ (E0h + S))
+        R_new, err_new = residual(ph_new, pl_new)
+        # safeguard: never accept a step that increases the true residual
+        worse = err_new > err
+        ph_new = jnp.where(worse, ph, ph_new)
+        pl_new = jnp.where(worse, pl, pl_new)
+        p0h_new = jnp.where(worse, p0h, p0h_new)
+        p0l_new = jnp.where(worse, p0l, p0l_new)
+        R_new = jnp.where(worse, R, R_new)
+        err_new = jnp.minimum(err_new, err)
+        return ph_new, pl_new, p0h_new, p0l_new, R_new, err_new, err, it + 1
+
+    def cond(state):
+        err, prev, it = state[5], state[6], state[7]
+        progress = err < 0.7 * prev
+        return jnp.logical_and(jnp.logical_and(err >= rtol, it < nRefine), progress)
+
+    ph0, pl0 = symmetrize(psi, jnp.zeros_like(psi))
+    zero0 = jnp.zeros_like(psi0)
+    R0, err0 = residual(ph0, pl0)
+    init = (ph0, pl0, psi0, zero0, R0, err0,
+            jnp.asarray(jnp.inf, dtype=jnp.float32), jnp.asarray(0))
+    ph, pl, p0h, p0l, _, err, _, _ = jax.lax.while_loop(cond, step, init)
+    return ph, pl, p0h, p0l, err
+
+
+# ------------------------------------------------------------------------ #
 # Wilson spectral matrix factorization (reference wilson_sf.py:16-195)
 # ------------------------------------------------------------------------ #
 
@@ -225,12 +402,19 @@ def _wilson_sf_impl(CSD, nIter, rtol):
         new_err = jnp.max(jnp.where(valid_bin, rel, 0.0))
         return psi_new, psi0_new, new_err.astype(rdtype), err, it + 1
 
+    # in float32 the multiplicative iteration's error measure floors around
+    # eps*cond — stop it early and hand over to the compensated-residual
+    # Newton refinement, which drives (and truthfully measures) the error
+    # down to the float32-representable optimum
+    refine = cdtype == jnp.complex64
+    rtol_phase1 = jnp.maximum(jnp.asarray(rtol, rdtype), 1e-3) if refine else rtol
+
     def cond(state):
         _, _, err, prev_err, it = state
         # fixed-point exit: only once the fit is already tight (err < 1e-2)
         # and progress has stopped — Wilson's error is non-monotonic early on
         plateau = jnp.logical_and(err < 1e-2, prev_err - err < 1e-4 * err)
-        keep = jnp.logical_and(err >= rtol, it < nIter)
+        keep = jnp.logical_and(err >= rtol_phase1, it < nIter)
         return jnp.logical_and(keep, jnp.logical_not(plateau))
 
     init = (
@@ -238,6 +422,11 @@ def _wilson_sf_impl(CSD, nIter, rtol):
         jnp.asarray(jnp.inf, dtype=rdtype), jnp.asarray(0),
     )
     psi, psi0, err, _, _ = jax.lax.while_loop(cond, step, init)
+
+    if refine:
+        ph, pl, p0h, p0l, err = _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol)
+        psi = ph + pl  # rounds to the best float32 representation
+        psi0 = p0h + p0l
 
     Sigma = (psi0 @ psi0.T) * scale
     Hfunc = psi @ jnp.linalg.inv(psi0)
@@ -257,16 +446,23 @@ def regularize_csd(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
     epsilons = jnp.concatenate(
         [jnp.zeros(1, rdtype), jnp.asarray(np.logspace(-10, np.log10(eps_max), nSteps), dtype=rdtype)]
     )
-    I = jnp.eye(CSD.shape[1], dtype=CSD.dtype)
-    cands = CSD[None] + epsilons[:, None, None, None] * I  # (E+1, F, N, N)
-    conds = jnp.linalg.cond(cands).max(axis=1)  # (E+1,)
+    # the CSD is Hermitian, so cond_2(CSD + eps*I) follows analytically from
+    # ONE eigendecomposition: the shifted eigenvalues are lambda_i + eps.
+    # This replaces the reference's per-candidate SVD sweep (wilson_sf.py:
+    # 197-262) — same selection, one eigvalsh instead of nSteps*nFreq SVDs.
+    CSDh = (CSD + jnp.conj(jnp.swapaxes(CSD, -1, -2))) / 2
+    lam = jnp.linalg.eigvalsh(CSDh).astype(rdtype)  # (F, N)
+    shifted = jnp.abs(lam[None] + epsilons[:, None, None])  # (E+1, F, N)
+    conds = (shifted.max(axis=2) / shifted.min(axis=2)).max(axis=1)  # (E+1,)
     ok = conds < cond_max
     ini_cond = conds[0]
     any_ok = jnp.any(ok)
     first_ok = jnp.argmax(ok)  # smallest epsilon that works (ordered ascending)
     chosen = jnp.where(any_ok, first_ok, len(epsilons) - 1)
-    CSDreg = cands[chosen]
-    eps = jnp.where(any_ok, epsilons[chosen], -1.0)
+    eps_sel = epsilons[chosen]
+    I = jnp.eye(CSD.shape[1], dtype=CSD.dtype)
+    CSDreg = CSD + eps_sel * I
+    eps = jnp.where(any_ok, eps_sel, -1.0)
     return CSDreg, eps, ini_cond
 
 

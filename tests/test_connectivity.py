@@ -99,6 +99,89 @@ class TestGranger:
         assert np.abs(np.asarray(G) - G_ref).max() < 1e-10
 
 
+class TestWilsonFloat32Refined:
+    """The float32 device Wilson path (compensated-residual Newton
+    refinement, ops/connectivity.py::_wilson_refine) must converge to the
+    reference rtol and match the float64 factorization to ~1e-6 on the
+    final Granger output — this is the production TPU path (no float64)."""
+
+    def _avg_csd(self, nChannels=8, nTrials=60, nSamples=400, seed=13):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import cross_spectra_trial
+
+        adj = spy.synthdata.mk_RandomAdjMat(
+            nChannels, conn_thresh=0.8, max_coupling=0.15, seed=seed
+        )
+        adj = adj / max(1.0, 3 * np.abs(np.linalg.eigvals(adj)).max())
+        ad = spy.synthdata.ar2_network(AdjMat=adj, nTrials=nTrials, nSamples=nSamples, seed=seed)
+        acc = None
+        for k in range(len(ad.trials)):
+            cs = np.asarray(
+                cross_spectra_trial(
+                    jnp.asarray(np.asarray(ad.trials[k], dtype=np.float64)),
+                    1000.0, nSamples, taper="hann",
+                )
+            )[0]
+            acc = cs.astype(np.complex128) if acc is None else acc + cs
+        return acc / nTrials
+
+    def test_f32_matches_f64(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import (
+            granger, granger_host, regularize_csd_host, wilson_sf, wilson_sf_host,
+        )
+
+        CSD = self._avg_csd()
+        CSDreg, _, _ = regularize_csd_host(CSD, cond_max=1e4, eps_max=1e-1)
+        H64, S64, conv64, err64 = wilson_sf_host(CSDreg, nIter=100, rtol=5e-6)
+        G64 = granger_host(CSDreg, H64, S64)
+
+        C32 = jnp.asarray(CSDreg.astype(np.complex64))
+        H32, S32, conv32, err32 = wilson_sf(C32, nIter=100, rtol=5e-6)
+        assert bool(conv32), "refined f32 Wilson did not converge"
+        assert float(err32) < 5e-6
+        G32 = np.asarray(granger(C32, H32, S32))
+        assert np.abs(G32 - G64).max() < 1e-6
+        assert np.abs(np.asarray(S32) - S64).max() / np.abs(S64).max() < 1e-5
+
+    def test_f32_regularize_matches_host(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import regularize_csd, regularize_csd_host
+
+        CSD = self._avg_csd(nChannels=6, nTrials=8)  # few trials: ill-conditioned
+        Creg_h, eps_h, ini_h = regularize_csd_host(CSD, cond_max=1e3, eps_max=1e-1)
+        Creg_d, eps_d, ini_d = regularize_csd(jnp.asarray(CSD), cond_max=1e3, eps_max=1e-1)
+        assert abs(float(ini_d) - ini_h) / ini_h < 1e-3
+        if eps_h > 0:
+            assert float(eps_d) > 0
+            assert abs(float(eps_d) - eps_h) / eps_h < 1e-6
+        assert np.abs(np.asarray(Creg_d) - Creg_h).max() < 1e-10
+
+    def test_compensated_residual_accuracy(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import _csd_residual_df32
+
+        rng = np.random.default_rng(2)
+        L, N = 200, 8
+        P = (rng.normal(size=(L, N, N)) + 1j * rng.normal(size=(L, N, N))).astype(np.complex64)
+        S64 = P.astype(np.complex128) @ np.conj(np.swapaxes(P.astype(np.complex128), 1, 2))
+        S32 = S64.astype(np.complex64)
+        Rr, Ri = _csd_residual_df32(
+            jnp.real(jnp.asarray(S32)), jnp.imag(jnp.asarray(S32)),
+            jnp.real(jnp.asarray(P)), jnp.imag(jnp.asarray(P)),
+        )
+        Rme = np.asarray(Rr, np.float64) + 1j * np.asarray(Ri, np.float64)
+        Rtrue = S32.astype(np.complex128) - P.astype(np.complex128) @ np.conj(
+            np.swapaxes(P.astype(np.complex128), 1, 2)
+        )
+        # naive f32 product would err at ~3e-7·|S|; compensated must be far below
+        assert np.abs(Rme - Rtrue).max() < 1e-10 * np.abs(S64).max()
+
+
 class TestCorr:
     def test_autocorr_is_one_at_zero_lag(self, ar2_data):
         corr = spy.connectivityanalysis(ar2_data, method="corr")
