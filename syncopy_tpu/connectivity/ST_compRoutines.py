@@ -103,8 +103,10 @@ class CrossSpectra(_CrossRoutine):
         spec = jnp.fft.rfft(tapered, n=nfft, axis=2)  # (B, K, F, C)
         if cfg["freq_idx"] is not None:
             spec = jnp.take(spec, jnp.asarray(cfg["freq_idx"]), axis=2)
-        mask = (jnp.arange(spec.shape[0]) < n_valid).astype(spec.real.dtype)
-        spec = spec * mask[:, None, None, None]
+        # where-mask (not multiply): resident-input padding rows can be
+        # kernel(0) garbage incl. NaN, and NaN * 0 would poison the sum
+        mask = (jnp.arange(spec.shape[0]) < n_valid)[:, None, None, None]
+        spec = jnp.where(mask, spec, jnp.zeros((), spec.dtype))
         K = tapers.shape[0]
 
         from ..ops.pallas_kernels import csd_accumulate, pallas_supported

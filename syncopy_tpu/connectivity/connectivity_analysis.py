@@ -154,7 +154,10 @@ def connectivityanalysis(
                 taper_opt, polyremoval, lenTrials, log_dict,
             )
         else:
-            if not np.issubdtype(np.asarray(data.data[:1]).dtype, np.complexfloating):
+            # dtype check via the payload's dtype attribute — never slice
+            # here: element access would force a device-resident input
+            # (freqanalysis output still in HBM) through a host readback
+            if not np.issubdtype(np.dtype(data.data.dtype), np.complexfloating):
                 raise SPYValueError(
                     legal="complex valued spectra, set `output='fourier'` in spy.freqanalysis!",
                     varname="data", actual="real valued spectral data",

@@ -67,6 +67,9 @@ class BaseData(ABC):
         self._cfg = StructDict()
         self._info = SerializableDict()
         self._data = None
+        # HBM-resident payload handle (engine/resident.py): set by the
+        # compute engine when results stay on device with deferred readback
+        self._device_resident = None
         self._extra_datasets = {}
         self._hdfFile = None
         self._filename = filename
@@ -192,6 +195,11 @@ class BaseData(ABC):
 
     def _set_dataset_property(self, inData, propertyName, ndim=None):
         self._bump_cache_token()
+        if propertyName == "data" and self._device_resident is not None:
+            # payload is being replaced: the device-resident copy (and any
+            # pending deferred readback) is obsolete — drop it
+            self._device_resident.records = None
+            self._device_resident = None
         if inData is None:
             self._close_hdf()
             if propertyName == "data":

@@ -28,9 +28,17 @@ import jax
 import jax.numpy as jnp
 
 from ..parallel.device_io import decode_host, decode_in_jit, encode_host, encode_in_jit
-from ..parallel.mesh import TRIAL_AXIS, pad_to_multiple, resolve_parallel, shard_batch
+from ..parallel.mesh import (
+    CHANNEL_AXIS,
+    TRIAL_AXIS,
+    pad_to_multiple,
+    resolve_parallel,
+    shard_batch,
+    trial_sharding,
+)
 from ..shared.errors import SPYError, SPYValueError
 from ..shared.log import get_logger
+from .resident import DeferredArray, DeviceResident, Record, _admit, resident_budget_bytes
 
 __all__ = ["ComputationalRoutine"]
 
@@ -99,10 +107,70 @@ def _device_cache_get(key):
 
 
 def clear_device_cache():
-    """Drop all HBM-cached trial batches."""
+    """Drop all HBM-cached trial batches and flush device-resident results
+    to host (resident payloads are materialized first — never lost)."""
+    from .resident import materialize_all
+
+    materialize_all()
     _DEVICE_CACHE.clear()
     _DEVICE_CACHE_ORDER.clear()
     _DEVICE_CACHE_SIZE[0] = 0
+
+
+def _materialize_resident(resident):
+    """Readback closure for :class:`DeviceResident`: reconstruct the stacked
+    host output from the per-chunk device buffers (the deferred counterpart
+    of the eager ``_write_chunk`` path)."""
+    shape, dtype = resident.shape, resident.dtype
+    nbytes = int(np.prod(shape)) * dtype.itemsize
+    owner = resident._owner()
+    if nbytes > DEFAULT_HOST_BUDGET and owner is not None:
+        import h5py
+
+        f = h5py.File(owner.filename, "w")
+        host_out = f.create_dataset("data", shape=shape, dtype=dtype)
+        owner._hdfFile = f
+        owner._is_temp_file = True
+    else:
+        host_out = np.empty(shape, dtype=dtype)
+    sdim = resident.stackingdim
+    offsets = resident.offsets
+    for rec in resident.records:
+        arr = decode_host(
+            _fetch_readback(rec.dev, rec.enc_shape), resident.was_complex, axis=1
+        )[: len(rec.positions)]
+        for i, pos in enumerate(rec.positions):
+            row0, row1 = offsets[pos], offsets[pos + 1]
+            sl = [slice(None)] * (arr.ndim - 1)
+            sl[sdim] = slice(row0, row1)
+            host_out[tuple(sl)] = arr[i]
+    return host_out
+
+
+def _resident_input(rec, mesh, chan_axis):
+    """Turn a resident record's (N, 128) readback-layout buffer back into
+    the engine's encoded input batch layout, entirely on device (a reshape
+    program, no host transfer), re-sharded for the consumer's mesh."""
+    key = ("resident_unflat", rec.enc_shape, str(rec.dev.dtype))
+    if key not in _GLOBAL_JIT_CACHE:
+        n = int(np.prod(rec.enc_shape))
+        enc_shape = rec.enc_shape
+
+        def unflat(x):
+            if x.dtype == jnp.float16:
+                x = x.astype(jnp.float32)
+            return x.reshape(-1)[:n].reshape(enc_shape)
+
+        _GLOBAL_JIT_CACHE[key] = jax.jit(unflat)
+    arr = _GLOBAL_JIT_CACHE[key](rec.dev)
+    if mesh is not None:
+        chan_ok = (
+            chan_axis is not None
+            and arr.shape[chan_axis] % mesh.shape[CHANNEL_AXIS] == 0
+        )
+        sharding = trial_sharding(mesh, arr.ndim, chan_axis if chan_ok else None)
+        arr = jax.device_put(arr, sharding)
+    return arr
 
 
 def _flatten_for_readback(x):
@@ -407,7 +475,7 @@ class ComputationalRoutine:
     def compute(self, data, out, parallel=None, parallel_store=None, method=None,
                 mem_thresh=None, log_dict=None, parallel_debug=False,
                 post_device_fn=None, post_key=None,
-                post_pack=None, post_unpack=None):
+                post_pack=None, post_unpack=None, device_resident=None):
         """
         Run the routine. `post_device_fn` (with a hashable `post_key` for
         executable caching) is an optional device-side transform fused onto
@@ -417,6 +485,12 @@ class ComputationalRoutine:
         compress the fused result for the device->host readback (e.g.
         triangular packing of symmetric connectivity matrices — halves the
         readback bytes losslessly); `post_pack` must return a REAL array.
+
+        `device_resident` controls whether per-trial results stay in HBM
+        with a deferred host readback (see ``engine/resident.py``): True /
+        False force it, None (default) enables it for ``keeptrials=True``
+        runs within the ``SPY_TPU_RESIDENT_BYTES`` budget (opt out globally
+        with ``SPY_TPU_DEVICE_RESIDENT=0``).
         """
         if self.buckets is None:
             raise SPYError("call initialize() before compute()")
@@ -439,6 +513,7 @@ class ComputationalRoutine:
             self.dtype = np.dtype(res.dtype)
 
         mesh = resolve_parallel(parallel)
+        self._resident_mode = self._decide_resident(device_resident, parallel_debug)
         if parallel_debug:
             with jax.disable_jit():
                 self._run(data, out, mesh=None)
@@ -449,6 +524,24 @@ class ComputationalRoutine:
         # provenance
         self.write_log(data, out, log_dict)
         self.process_metadata(data, out)
+        # seal AFTER process_metadata: the trialdefinition assignment bumps
+        # the owner's cache token; consumers match against the sealed value
+        if getattr(out, "_device_resident", None) is not None:
+            out._device_resident.seal()
+
+    def _decide_resident(self, device_resident, parallel_debug):
+        """Should this run keep per-trial results in HBM (deferred readback)?"""
+        if device_resident is False or parallel_debug or not self.keeptrials:
+            return False
+        if os.environ.get("SPY_TPU_DEVICE_RESIDENT", "1") == "0" and device_resident is not True:
+            return False
+        budget = resident_budget_bytes()
+        if budget <= 0:
+            return False
+        est = int(np.prod(self.outputShape)) * self.dtype.itemsize
+        if device_resident is None and est > budget:
+            return False
+        return _admit(est)
 
     def _accumulate_aux(self, aux_info, chunk_pos, n_valid, chunk_size):
         """Collect one chunk's aux-info dict. Entries whose leading axis is
@@ -481,9 +574,37 @@ class ComputationalRoutine:
 
     # -- execution ------------------------------------------------------ #
 
+    def _plan_resident_consume(self, data, mesh):
+        """When `data`'s payload is a sealed device-resident result and no
+        selection is active, map every bucket to the producer's HBM chunk
+        records — the consumer then skips the host gather + upload entirely.
+        Returns ``{bucket_shape: [Record, ...]}`` or None (host path)."""
+        res = getattr(data, "_device_resident", None)
+        if res is None or not res.consumable_by(data):
+            return None
+        if data.selection is not None:
+            return None
+        n_shard = mesh.shape[TRIAL_AXIS] if mesh is not None else 1
+        by_shape = {}
+        for rec in res.records:
+            by_shape.setdefault(rec.trial_shape, []).append(rec)
+        plan = {}
+        for shp, positions in self.buckets.items():
+            recs = by_shape.get(shp)
+            if recs is None:
+                return None
+            covered = [p for r in recs for p in r.positions]
+            if covered != list(positions):
+                return None
+            if any(r.chunk % n_shard for r in recs):
+                return None
+            plan[shp] = recs
+        return plan
+
     def _run(self, data, out, mesh):
         sdim = self.out_stackingdim
-        host_out = self._preallocate_output(out)
+        resident_out = bool(getattr(self, "_resident_mode", False))
+        host_out = None if resident_out else self._preallocate_output(out)
         # dtype of the per-trial kernel outputs (differs from self.dtype when
         # a fused post_device_fn changes the final dtype)
         kernel_dtype = next(iter(self.out_per_trial_shapes.values()))[1]
@@ -496,7 +617,16 @@ class ComputationalRoutine:
         stack_lens = [oshp[sdim] for oshp in self._per_trial_out_shapes_ordered]
         offsets = np.concatenate([[0], np.cumsum(stack_lens)]).astype(int)
 
+        consume_plan = self._plan_resident_consume(data, mesh)
+        if consume_plan is None and isinstance(getattr(data, "_data", None), DeferredArray):
+            # residency not directly consumable (selection active, shape or
+            # mesh mismatch): fall back to the host path — materialize once
+            # and restore the vectorized gather plan
+            data._data._ensure()
+            self._fast_plan = self._plan_fast_gather(data)
+
         acc = None  # on-device accumulator for keeptrials=False (encoded real)
+        resident_records = []
         n_shard = mesh.shape[TRIAL_AXIS] if mesh is not None else 1
 
         for shp, positions in self.buckets.items():
@@ -532,66 +662,29 @@ class ComputationalRoutine:
             if mesh is not None and "channel" in data.dimord:
                 chan_axis = data.dimord.index("channel") + 1 + (1 if in_complex else 0)
 
-            # HBM-resident trial store: reuse device chunks across calls
-            cache_key = (
-                getattr(data, "_cache_token", None),
-                self._selection_fingerprint(data),
-                shp,
-                chunk,
-                TRANSFER_DTYPE,
-                None if mesh is None else tuple(mesh.shape.items()),
-                in_complex,
-                tuple(positions),
-            )
-            cacheable = cache_key[0] is not None and cache_key[1] is not None
-            cached_chunks = _device_cache_get(cache_key) if cacheable else None
-            built_chunks = [] if (cached_chunks is None and cacheable) else None
-            chunk_idx = -1
+            if consume_plan is not None:
+                # input already in HBM: each producer chunk is one compute
+                # chunk (the producer's padded chunk size wins)
+                source = self._resident_chunks(consume_plan[shp], mesh, chan_axis)
+            else:
+                source = self._host_chunks(
+                    data, positions, shp, chunk, mesh, chan_axis, in_complex
+                )
 
-            pending = None  # (device_result, chunk_positions) for pipelining
-            for c0 in range(0, len(positions), chunk):
-                _t0 = _time.perf_counter()
-                chunk_pos = positions[c0 : c0 + chunk]
-                chunk_idx += 1
-                if cached_chunks is not None:
-                    dev_batch = cached_chunks[chunk_idx]
-                    n_valid = len(chunk_pos)
-                    _t1 = _t2 = _time.perf_counter()
-                else:
-                    batch = self._gather_batch(data, chunk_pos)
-                    if batch.shape[0] < chunk:
-                        pad = np.zeros((chunk - batch.shape[0],) + batch.shape[1:], batch.dtype)
-                        batch = np.concatenate([batch, pad], axis=0)
-                    # complex data crosses the device boundary as a real pair
-                    # (pair axis AFTER the trial axis — tiny trailing dims
-                    # make TPU readback pathologically slow)
-                    batch, _ = encode_host(batch, axis=1)
-                    if TRANSFER_DTYPE and not in_complex and batch.dtype == np.float32:
-                        batch = batch.astype(TRANSFER_DTYPE)
-                    _t1 = _time.perf_counter()
-                    dev_batch, n_valid = shard_batch(batch, mesh, channel_axis_pos=chan_axis)
-                    if built_chunks is not None:
-                        built_chunks.append(dev_batch)
-                    _t2 = _time.perf_counter()
-                aux = []
+            pos_index = {p: i for i, p in enumerate(positions)}
+            pending = None  # (device_result, ...) for readback pipelining
+            for dev_batch, chunk_pos, chunkN, n_valid in source:
+                rows = [pos_index[p] for p in chunk_pos]
+                dev_aux = []
                 for a in aux_all:
-                    a = np.asarray(a[c0 : c0 + chunk])
-                    if a.shape[0] < chunk:
+                    a = np.asarray(a)[rows]
+                    if a.shape[0] < chunkN:
                         # pad by repeating the last row: padded trials are
                         # masked out downstream, but gather-index aux inputs
                         # must stay within bounds (zeros would also be valid,
                         # repetition is safe for any aux semantic)
-                        reps = np.repeat(a[-1:], chunk - a.shape[0], axis=0)
+                        reps = np.repeat(a[-1:], chunkN - a.shape[0], axis=0)
                         a = np.concatenate([a, reps], axis=0)
-                    aux.append(a)
-                aux = tuple(aux)
-                if PROFILE:
-                    get_logger().warning(
-                        "chunk %d: gather %.3fs put %.3fs%s", c0 // chunk, _t1 - _t0,
-                        _t2 - _t1, " (cached)" if cached_chunks is not None else "",
-                    )
-                dev_aux = []
-                for a in aux:
                     da, _ = shard_batch(np.asarray(a), mesh)
                     dev_aux.append(da)
                 res = fn(dev_batch, jnp.asarray(n_valid, dtype=jnp.int32), *dev_aux)
@@ -601,24 +694,25 @@ class ComputationalRoutine:
                     # collects per-trial metadata for every chunk,
                     # metadata.py:135-220) — exposed via self.aux_info
                     res, aux_info = res
-                    self._accumulate_aux(aux_info, chunk_pos, n_valid, chunk)
+                    self._accumulate_aux(aux_info, chunk_pos, n_valid, chunkN)
 
                 if self.keeptrials:
-                    enc_shape = (chunk,) + ((2,) if acc_complex else ()) + out_shp
-                    # drain previous chunk while this one computes
-                    if pending is not None:
-                        self._write_chunk(host_out, *pending, offsets, sdim, acc_complex)
-                    pending = (res, enc_shape, chunk_pos, n_valid)
+                    enc_shape = (chunkN,) + ((2,) if acc_complex else ()) + out_shp
+                    if resident_out:
+                        resident_records.append(
+                            Record(tuple(chunk_pos), res, enc_shape, chunkN, out_shp)
+                        )
+                    else:
+                        # drain previous chunk while this one computes
+                        if pending is not None:
+                            self._write_chunk(host_out, *pending, offsets, sdim, acc_complex)
+                        pending = (res, enc_shape, chunk_pos, n_valid)
                 else:
                     # fn already masked + summed over the batch on device
                     acc = res if acc is None else acc + res
 
             if pending is not None:
                 self._write_chunk(host_out, *pending, offsets, sdim, acc_complex)
-
-            if built_chunks:
-                nbytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize for c in built_chunks)
-                _device_cache_put(cache_key, built_chunks, nbytes)
 
         if not self.keeptrials:
             _t0 = _time.perf_counter()
@@ -634,10 +728,79 @@ class ComputationalRoutine:
                 get_logger().warning("final fetch %.3fs", _time.perf_counter() - _t0)
             host_out[...] = avg.astype(self.dtype, copy=False)
 
+        if resident_out:
+            resident = DeviceResident(
+                resident_records, self.outputShape, self.dtype, acc_complex,
+                offsets, sdim, _materialize_resident, out,
+            )
+            out._bump_cache_token()
+            out._device_resident = resident
+            out._data = DeferredArray(resident)
+            return
+
         out.data = host_out if isinstance(host_out, np.ndarray) else host_out
         if not isinstance(host_out, np.ndarray):
             # h5py dataset: re-point the object at the file
             out._data = host_out
+
+    def _resident_chunks(self, records, mesh, chan_axis):
+        """Chunk source over HBM-resident producer records."""
+        for rec in records:
+            dev_batch = _resident_input(rec, mesh, chan_axis)
+            yield dev_batch, list(rec.positions), rec.chunk, len(rec.positions)
+
+    def _host_chunks(self, data, positions, shp, chunk, mesh, chan_axis, in_complex):
+        """Chunk source over the host payload: gather, pad, encode, upload —
+        with the HBM trial store reused across calls."""
+        cache_key = (
+            getattr(data, "_cache_token", None),
+            self._selection_fingerprint(data),
+            shp,
+            chunk,
+            TRANSFER_DTYPE,
+            None if mesh is None else tuple(mesh.shape.items()),
+            in_complex,
+            tuple(positions),
+        )
+        cacheable = cache_key[0] is not None and cache_key[1] is not None
+        cached_chunks = _device_cache_get(cache_key) if cacheable else None
+        built_chunks = [] if (cached_chunks is None and cacheable) else None
+        chunk_idx = -1
+
+        for c0 in range(0, len(positions), chunk):
+            _t0 = _time.perf_counter()
+            chunk_pos = positions[c0 : c0 + chunk]
+            chunk_idx += 1
+            if cached_chunks is not None:
+                dev_batch = cached_chunks[chunk_idx]
+                n_valid = len(chunk_pos)
+                _t1 = _t2 = _time.perf_counter()
+            else:
+                batch = self._gather_batch(data, chunk_pos)
+                if batch.shape[0] < chunk:
+                    pad = np.zeros((chunk - batch.shape[0],) + batch.shape[1:], batch.dtype)
+                    batch = np.concatenate([batch, pad], axis=0)
+                # complex data crosses the device boundary as a real pair
+                # (pair axis AFTER the trial axis — tiny trailing dims
+                # make TPU readback pathologically slow)
+                batch, _ = encode_host(batch, axis=1)
+                if TRANSFER_DTYPE and not in_complex and batch.dtype == np.float32:
+                    batch = batch.astype(TRANSFER_DTYPE)
+                _t1 = _time.perf_counter()
+                dev_batch, n_valid = shard_batch(batch, mesh, channel_axis_pos=chan_axis)
+                if built_chunks is not None:
+                    built_chunks.append(dev_batch)
+                _t2 = _time.perf_counter()
+            if PROFILE:
+                get_logger().warning(
+                    "chunk %d: gather %.3fs put %.3fs%s", c0 // chunk, _t1 - _t0,
+                    _t2 - _t1, " (cached)" if cached_chunks is not None else "",
+                )
+            yield dev_batch, chunk_pos, chunk, n_valid
+
+        if built_chunks:
+            nbytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize for c in built_chunks)
+            _device_cache_put(cache_key, built_chunks, nbytes)
 
     def _apply_post_fn(self, acc, kernel_complex):
         """Fuse the post transform (incl. the /numTrials normalization)
