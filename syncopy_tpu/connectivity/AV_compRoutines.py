@@ -14,7 +14,54 @@ from ..engine.routine import ComputationalRoutine
 from ..ops.connectivity import granger, normalize_ccov, normalize_csd, regularize_csd, wilson_sf
 from ..shared.errors import SPYValueError
 
-__all__ = ["NormalizeCrossSpectra", "NormalizeCrossCov", "GrangerCausality"]
+__all__ = ["NormalizeCrossSpectra", "NormalizeCrossCov", "GrangerCausality", "PPCReduction"]
+
+
+class PPCReduction(ComputationalRoutine):
+    """
+    Pairwise phase consistency via the streamed resultant-vector identity
+    (Vinck 2010, Eq. 14; see ops/connectivity.py::ppc_from_spectra):
+
+        PPC = (|sum_j u_j|^2 - n) / (n (n - 1)),   u_j = z_j / |z_j|
+
+    The per-trial unit cross-spectra are accumulated chunk-wise on device
+    through the engine's ``keeptrials=False`` path (replaces the former
+    whole-ensemble host stack + single transfer, reference
+    connectivity_analysis.py:624-667); the final normalization runs as the
+    fused ``post_device_fn``. Device-resident single-trial CSDs are
+    consumed straight from HBM.
+    """
+
+    valid_kws = []
+
+    def process_single_trial(self, trial, **cfg):
+        return trial / jnp.abs(trial)
+
+    def process_batch_sum(self, batch, n_valid, **cfg):
+        u = batch / jnp.abs(batch)
+        # where-mask: padding rows are 0/0 = NaN phase units
+        mask_shape = (u.shape[0],) + (1,) * (u.ndim - 1)
+        mask = (jnp.arange(u.shape[0]) < n_valid).reshape(mask_shape)
+        u = jnp.where(mask, u, jnp.zeros((), u.dtype))
+        return jnp.sum(u, axis=0)
+
+    @staticmethod
+    def make_post(n_trials):
+        """Fused finalization: the engine hands the resultant / n."""
+
+        def post(mean_u):
+            resultant = n_trials * mean_u
+            power = (resultant * jnp.conj(resultant)).real
+            return ((power - n_trials) / (n_trials * (n_trials - 1))).astype(jnp.float32)
+
+        return post
+
+    def process_metadata(self, data, out):
+        out.trialdefinition = np.array([[0, self.outputShape[0], 0]])
+        out.samplerate = data.samplerate
+        out.channel_i = np.asarray(data.channel_i)
+        out.channel_j = np.asarray(data.channel_j)
+        out.freq = np.asarray(data.freq)
 
 
 class _AVRoutine(ComputationalRoutine):

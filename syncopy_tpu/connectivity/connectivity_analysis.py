@@ -242,7 +242,7 @@ def connectivityanalysis(
 
         jack_in = st_out
         st_out = spy_mean(st_out, dim="trials")
-        replicates_avg = jk.trial_avg_replicates(jack_in)
+        replicates_avg = jk.trial_avg_replicates(jack_in, parallel=parallel)
 
     # -- evaluate the AV stage -------------------------------------------- #
 
@@ -252,7 +252,7 @@ def connectivityanalysis(
         return st_out
 
     if method == "ppc":
-        out = _compute_ppc(st_out)
+        out = _compute_ppc(st_out, parallel=parallel)
     elif method == "granger" and send_idx is not None:
         out = _granger_pairwise(st_out, send_idx, rec_idx, data, av_compRoutine)
     elif method == "granger" and os.environ.get("SPY_GRANGER_HOST", ""):
@@ -444,24 +444,37 @@ def _setup_cross_spectra(data, method, nSamples, foi, foilim, tapsmofrq, nTaper,
     return st, out_foi
 
 
-def _compute_ppc(st_out):
-    """PPC from the single-trial cross-spectral stack via the resultant
-    vector identity (replaces reference connectivity_analysis.py:624-667)."""
-    from ..ops.connectivity import ppc_from_spectra
-    from ..parallel.device_io import run_on_device
-
-    arrs = [np.asarray(t) for t in st_out.trials]
-    ppc = run_on_device(ppc_from_spectra, np.stack(arrs))
+def _compute_ppc(st_out, parallel=None):
+    """PPC from the single-trial cross-spectra via the streamed resultant
+    identity (replaces reference connectivity_analysis.py:624-667): the
+    engine accumulates unit cross-spectra chunk-wise on device — host RAM
+    stays bounded by one chunk, and device-resident ST results never make
+    a host round-trip."""
+    from .AV_compRoutines import PPCReduction
 
     out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
-    out.data = ppc
-    out.samplerate = st_out.samplerate
-    out.trialdefinition = np.array([[0, ppc.shape[0], 0]])
-    out.channel_i = np.asarray(st_out.channel_i)
-    out.channel_j = np.asarray(st_out.channel_j)
-    out.freq = np.asarray(st_out.freq)
+    cr = PPCReduction()
+    cr.initialize(st_out, out._stackingDim, keeptrials=False)
+    n_trials = cr.numTrials
+
+    # PPC of a full dyadic CSD is symmetric real: pack the upper triangle
+    # for readback (channelcmb-restricted senders x receivers are not)
+    trial_shape = next(iter(cr.out_per_trial_shapes.values()))[0]
+    pack = unpack = None
+    if trial_shape[-1] == trial_shape[-2]:
+        ci = [str(c) for c in np.asarray(st_out.channel_i)]
+        cj = [str(c) for c in np.asarray(st_out.channel_j)]
+        if ci == cj:
+            pack, unpack = _make_triu_pack(trial_shape[-1], 1.0)
+
+    cr.compute(
+        st_out, out, parallel=parallel,
+        log_dict={"method": "ppc", "nTrials": n_trials},
+        post_device_fn=PPCReduction.make_post(n_trials), post_key=("ppc", n_trials),
+        post_pack=pack, post_unpack=unpack,
+    )
     out._log = str(st_out._log)
-    out.log = "computed pairwise phase consistency over {} trials".format(len(arrs))
+    out.log = "computed pairwise phase consistency over {} trials".format(n_trials)
     return out
 
 

@@ -10,7 +10,103 @@ import jax.numpy as jnp
 
 from ..engine.routine import ComputationalRoutine
 
-__all__ = ["NumpyStatDim", "Covariance"]
+__all__ = ["NumpyStatDim", "Covariance", "TrialReduce", "LOOAverage"]
+
+
+def _batch_mask(batch, n_valid):
+    """(B, 1, 1, ...) boolean validity mask for a padded compute chunk."""
+    shape = (batch.shape[0],) + (1,) * (batch.ndim - 1)
+    return (jnp.arange(batch.shape[0]) < n_valid).reshape(shape)
+
+
+class TrialReduce(ComputationalRoutine):
+    """
+    Streamed reduction over the TRIAL axis — the engine's chunked
+    ``keeptrials=False`` accumulation replaces the reference's sequential
+    trial loop (reference summary_stats.py:321-488) AND the former
+    whole-ensemble ``np.stack`` (host memory stays bounded by one chunk;
+    device-resident inputs are consumed straight from HBM).
+
+    Modes (the engine divides the accumulated sum by ``numTrials``):
+
+    - ``sum``: plain masked trial sum -> trial mean.
+    - ``unit_sum``: sum of phase unit vectors ``x/|x|`` -> the resultant
+      for ITC / PPC-style statistics.
+    - ``centered_sq``: sum of ``|x - m|**2`` with the precomputed trial
+      mean `m` fed as an auxiliary input -> exact two-pass variance.
+    """
+
+    valid_kws = ["mode"]
+
+    def __init__(self, mode="sum", center=None):
+        super().__init__(mode=str(mode))
+        # aux array, NOT part of cfg: cfg is hashed into the executable
+        # cache key by content — a per-dataset mean there would force a
+        # re-compile for every new dataset
+        self._center = None if center is None else np.asarray(center)
+
+    def per_trial_inputs(self, data, trial_positions):
+        if self.cfg["mode"] != "centered_sq":
+            return ()
+        # zero-copy broadcast: the engine slices per-chunk rows out of this
+        # virtual (nTrials, ...) view, so host RAM stays chunk-bounded
+        return (np.broadcast_to(self._center, (len(trial_positions),) + self._center.shape),)
+
+    def _reduce_one(self, x, *aux, mode):
+        if mode == "unit_sum":
+            return x / jnp.abs(x)
+        if mode == "centered_sq":
+            d = x - aux[0]
+            if jnp.iscomplexobj(d):
+                return (d * jnp.conj(d)).real
+            return d * d
+        return x
+
+    def process_single_trial(self, trial, *aux, **cfg):
+        return self._reduce_one(trial, *aux, mode=cfg["mode"])
+
+    def process_batch_sum(self, batch, n_valid, *aux, **cfg):
+        x = self._reduce_one(batch, *aux, mode=cfg["mode"])
+        # where-mask (NaN-safe): padding rows can hold 0/0 phase units or
+        # resident-input garbage
+        x = jnp.where(_batch_mask(x, n_valid), x, jnp.zeros((), x.dtype))
+        return jnp.sum(x, axis=0)
+
+    def process_metadata(self, data, out):
+        # single-"trial" reduction output: carry the first selected trial's
+        # definition row (direct assignment — the engine result is not a
+        # sample-bounded continuous payload)
+        out._trialdefinition = np.array(self.selector.trialdefinition[0, :][None, :])
+        if getattr(data, "samplerate", None) is not None:
+            out.samplerate = data.samplerate
+
+
+class LOOAverage(ComputationalRoutine):
+    """
+    Leave-one-out trial-average replicates for jackknifing
+    (reference jackknifing.py:14-108): per trial ``(N*avg - x_i)/(N-1)``,
+    with the precomputed trial average `avg` streamed in as an auxiliary
+    input. Runs ``keeptrials=True`` through the engine, so replicates of a
+    device-resident ensemble never touch the host.
+    """
+
+    valid_kws = ["n_trials"]
+
+    def __init__(self, n_trials, avg):
+        super().__init__(n_trials=int(n_trials))
+        self._avg = np.asarray(avg)
+
+    def per_trial_inputs(self, data, trial_positions):
+        return (np.broadcast_to(self._avg, (len(trial_positions),) + self._avg.shape),)
+
+    def process_single_trial(self, trial, avg, **cfg):
+        n = cfg["n_trials"]
+        return ((n * avg - trial) / (n - 1)).astype(trial.dtype)
+
+    def process_metadata(self, data, out):
+        out.trialdefinition = self.default_trialdefinition(data, out)
+        if getattr(data, "samplerate", None) is not None:
+            out.samplerate = data.samplerate
 
 
 class NumpyStatDim(ComputationalRoutine):

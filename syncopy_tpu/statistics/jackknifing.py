@@ -16,43 +16,39 @@ from ..shared.errors import SPYError, SPYValueError
 __all__ = ["trial_avg_replicates", "bias_var"]
 
 
-def trial_avg_replicates(trl_ensemble):
+def trial_avg_replicates(trl_ensemble, parallel=None):
     """
     Return an object whose k-th trial is the leave-one-out trial average
     excluding trial k (reference jackknifing.py:14-108).
+
+    Two streamed engine passes (host memory bounded by one compute chunk,
+    device-resident ensembles never leave HBM): the trial mean, then the
+    per-trial identity ``loo_k = (N*avg - x_k)/(N-1)``.
     """
     from ..datatype.selector import Selector
+    from .compRoutines import LOOAverage
+    from .summary_stats import _streamed_trial_mean
 
     sel = trl_ensemble.selection if trl_ensemble.selection is not None else Selector(trl_ensemble, None)
     n_trials = len(sel.trial_ids)
     if n_trials < 2:
         raise SPYValueError(legal="at least 2 trials", varname="trl_ensemble", actual=str(n_trials))
 
-    arrs = [sel.select_trial_array(trl_ensemble, k) for k in range(n_trials)]
-    shapes = {a.shape for a in arrs}
-    if len(shapes) > 1:
-        raise SPYValueError(
-            legal="equal trial shapes for jackknifing", varname="trl_ensemble",
-            actual=str(sorted(shapes)),
-        )
-    from ..parallel.device_io import run_on_device
-
-    def _loo(stack):
-        avg = jnp.mean(stack, axis=0)
-        return (n_trials * avg[None] - stack) / (n_trials - 1)
-
-    loo = run_on_device(_loo, np.stack(arrs), key=("jack_loo", n_trials))
+    avg = _streamed_trial_mean(trl_ensemble, parallel=parallel)
 
     replicates = trl_ensemble.__class__(dimord=trl_ensemble.dimord)
-    sdim = trl_ensemble._stackingDim
-    replicates.data = np.concatenate(list(loo), axis=sdim)
-    if trl_ensemble.samplerate is not None:
-        replicates.samplerate = trl_ensemble.samplerate
-    step = arrs[0].shape[sdim]
-    trl_def = np.column_stack(
-        [np.arange(n_trials) * step, np.arange(n_trials) * step + step, np.zeros(n_trials)]
-    )
-    replicates.trialdefinition = trl_def
+    cr = LOOAverage(n_trials=n_trials, avg=avg)
+    try:
+        cr.initialize(trl_ensemble, trl_ensemble._stackingDim, keeptrials=True)
+    except SPYValueError as exc:
+        if "matching non-stacking" in str(exc) or "identical trial shapes" in str(exc):
+            raise SPYValueError(
+                legal="equal trial shapes for jackknifing", varname="trl_ensemble",
+                actual=str(exc),
+            )
+        raise
+    cr.compute(trl_ensemble, replicates, parallel=parallel,
+               log_dict={"operation": "jackknife LOO replicates"})
     _propagate_cross_props(trl_ensemble, replicates)
     return replicates
 
@@ -77,23 +73,26 @@ def bias_var(direct_estimate, replicates):
             varname="replicates", actual="{} trials".format(n_trials),
         )
 
-    from ..parallel.device_io import run_on_device
+    from .summary_stats import _run_trial_reduce, _streamed_trial_mean
 
-    rep_host = np.stack([np.asarray(t) for t in replicates.trials])
+    # streamed two-pass: replicate mean, then centered second moment —
+    # replicates (often device-resident granger/coherence outputs) are
+    # consumed chunk-wise, never stacked on host
+    jack_avg = _streamed_trial_mean(replicates)
     direct_host = np.asarray(direct_estimate.trials[0])
-    if rep_host.shape[1:] != direct_host.shape:
+    rep_shape = tuple(jack_avg.shape)
+    if rep_shape != direct_host.shape:
         raise SPYError(
             "Got mismatching shapes for jackknife bias computation: "
-            "jack: {}, original estimate: {}".format(rep_host.shape[1:], direct_host.shape)
+            "jack: {}, original estimate: {}".format(rep_shape, direct_host.shape)
         )
-
-    def _bias_var(rep_stack, direct):
-        jack_avg = jnp.mean(rep_stack, axis=0)
-        bias_arr = (n_trials - 1) * (jack_avg - direct)
-        var_arr = (n_trials - 1) * jnp.sum(jnp.abs(rep_stack - jack_avg[None]) ** 2, axis=0)
-        return bias_arr, var_arr
-
-    bias_host, var_host = run_on_device(_bias_var, rep_host, direct_host, key=("jack_bias_var", n_trials))
+    _, m2_out = _run_trial_reduce(
+        replicates, "centered_sq", center=jack_avg,
+        log_dict={"operation": "jackknife variance", "dim": "trials"},
+    )
+    bias_host = (n_trials - 1) * (jack_avg - direct_host)
+    # engine returns E|x - mean|^2; var = (N-1) * sum = (N-1) * N * E
+    var_host = (n_trials - 1) * n_trials * np.asarray(m2_out.data)
 
     bias = direct_estimate.__class__(dimord=direct_estimate.dimord)
     bias.data = bias_host

@@ -62,13 +62,15 @@ def itc(spec_data, parallel=None, **kwargs):
     reference summary_stats.py:156-205.
     """
     data_parser(spec_data, varname="spec_data", dataclass="SpectralData", empty=False)
-    if not np.issubdtype(np.asarray(spec_data.data).dtype, np.complexfloating):
+    # dtype via attribute — element access would force a device-resident
+    # input through a host readback
+    if not np.issubdtype(np.dtype(spec_data.data.dtype), np.complexfloating):
         raise SPYValueError(
             legal="complex valued spectra, set `output='fourier'` in spy.freqanalysis!",
             varname="spec_data",
             actual="real valued spectral data",
         )
-    res = _trial_statistics(spec_data, operation="itc")
+    res = _trial_statistics(spec_data, operation="itc", parallel=parallel)
     res.cfg.update(spec_data.cfg)
     return res
 
@@ -87,7 +89,7 @@ def _statistics(spy_data, operation, dim, keeptrials=True, parallel=None, **kwar
     if dim == "trials":
         if operation == "median":
             raise SPYError("Trial median not supported at the moment")
-        out = _trial_statistics(spy_data, operation)
+        out = _trial_statistics(spy_data, operation, parallel=parallel)
         out.log = "computed trial statistics {}".format(log_dict)
         out.cfg.update(spy_data.cfg)
         return out
@@ -101,53 +103,81 @@ def _statistics(spy_data, operation, dim, keeptrials=True, parallel=None, **kwar
     return out
 
 
-def _trial_statistics(in_data, operation="mean"):
-    """Statistic over the trial axis: batched on-device reduction
-    (reference summary_stats.py:321-405)."""
+def _check_equal_trials(in_data):
+    """Trial statistics need identical trial shapes; count from selection."""
     from ..datatype.selector import Selector
 
     sel = in_data.selection if in_data.selection is not None else Selector(in_data, None)
     n_trials = len(sel.trial_ids)
     if n_trials < 1:
         raise SPYValueError(legal="at least 1 trial", varname="in_data", actual="0 trials")
+    return sel, n_trials
 
-    arrs = [sel.select_trial_array(in_data, k) for k in range(n_trials)]
-    shapes = {a.shape for a in arrs}
-    if len(shapes) > 1:
-        raise SPYValueError(
-            legal="all trials to have the same shape",
-            varname="in_data",
-            actual="found trials of different shape: {}".format(sorted(shapes)),
-        )
-    from ..parallel.device_io import run_on_device
+
+def _run_trial_reduce(in_data, mode, parallel=None, center=None,
+                      post_device_fn=None, post_key=None, log_dict=None):
+    """One streamed engine pass of :class:`TrialReduce` over `in_data`:
+    chunked on-device accumulation, host memory bounded by one chunk,
+    device-resident inputs consumed straight from HBM
+    (replaces the former whole-ensemble ``np.stack`` + single transfer)."""
+    from .compRoutines import TrialReduce
+
+    cr = TrialReduce(mode=mode, center=center)
+    out = in_data.__class__(dimord=in_data.dimord)
+    try:
+        cr.initialize(in_data, in_data._stackingDim, keeptrials=False)
+    except SPYValueError as exc:
+        if "identical trial shapes" in str(exc):
+            raise SPYValueError(
+                legal="all trials to have the same shape",
+                varname="in_data",
+                actual="found trials of different shape",
+            )
+        raise
+    cr.compute(
+        in_data, out, parallel=parallel, log_dict=log_dict,
+        post_device_fn=post_device_fn, post_key=post_key,
+    )
+    return cr, out
+
+
+def _streamed_trial_mean(in_data, parallel=None):
+    """Trial average as a plain host array (pass 1 of two-pass statistics)."""
+    _, out = _run_trial_reduce(in_data, "sum", parallel=parallel,
+                               log_dict={"operation": "mean", "dim": "trials"})
+    return np.asarray(out.data)
+
+
+def _trial_statistics(in_data, operation="mean", parallel=None):
+    """Statistic over the trial axis: streamed on-device reduction
+    (reference summary_stats.py:321-405); var/std run an exact two-pass
+    (mean, then centered second moment)."""
+    sel, n_trials = _check_equal_trials(in_data)
+    log_dict = {"operation": operation, "dim": "trials"}
 
     if operation == "mean":
-        op = lambda stack: jnp.mean(stack, axis=0)  # noqa: E731
-    elif operation == "var":
-        op = lambda stack: jnp.mean(jnp.abs(stack - jnp.mean(stack, axis=0)) ** 2, axis=0)  # noqa: E731
-    elif operation == "std":
-        op = lambda stack: jnp.sqrt(  # noqa: E731
-            jnp.mean(jnp.abs(stack - jnp.mean(stack, axis=0)) ** 2, axis=0)
+        _, out_data = _run_trial_reduce(in_data, "sum", parallel=parallel, log_dict=log_dict)
+    elif operation in ("var", "std"):
+        center = _streamed_trial_mean(in_data, parallel=parallel)
+        post = (lambda x: jnp.sqrt(x)) if operation == "std" else None
+        _, out_data = _run_trial_reduce(
+            in_data, "centered_sq", parallel=parallel, center=center,
+            post_device_fn=post, post_key=("trial_std",) if post else None,
+            log_dict=log_dict,
         )
     elif operation == "itc":
         taper_ax = in_data.dimord.index("taper")
 
-        def op(stack):
-            unit = stack / jnp.abs(stack)
-            result = jnp.mean(unit, axis=0)
-            return jnp.abs(jnp.mean(result, axis=taper_ax, keepdims=True))
+        def post(resultant):
+            return jnp.abs(jnp.mean(resultant, axis=taper_ax, keepdims=True))
 
+        _, out_data = _run_trial_reduce(
+            in_data, "unit_sum", parallel=parallel,
+            post_device_fn=post, post_key=("itc", taper_ax), log_dict=log_dict,
+        )
     else:
         raise SPYValueError(legal="mean/var/std/itc", varname="operation", actual=operation)
 
-    result = run_on_device(op, np.stack(arrs), key=("trial_stat", operation, in_data.dimord.index("taper") if operation == "itc" else None))
-    if operation != "itc" and np.isrealobj(np.asarray(in_data.data)[:0]):
-        result = result.astype(np.asarray(arrs[0]).dtype, copy=False)
-
-    out_data = in_data.__class__(dimord=in_data.dimord)
-    out_data.data = result
-    if in_data.samplerate is not None:
-        out_data.samplerate = in_data.samplerate
     out_data._trialdefinition = sel.trialdefinition[0, :][None, :]
     reduced = "taper" if operation == "itc" else None
     _propagate_dim_props(in_data, out_data, sel, reduced_dim=reduced, label="itc")

@@ -160,3 +160,113 @@ class TestResidentChain:
         gc.collect()
         routine.clear_device_cache()  # also prunes the registry
         assert len([r for r in _REGISTRY if r() is not None]) <= n0 + 1
+
+
+class TestStreamedReductions:
+    """PPC / trial statistics / jackknife must consume device-resident
+    inputs chunk-wise — never a whole-ensemble host stack."""
+
+    @pytest.fixture()
+    def spec(self, adata):
+        return spy.freqanalysis(adata, method="mtmfft", output="fourier",
+                                keeptrials=True)
+
+    def test_itc_consumes_resident(self, spec):
+        assert isinstance(spec._data, DeferredArray)
+        res = spy.itc(spec)
+        assert isinstance(spec._data, DeferredArray), "itc stacked on host"
+        # oracle
+        stack = np.stack([np.asarray(t) for t in spec.trials])
+        unit = stack / np.abs(stack)
+        itc_ref = np.abs(unit.mean(axis=0).mean(axis=0, keepdims=True))
+        assert np.allclose(np.asarray(res.data), itc_ref, atol=1e-6)
+
+    def test_trial_var_std_consume_resident(self, spec):
+        v = spy.var(spec, dim="trials")
+        s = spy.std(spec, dim="trials")
+        assert isinstance(spec._data, DeferredArray), "var/std stacked on host"
+        stack = np.stack([np.asarray(t) for t in spec.trials])
+        var_ref = np.mean(np.abs(stack - stack.mean(axis=0)) ** 2, axis=0)
+        assert np.allclose(np.asarray(v.data), var_ref, atol=1e-6)
+        assert np.allclose(np.asarray(s.data), np.sqrt(var_ref), atol=1e-6)
+
+    def test_ppc_consumes_resident_st_stage(self, adata):
+        spec = spy.freqanalysis(adata, method="mtmfft", output="fourier",
+                                keeptrials=True)
+        ppc = spy.connectivityanalysis(spec, method="ppc")
+        # the single-trial CSD stage inside connectivityanalysis produces a
+        # resident object; PPC must reduce it on device
+        from syncopy_tpu.ops.connectivity import ppc_from_spectra
+        import jax.numpy as jnp
+
+        csd = np.stack([
+            np.einsum("tkfi,tkfj->tfij", np.asarray(t), np.conj(np.asarray(t))).mean(axis=0)
+            for t in spec.trials
+        ])[:, None][:, 0]
+        ref = np.asarray(ppc_from_spectra(jnp.asarray(csd)))
+        assert np.allclose(np.asarray(ppc.data)[0], ref, atol=1e-5)
+
+    def test_jackknife_streams_and_matches_loo(self, adata):
+        res = spy.connectivityanalysis(adata, method="coh", jackknife=True)
+        var = np.asarray(res._get_extra_dataset("jack_var"))
+        bias = np.asarray(res._get_extra_dataset("jack_bias"))
+        # oracle: explicit per-replicate LOO coherence
+        spec = spy.freqanalysis(adata, method="mtmfft", output="fourier",
+                                keeptrials=True)
+        csd = np.stack([
+            np.einsum("kfi,kfj->fij", np.asarray(t)[0], np.conj(np.asarray(t)[0]))
+            for t in spec.trials
+        ])
+        n = csd.shape[0]
+        loo = (csd.sum(axis=0)[None] - csd) / (n - 1)
+
+        def coh_of(c):
+            d = np.sqrt(np.abs(np.einsum("fii->fi", c)))
+            return np.abs(c) / (d[:, :, None] * d[:, None, :])
+
+        reps = np.stack([coh_of(c) for c in loo])
+        jack_avg = reps.mean(axis=0)
+        var_ref = (n - 1) * np.sum(np.abs(reps - jack_avg[None]) ** 2, axis=0)
+        direct = coh_of(csd.mean(axis=0))
+        bias_ref = (n - 1) * (jack_avg - direct)
+        assert np.allclose(var[0], var_ref, atol=1e-5)
+        assert np.allclose(bias[0], bias_ref, atol=1e-5)
+
+    def test_multichunk_reduction_matches(self, adata, monkeypatch):
+        # force tiny chunks through the reduction path
+        from syncopy_tpu.engine import routine
+
+        monkeypatch.setattr(routine, "MAX_CHUNK_TRIALS", 4)
+        spec = spy.freqanalysis(adata, method="mtmfft", output="fourier",
+                                keeptrials=True)
+        v = spy.var(spec, dim="trials")
+        stack = np.stack([np.asarray(t) for t in spec.trials])
+        var_ref = np.mean(np.abs(stack - stack.mean(axis=0)) ** 2, axis=0)
+        assert np.allclose(np.asarray(v.data), var_ref, atol=1e-6)
+
+    def test_bounded_host_memory(self, adata, monkeypatch):
+        """The reductions must not allocate the full trial ensemble on the
+        host: with chunking forced small, peak traced allocations stay well
+        below the ensemble size."""
+        import tracemalloc
+
+        from syncopy_tpu.engine import routine
+
+        monkeypatch.setattr(routine, "MAX_CHUNK_TRIALS", 2)
+        monkeypatch.setenv("SPY_TPU_DEVICE_RESIDENT", "0")
+        rng = np.random.default_rng(0)
+        n_tr, n_smp, n_ch = 64, 1024, 8
+        arr = rng.normal(size=(n_tr * n_smp, n_ch)).astype(np.float32)
+        trl = np.stack([np.arange(0, n_tr * n_smp, n_smp),
+                        np.arange(n_smp, n_tr * n_smp + 1, n_smp),
+                        np.zeros(n_tr)], axis=1)
+        ad = spy.AnalogData(data=arr, samplerate=1000, trialdefinition=trl)
+        spec = spy.freqanalysis(ad, method="mtmfft", output="fourier",
+                                keeptrials=True)
+        ensemble_bytes = np.asarray(spec.data).nbytes
+        tracemalloc.start()
+        spy.itc(spec)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        # a host np.stack of the ensemble would show up as >= ensemble_bytes
+        assert peak < ensemble_bytes, (peak, ensemble_bytes)
