@@ -19,6 +19,13 @@ def load_ft_raw(filename, list_only=False, select_structures=None, include_field
     Read FieldTrip ``ft_datatype_raw`` struct(s) from a ``.mat`` file into
     :class:`~syncopy_tpu.AnalogData` object(s).
 
+    `mem_use` is the host-RAM budget in MB (reference load_ft.py:211-366):
+    MAT v7.3 structs whose total payload exceeds it are STREAMED trial by
+    trial into a disk-backed HDF5 dataset — the full recording is never in
+    RAM (a single trial must still fit: <= 0.4 * `mem_use`). Smaller
+    structs load in-memory. Pre-7.3 files go through scipy and always load
+    in-memory (the format is not chunkable).
+
     Returns a dict mapping struct name -> AnalogData (fields beyond
     trial/time/label/fsample/trialinfo are attached to ``.info`` when listed
     in `include_fields`). With ``list_only=True``, just the struct names.
@@ -38,7 +45,7 @@ def load_ft_raw(filename, list_only=False, select_structures=None, include_field
         names = None
 
     if is_v73:
-        return _load_v73(fpath, names, list_only, select_structures, include_fields)
+        return _load_v73(fpath, names, list_only, select_structures, include_fields, mem_use)
     return _load_pre73(fpath, list_only, select_structures, include_fields)
 
 
@@ -69,7 +76,7 @@ def _struct_to_adata(trials, times, labels, fsample, trialinfo=None):
     return adata
 
 
-def _load_v73(fpath, names, list_only, select_structures, include_fields):
+def _load_v73(fpath, names, list_only, select_structures, include_fields, mem_use=4000):
     import h5py
 
     if list_only:
@@ -84,27 +91,59 @@ def _load_v73(fpath, names, list_only, select_structures, include_fields):
                 SPYWarning("skipping '{}': not an ft_datatype_raw struct".format(name))
                 continue
 
-            def _deref(ds):
-                items = []
-                refs = np.asarray(ds).ravel()
-                for r in refs:
-                    items.append(np.asarray(f[r]))
-                return items
-
-            raw_trials = _deref(grp["trial"])
-            raw_times = _deref(grp["time"])
-            # MATLAB HDF5 stores arrays transposed: [chan x time] -> stored [time x chan]
-            trials = [t.T for t in raw_trials]
-            times = [t.ravel() for t in raw_times]
             labels = []
             for r in np.asarray(grp["label"]).ravel():
                 raw = np.asarray(f[r]).ravel()
                 labels.append("".join(chr(int(c)) for c in raw))
-            fsample = float(np.asarray(grp["fsample"]).ravel()[0]) if "fsample" in grp else (
-                1.0 / float(np.mean(np.diff(times[0])))
-            )
+
+            trial_refs = np.asarray(grp["trial"]).ravel()
+            time_refs = np.asarray(grp["time"]).ravel()
+
+            # shape census WITHOUT reading payloads (h5py datasets expose
+            # .shape lazily) — decides in-RAM vs disk-backed streaming
+            trl_shapes = [f[r].shape for r in trial_refs]
+            itemsize = f[trial_refs[0]].dtype.itemsize
+            total_mb = sum(int(np.prod(s)) for s in trl_shapes) * itemsize / 1e6
+            max_trl_mb = max(int(np.prod(s)) for s in trl_shapes) * itemsize / 1e6
+            if max_trl_mb >= 0.4 * mem_use:
+                from ..shared.errors import SPYValueError
+
+                raise SPYValueError(
+                    legal="{:.1f} or more MB (one trial must fit in 40% of "
+                          "the budget)".format(2.5 * max_trl_mb),
+                    varname="mem_use", actual=str(mem_use),
+                )
+
+            # offsets from the first time sample only (never the full vector)
+            offsets = [float(np.asarray(f[r][tuple([0] * f[r].ndim)])) for r in time_refs]
+            if "fsample" in grp:
+                fsample = float(np.asarray(grp["fsample"]).ravel()[0])
+            else:
+                tv0 = np.asarray(f[time_refs[0]]).ravel()
+                fsample = 1.0 / float(np.mean(np.diff(tv0)))
             trialinfo = np.asarray(grp["trialinfo"]).T if "trialinfo" in grp else None
-            adata = _struct_to_adata(trials, times, labels, fsample, trialinfo)
+
+            if total_mb > mem_use:
+                adata = _stream_trials_to_hdf5(f, trial_refs, trl_shapes, labels, fsample)
+            else:
+                raw_trials = [np.asarray(f[r]) for r in trial_refs]
+                # MATLAB HDF5 stores [chan x time] transposed on disk as
+                # [time x chan]; undo so _struct_to_adata's FT-layout
+                # heuristic applies uniformly
+                trials = [t.T for t in raw_trials]
+                times = [np.full(1, off) for off in offsets]
+                adata = _struct_to_adata(trials, times, labels, fsample, None)
+
+            trl = adata.trialdefinition
+            trl[:, 2] = np.rint(np.asarray(offsets) * fsample)
+            if trialinfo is not None and np.asarray(trialinfo).size:
+                ti = np.atleast_2d(np.asarray(trialinfo, dtype=float))
+                if ti.shape[0] != trl.shape[0] and ti.shape[1] == trl.shape[0]:
+                    ti = ti.T
+                if ti.shape[0] == trl.shape[0]:
+                    trl = np.hstack([trl, ti])
+            adata.trialdefinition = trl
+
             if include_fields:
                 for fld in include_fields:
                     if fld in grp:
@@ -112,8 +151,46 @@ def _load_v73(fpath, names, list_only, select_structures, include_fields):
                             adata.info[fld] = np.asarray(grp[fld]).tolist()
                         except Exception:
                             pass
+            adata.log = "loaded struct '{}' from MAT v7.3 file {} ({})".format(
+                name, fpath, "streamed to HDF5" if total_mb > mem_use else "in-memory"
+            )
             out[name] = adata
     return out
+
+
+def _stream_trials_to_hdf5(f, trial_refs, trl_shapes, labels, fsample):
+    """Memory-bounded v7.3 import: copy each trial's stored [time x chan]
+    block straight into a disk-backed AnalogData HDF5 dataset (reference
+    load_ft.py:280-300) — peak RAM is one trial."""
+    import h5py
+
+    from ..datatype.continuous_data import AnalogData
+
+    # stored layout is [time x chan] (MATLAB transposes [chan x time] on
+    # write); detect channel-major storage via the label count
+    time_major = trl_shapes[0][1] == len(labels)
+    n_chan = len(labels)
+    trl_samples = [s[0] if time_major else s[1] for s in trl_shapes]
+    bounds = np.concatenate([[0], np.cumsum(trl_samples)]).astype(int)
+
+    adata = AnalogData(dimord=["time", "channel"])
+    h5f = h5py.File(adata.filename, "w")
+    dset = h5f.create_dataset("data", shape=(int(bounds[-1]), n_chan), dtype=np.float32)
+    for k, ref in enumerate(trial_refs):
+        block = f[ref]
+        arr = np.asarray(block, dtype=np.float32)
+        if not time_major:
+            arr = arr.T
+        dset[bounds[k] : bounds[k + 1]] = arr
+    adata._data = dset
+    adata._hdfFile = h5f
+    adata._is_temp_file = True
+    adata.trialdefinition = np.column_stack(
+        [bounds[:-1], bounds[1:], np.zeros(len(trial_refs))]
+    )
+    adata.samplerate = float(fsample)
+    adata.channel = [str(l) for l in labels]
+    return adata
 
 
 def _load_pre73(fpath, list_only, select_structures, include_fields):

@@ -39,14 +39,21 @@ def _mk_nwbfile(pynwb, obj, nwbfile=None):
     )
 
 
-def _add_electrodes(pynwb, nwbfile, n_channels):
+def _add_electrodes(pynwb, nwbfile, n_channels, labels=None):
+    """Electrode table with per-channel labels so a round-trip through
+    load_nwb restores channel names (reference nwb.py:40-120)."""
     device = nwbfile.create_device(name="device")
     egroup = nwbfile.create_electrode_group(
         name="electrodes_group", description="syncopy_tpu electrodes",
         location="unknown", device=device,
     )
-    for _ in range(n_channels):
-        nwbfile.add_electrode(group=egroup, location="unknown")
+    if labels is not None and len(labels) == n_channels:
+        nwbfile.add_electrode_column(name="label", description="channel label")
+        for lab in labels:
+            nwbfile.add_electrode(group=egroup, location="unknown", label=str(lab))
+    else:
+        for _ in range(n_channels):
+            nwbfile.add_electrode(group=egroup, location="unknown")
     return nwbfile.create_electrode_table_region(
         region=list(range(n_channels)), description="all electrodes"
     )
@@ -66,7 +73,10 @@ def _analog_to_nwb(adata, outpath, nwbfile=None, with_trialdefinition=True, is_r
     from pynwb.ecephys import ElectricalSeries, LFP
 
     nwbfile = _mk_nwbfile(pynwb, adata, nwbfile)
-    region = _add_electrodes(pynwb, nwbfile, len(adata.channel))
+    region = _add_electrodes(
+        pynwb, nwbfile, len(adata.channel),
+        labels=[str(c) for c in np.asarray(adata.channel)],
+    )
     series = ElectricalSeries(
         name="ElectricalSeries",
         data=np.asarray(adata.data),

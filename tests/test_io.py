@@ -80,6 +80,65 @@ class TestFieldTrip:
         assert list(adata.channel) == ["c1", "c2"]
 
 
+class TestFieldTripStreaming:
+    """mem_use-bounded MAT v7.3 import (reference load_ft.py:211-366)."""
+
+    def _write_v73(self, fname, nTrials=4, T=200, C=3, seed=5):
+        rng = np.random.default_rng(seed)
+        payload = [rng.normal(size=(T, C)).astype("f8") for _ in range(nTrials)]
+        with h5py.File(fname, "w", userblock_size=512) as f:
+            grp = f.create_group("data")
+            refs = f.create_group("#refs#")
+            trial_refs, time_refs, label_refs = [], [], []
+            for k, arr in enumerate(payload):
+                d = refs.create_dataset("t{}".format(k), data=arr)
+                trial_refs.append(d.ref)
+                tv = refs.create_dataset(
+                    "tv{}".format(k), data=((np.arange(T) - 20) / 1000.0)[None, :]
+                )
+                time_refs.append(tv.ref)
+            for k in range(C):
+                l = refs.create_dataset(
+                    "l{}".format(k), data=np.array([[ord(c)] for c in "ch{}".format(k)])
+                )
+                label_refs.append(l.ref)
+            grp.create_dataset("trial", data=np.array(trial_refs, dtype=h5py.ref_dtype)[None, :])
+            grp.create_dataset("time", data=np.array(time_refs, dtype=h5py.ref_dtype)[None, :])
+            grp.create_dataset("label", data=np.array(label_refs, dtype=h5py.ref_dtype)[:, None])
+            grp.create_dataset("fsample", data=np.array([[1000.0]]))
+            grp.create_dataset("trialinfo", data=np.arange(nTrials, dtype="f8")[None, :] + 7)
+        return payload
+
+    def test_streamed_equals_in_memory(self, tmp_path):
+        fname = str(tmp_path / "big73.mat")
+        payload = self._write_v73(fname)
+        # tiny budget -> disk-backed streaming; generous budget -> in-RAM
+        streamed = spy.load_ft_raw(fname, mem_use=0.015)["data"]
+        in_ram = spy.load_ft_raw(fname, mem_use=4000)["data"]
+        assert isinstance(streamed.data, h5py.Dataset)
+        assert isinstance(in_ram.data, np.ndarray)
+        assert np.allclose(np.asarray(streamed.data), np.asarray(in_ram.data))
+        assert np.allclose(np.asarray(streamed.trials[1]), payload[1].astype("f4"))
+        # offsets + trialinfo survive both paths
+        for obj in (streamed, in_ram):
+            assert obj.trialdefinition[0, 2] == -20
+            assert obj.trialdefinition[2, 3] == 9.0
+            assert obj.samplerate == 1000.0
+
+    def test_single_trial_must_fit(self, tmp_path):
+        fname = str(tmp_path / "huge_trial.mat")
+        self._write_v73(fname, nTrials=1, T=2000, C=4)
+        with pytest.raises(spy.shared.errors.SPYValueError, match="mem_use"):
+            spy.load_ft_raw(fname, mem_use=0.05)
+
+    def test_streamed_analysis_runs(self, tmp_path):
+        fname = str(tmp_path / "big73b.mat")
+        self._write_v73(fname)
+        streamed = spy.load_ft_raw(fname, mem_use=0.015)["data"]
+        spec = spy.freqanalysis(streamed, method="mtmfft", taper="hann")
+        assert np.all(np.isfinite(np.asarray(spec.data)))
+
+
 class TestNWB:
     def test_acquisition_roundtrip(self, tmp_path):
         fname = str(tmp_path / "fake.nwb")
@@ -112,6 +171,77 @@ class TestNWB:
         arr = np.asarray(obj.data)
         assert arr.shape[0] == 4
         assert set(arr[:, 2]) == {0, 1}
+
+
+class TestNWBDepth:
+    """memuse streaming, electrode labels, channel gains, TTL -> EventData,
+    trials offset column (reference load_nwb.py:44-410)."""
+
+    def _write_nwb(self, fname, T=400, C=3, rate=500.0, with_ttl=True):
+        rng = np.random.default_rng(6)
+        raw = rng.normal(size=(T, C)).astype("f4")
+        with h5py.File(fname, "w") as f:
+            acq = f.create_group("acquisition")
+            series = acq.create_group("ElectricalSeries")
+            d = series.create_dataset("data", data=raw)
+            d.attrs["conversion"] = 2.0
+            series.create_dataset("channel_conversion", data=np.array([1.0, 0.5, 2.0], "f4"))
+            st = series.create_dataset("starting_time", data=0.0)
+            st.attrs["rate"] = rate
+            series.create_dataset("electrodes", data=np.arange(C))
+            etable = f.create_group("general/extracellular_ephys/electrodes")
+            etable.create_dataset("label", data=np.array([b"elecA", b"elecB", b"elecC"]))
+            if with_ttl:
+                ttl = acq.create_group("TTL_pulses")
+                ttl.create_dataset("data", data=np.array([7, 9, 7]))
+                ts = ttl.create_dataset("timestamps", data=np.array([0.1, 0.3, 0.5]))
+                ts.attrs["resolution"] = 1.0 / rate
+            trials = f.create_group("intervals/trials")
+            trials.create_dataset("start_time", data=np.array([0.0, 0.4]))
+            trials.create_dataset("stop_time", data=np.array([0.4, 0.8]))
+            trials.create_dataset("offset", data=np.array([-0.1, -0.1]))
+        return raw
+
+    def test_gains_labels_ttl_offsets(self, tmp_path):
+        fname = str(tmp_path / "deep.nwb")
+        raw = self._write_nwb(fname)
+        objs = spy.load_nwb(fname)
+        adata = objs["ElectricalSeries"]
+        evt = objs["TTL_pulses"]
+        assert isinstance(evt, spy.EventData)
+        assert list(np.asarray(evt.data)[:, 1]) == [7, 9, 7]
+        assert np.asarray(evt.data)[0, 0] == 50  # 0.1 s at 500 Hz
+        # conversion x per-channel gains applied
+        expected = raw * 2.0 * np.array([1.0, 0.5, 2.0])[None, :]
+        assert np.allclose(np.asarray(adata.data), expected, atol=1e-5)
+        assert list(adata.channel) == ["elecA", "elecB", "elecC"]
+        # trials with the offset column
+        assert adata.trialdefinition.shape[0] == 2
+        assert adata.trialdefinition[0, 2] == -50
+
+    def test_memuse_streaming_matches(self, tmp_path):
+        fname = str(tmp_path / "big.nwb")
+        self._write_nwb(fname, with_ttl=False)
+        streamed = spy.load_nwb(fname, memuse=0.001)
+        in_ram = spy.load_nwb(fname, memuse=3000)
+        assert isinstance(streamed.data, h5py.Dataset)
+        assert isinstance(in_ram.data, np.ndarray)
+        assert np.allclose(np.asarray(streamed.data), np.asarray(in_ram.data))
+        assert list(streamed.channel) == list(in_ram.channel)
+
+    def test_units_rate_from_series(self, tmp_path):
+        fname = str(tmp_path / "units2.nwb")
+        self._write_nwb(fname, with_ttl=False)
+        with h5py.File(fname, "a") as f:
+            units = f.create_group("units")
+            units.create_dataset("spike_times", data=np.array([0.01, 0.02, 0.05]))
+            units.create_dataset("spike_times_index", data=np.array([2, 3]))
+        objs = spy.load_nwb(fname)
+        spk = objs["units"]
+        assert isinstance(spk, spy.SpikeData)
+        # samplerate inherited from the recorded series (500 Hz), not a default
+        assert spk.samplerate == 500.0
+        assert np.asarray(spk.data)[0, 0] == 5  # 0.01 s at 500 Hz
 
 
 class TestTDT:
@@ -232,3 +362,106 @@ class TestTDTBlock:
         assert obj.trialdefinition.shape[0] == 2
         # first trial starts 0.1 s after stream onset
         assert obj.trialdefinition[0, 0] == pytest.approx(0.1 * fs, abs=1)
+
+    def _write_multistore_block(self, d, fs=1000.0, npts=128):
+        """Two stream stores + Mark strobes + an epoc on/offset pair + a
+        snippet store (reference tank layout, io/load_tdt.py:124-455)."""
+        rec_dt = np.dtype([("size", "<i4"), ("type", "<i4"), ("code", "<u4"),
+                           ("channel", "<u2"), ("sortcode", "<u2"),
+                           ("timestamp", "<f8"), ("offset", "<u8"),
+                           ("format", "<i4"), ("frequency", "<f4")])
+        size_field = npts * 4 // 4 + 10
+        lfp_code = struct.unpack("<I", b"LFPs")[0]
+        eeg_code = struct.unpack("<I", b"EEGx")[0]
+        mark_code = struct.unpack("<I", b"Mark")[0]
+        pdi_on = struct.unpack("<I", b"PDi/")[0]
+        pdi_off = struct.unpack("<I", b"PDi\\")[0]
+        snip_code = struct.unpack("<I", b"eNeu")[0]
+        t0 = 50.0
+        rng = np.random.default_rng(11)
+        recs, payload = [], []
+        offset = 0
+        for blk in range(4):
+            for ch in (1, 2):
+                sig = rng.normal(size=npts).astype("f4")
+                payload.append(sig)
+                recs.append((size_field, 0x8101, lfp_code, ch, 0,
+                             t0 + blk * npts / fs, offset, 0, fs))
+                offset += npts * 4
+        # a second, smaller stream store
+        for blk in range(2):
+            sig = rng.normal(size=npts).astype("f4")
+            payload.append(sig)
+            recs.append((size_field, 0x8101, eeg_code, 1, 0,
+                         t0 + blk * npts / fs, offset, 0, fs / 2))
+            offset += npts * 4
+
+        def fbits(v):
+            return np.array([v], dtype="f8").view("u8")[0]
+
+        # Mark strobes carrying trial start/end VALUES
+        for k, (code_val, dt) in enumerate(
+                [(23000, 0.05), (30020, 0.20), (23000, 0.25), (30020, 0.45)]):
+            recs.append((10, 0x8801, mark_code, 0, 0, t0 + dt, fbits(code_val), 4, 0.0))
+        # epoc onset/offset buddy pair ('PDi/' onsets, 'PDi\' offsets
+        # pointing at buddy 'PDi/')
+        for dt, v in [(0.10, 1.0), (0.30, 1.0)]:
+            recs.append((10, 0x0101, pdi_on, 0, 0, t0 + dt, fbits(v), 4, 0.0))
+        buddy_lo = pdi_on & 0xFFFF
+        buddy_hi = (pdi_on >> 16) & 0xFFFF
+        for dt in (0.15, 0.35):
+            recs.append((10, 0x0102, pdi_off, buddy_lo, buddy_hi,
+                         t0 + dt, fbits(0.0), 4, 0.0))
+        # spike snippets with channel + sortcode
+        for dt, ch, sc in [(0.02, 1, 3), (0.07, 2, 1), (0.12, 1, 3)]:
+            recs.append((size_field, 0x8201, snip_code, ch, sc,
+                         t0 + dt, offset, 0, fs))
+        arr = np.array(recs, dtype=rec_dt)
+        arr.tofile(d / "block.tsq")
+        np.concatenate(payload).tofile(d / "block.tev")
+        return fs, npts
+
+    def test_multistore_census(self, tmp_path):
+        d = tmp_path / "block3"
+        d.mkdir()
+        fs, npts = self._write_multistore_block(d)
+        # default: dominant stream (LFPs, 4 blocks x 2 chans)
+        obj = spy.load_tdt(str(d))
+        assert obj.data.shape == (4 * npts, 2)
+        assert list(obj.channel) == ["LFPs_1", "LFPs_2"]
+        # explicit selection of the secondary store
+        eeg = spy.load_tdt(str(d), stream="EEGx")
+        assert eeg.data.shape == (2 * npts, 1)
+        assert eeg.samplerate == pytest.approx(fs / 2, rel=1e-5)
+        # unknown store errors with the available names
+        with pytest.raises(spy.shared.errors.SPYValueError, match="LFPs"):
+            spy.load_tdt(str(d), stream="nope")
+
+    def test_trigger_and_epoc_info(self, tmp_path):
+        d = tmp_path / "block4"
+        d.mkdir()
+        fs, npts = self._write_multistore_block(d)
+        obj = spy.load_tdt(str(d))
+        # Mark strobe values surface as the reference's Trigger_* keys
+        assert obj.info["Trigger_code"] == [23000, 30020, 23000, 30020]
+        assert obj.info["Trigger_sample"][0] == pytest.approx(0.05 * fs, abs=1)
+        # epoc buddy pairing: onsets from 'PDi/', offsets from 'PDi\'
+        assert obj.info["PDi/_onset"] == pytest.approx([0.10, 0.30], abs=1e-6)
+        assert obj.info["PDi/_offset"] == pytest.approx([0.15, 0.35], abs=1e-6)
+        # snippets carry channel + sortcodes
+        assert obj.info["eNeu_chan"] == [1, 2, 1]
+        assert obj.info["eNeu_sortcode"] == [3, 1, 3]
+
+    def test_trialdef_from_strobe_values(self, tmp_path):
+        d = tmp_path / "block5"
+        d.mkdir()
+        fs, npts = self._write_multistore_block(d)
+        obj = spy.load_tdt(str(d), start_code=23000, end_code=30020)
+        trl = obj.trialdefinition
+        assert trl.shape[0] == 2
+        assert trl[0, 0] == pytest.approx(0.05 * fs, abs=1)
+        assert trl[0, 1] == pytest.approx(0.20 * fs, abs=1)
+        assert trl[1, 0] == pytest.approx(0.25 * fs, abs=1)
+        # missing end code must raise (reference load_tdt.py:84-89)
+        with pytest.raises(spy.shared.errors.SPYValueError, match="end"):
+            spy.load_tdt(str(d), start_code=23000)
