@@ -10,11 +10,12 @@
 # window centers make the reference's equidistant/non-equidistant split
 # unnecessary on device.
 
+import jax
 import jax.numpy as jnp
 
 from .spectral import detrend, spectral_convert
 
-__all__ = ["mtmconvol"]
+__all__ = ["mtmconvol", "mtmconvol_time_sharded"]
 
 
 def mtmconvol(
@@ -64,3 +65,87 @@ def mtmconvol(
     if not keeptapers:
         spec = jnp.mean(spec, axis=1, keepdims=True)
     return spec
+
+
+def mtmconvol_time_sharded(
+    data,
+    tapers,
+    nperseg,
+    mesh,
+    axis_name="trial",
+    polyremoval=None,
+    output="fourier",
+    keeptapers=True,
+    freq_idx=None,
+):
+    """
+    Tapered STFT (one window per sample, ``toi='all'``) of a signal whose
+    TIME axis is sharded across the mesh — the context-parallel analog for
+    recordings too long for one device's HBM (SURVEY.md §5 "long-context";
+    reference mtmconvol.py:17 computes the same spectrogram on one host).
+
+    Each shard exchanges a window halo with its ring neighbors over ICI
+    (`lax.ppermute`), frames + rffts its own window centers locally, and the
+    output spectrogram stays sharded along its time axis — no full-signal
+    gather anywhere. Bit-equal to :func:`mtmconvol` with ``centers =
+    arange(nSamples)`` (edges zero-extended).
+
+    Parameters
+    ----------
+    data : (nSamples, nChannels), nSamples divisible by the mesh axis size;
+        the local shard length must be >= `nperseg`
+    tapers : (nTaper, nperseg) taper bank
+    mesh : jax.sharding.Mesh with `axis_name`
+
+    Returns
+    -------
+    spec : (nSamples, nTaper|1, nFreq, nChannels), time-sharded
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    T = data.shape[0]
+    n_dev = mesh.shape[axis_name]
+    if T % n_dev:
+        raise ValueError("nSamples must be divisible by the mesh axis size")
+    T_local = T // n_dev
+    if T_local < nperseg:
+        raise ValueError(
+            "local shard ({} samples) shorter than nperseg ({})".format(T_local, nperseg)
+        )
+    halfWin = nperseg // 2
+    halo_r = nperseg - halfWin
+    taper_bank = jnp.asarray(tapers, dtype=jnp.float32)
+
+    def local(xs):
+        idx_dev = jax.lax.axis_index(axis_name)
+        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        left = jax.lax.ppermute(xs[-halfWin:], axis_name, fwd)
+        right = jax.lax.ppermute(xs[:halo_r], axis_name, bwd)
+        left = jnp.where(idx_dev == 0, jnp.zeros_like(left), left)
+        right = jnp.where(idx_dev == n_dev - 1, jnp.zeros_like(right), right)
+        ext = jnp.concatenate([left, xs.astype(jnp.float32), right], axis=0)
+        # local center c (= global center idx_dev*T_local + c): window
+        # [c, c + nperseg) in ext coordinates — identical framing to
+        # mtmconvol's padded gather
+        idx = jnp.arange(T_local)[:, None] + jnp.arange(nperseg)[None, :]
+        frames = ext[idx]  # (T_local, nperseg, C)
+        frames = detrend(frames, polyremoval, axis=1)
+        tapered = frames[:, None, :, :] * taper_bank[None, :, :, None]
+        ftr = jnp.fft.rfft(tapered, axis=2)
+        if freq_idx is not None:
+            ftr = jnp.take(ftr, jnp.asarray(freq_idx), axis=2)
+        spec = spectral_convert(ftr, output)
+        if not keeptapers:
+            spec = jnp.mean(spec, axis=1, keepdims=True)
+        return spec
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=P(axis_name, None),
+        out_specs=P(axis_name, None, None, None),
+        check_vma=False,
+    )
+    x_sharded = jax.device_put(jnp.asarray(data), NamedSharding(mesh, P(axis_name, None)))
+    return fn(x_sharded)

@@ -23,6 +23,7 @@ import numpy as np
 from scipy.special import gamma as _gamma
 from scipy.special import hermitenorm as _hermitenorm
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -33,6 +34,7 @@ __all__ = [
     "MorletSL",
     "get_optimal_wavelet_scales",
     "cwt",
+    "cwt_time_sharded",
     "superlet",
     "superlet_weights",
     "WaveletAnalysis",
@@ -259,6 +261,75 @@ def _apply_bank(data, kernel_fft_np, L, nSamples):
     Y = jnp.asarray(kernel_fft_np)[:, :, None] * X[None, :, :]  # (S, L, C)
     y = jnp.fft.ifft(Y, axis=1)
     return y[:, :nSamples, :].astype(jnp.complex64)
+
+
+def cwt_time_sharded(data, wavelet, scales, dt, mesh, axis_name="trial"):
+    """
+    Continuous wavelet transform of a signal whose TIME axis is sharded
+    across the mesh — the context-parallel analog for recordings whose
+    per-device FFT bank (nScales x fft_len x nChannels complex) would not
+    fit a single device's HBM (SURVEY.md §5 "long-context"; reference
+    wavelet.py:15-49 computes on one host).
+
+    Each shard exchanges a wavelet-support halo with its ring neighbors
+    over ICI (`lax.ppermute`), runs the FFT bank on its extended local
+    block, and crops — equal to :func:`cwt` on the full signal wherever
+    the halo covers the kernel support (interior everywhere; edges use the
+    same zero extension). The result stays sharded along the time axis.
+
+    Parameters
+    ----------
+    data : (nSamples, nChannels), nSamples divisible by the mesh axis size
+    wavelet, scales, dt : as in :func:`cwt`
+    mesh : jax.sharding.Mesh with `axis_name`
+
+    Returns
+    -------
+    spec : (nScales, nSamples, nChannels) complex64, time-sharded (axis 1)
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    T = data.shape[0]
+    n_dev = mesh.shape[axis_name]
+    if T % n_dev:
+        raise ValueError("nSamples must be divisible by the mesh axis size")
+    T_local = T // n_dev
+    # kernel reaches +-5*scale/dt around each sample (support = 10*scale/dt)
+    halo = int(np.ceil(5.0 * float(np.max(np.asarray(scales))) / dt)) + 1
+    if halo > T_local:
+        raise ValueError(
+            "wavelet halo ({} samples) exceeds the local shard ({}); use "
+            "fewer devices or smaller scales".format(halo, T_local)
+        )
+
+    name = type(wavelet).__name__
+    param = getattr(wavelet, "w0", None) if name == "Morlet" else getattr(wavelet, "m", None)
+    kfft, L = _wavelet_kernel_fft(
+        (name, param), tuple(np.asarray(scales).tolist()), float(dt),
+        int(T_local + 2 * halo), None,
+    )
+
+    def local(xs):
+        idx_dev = jax.lax.axis_index(axis_name)
+        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        left = jax.lax.ppermute(xs[-halo:], axis_name, fwd)
+        right = jax.lax.ppermute(xs[:halo], axis_name, bwd)
+        left = jnp.where(idx_dev == 0, jnp.zeros_like(left), left)
+        right = jnp.where(idx_dev == n_dev - 1, jnp.zeros_like(right), right)
+        ext = jnp.concatenate([left, xs, right], axis=0)
+        spec = _apply_bank(ext, kfft, L, T_local + 2 * halo)
+        return spec[:, halo : halo + T_local, :]
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=P(axis_name, None),
+        out_specs=P(None, axis_name, None),
+        check_vma=False,
+    )
+    x_sharded = jax.device_put(jnp.asarray(data), NamedSharding(mesh, P(axis_name, None)))
+    return fn(x_sharded)
 
 
 class WaveletAnalysis:

@@ -81,3 +81,86 @@ class TestShardedNewPaths:
         with spy.use_mesh(testmesh):
             par = spy.connectivityanalysis(d, method="csd", tapsmofrq=2)
         assert np.allclose(np.asarray(seq.data), np.asarray(par.data), atol=1e-6)
+
+
+class TestTimeShardedTransforms:
+    """Halo'd time-axis sharding of the windowed transforms (SURVEY §5
+    long-context): sharded == unsharded, and a long-trial case runs."""
+
+    def test_stft_matches_unsharded(self, testmesh):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.stft import mtmconvol, mtmconvol_time_sharded
+        from syncopy_tpu.ops.windows import make_tapers
+
+        rng = np.random.default_rng(2)
+        T, C, nperseg = 1024, 3, 64
+        x = rng.normal(size=(T, C)).astype("f4")
+        tapers = np.asarray(make_tapers("hann", None, nperseg, nperseg, 1000.0))
+        ref = np.asarray(
+            mtmconvol(jnp.asarray(x), jnp.asarray(tapers), jnp.arange(T), nperseg)
+        )
+        got = np.asarray(
+            mtmconvol_time_sharded(x, tapers, nperseg, testmesh, axis_name="trial")
+        )
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() < 1e-5
+
+    def test_stft_power_dpss(self, testmesh):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.stft import mtmconvol, mtmconvol_time_sharded
+        from syncopy_tpu.ops.windows import make_tapers
+
+        rng = np.random.default_rng(3)
+        T, C, nperseg = 512, 2, 128
+        x = rng.normal(size=(T, C)).astype("f4")
+        tapers = np.asarray(
+            make_tapers("dpss", {"Kmax": 3, "NW": 2}, nperseg, nperseg, 1000.0)
+        )
+        ref = np.asarray(
+            mtmconvol(jnp.asarray(x), jnp.asarray(tapers), jnp.arange(T), nperseg,
+                      output="pow", keeptapers=False)
+        )
+        got = np.asarray(
+            mtmconvol_time_sharded(x, tapers, nperseg, testmesh,
+                                   output="pow", keeptapers=False)
+        )
+        assert np.abs(got - ref).max() < 1e-4
+
+    def test_cwt_matches_unsharded(self, testmesh):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.wavelet import Morlet, cwt, cwt_time_sharded
+
+        rng = np.random.default_rng(4)
+        T, C = 2048, 2
+        dt = 1.0 / 1000.0
+        x = rng.normal(size=(T, C)).astype("f4")
+        scales = np.array([0.01, 0.02, 0.04])
+        ref = np.asarray(cwt(jnp.asarray(x), Morlet(6), scales, dt))
+        got = np.asarray(cwt_time_sharded(x, Morlet(6), scales, dt, testmesh))
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() < 1e-5
+
+    def test_cwt_halo_guard(self, testmesh):
+        from syncopy_tpu.ops.wavelet import Morlet, cwt_time_sharded
+
+        # scale so large the halo exceeds the local shard -> explicit error
+        with pytest.raises(ValueError, match="halo"):
+            cwt_time_sharded(np.zeros((1024, 1), "f4"), Morlet(6),
+                             np.array([1.0]), 1.0 / 1000.0, testmesh)
+
+    def test_long_trial_runs_sharded(self, testmesh):
+        from syncopy_tpu.ops.wavelet import Morlet, cwt_time_sharded
+
+        # ~1e6 samples: the full-signal FFT bank would be (S, 2^21) complex
+        # per channel on ONE device; sharded it is 8x smaller per device
+        T = 1 << 20
+        t = np.arange(T, dtype="f4") / 1000.0
+        x = np.sin(2 * np.pi * 40 * t)[:, None].astype("f4")
+        scales = np.array([0.004, 0.008])
+        spec = cwt_time_sharded(x, Morlet(6), scales, 1.0 / 1000.0, testmesh)
+        power = np.abs(np.asarray(spec[:, T // 2 - 512 : T // 2 + 512, 0]))
+        # the 40 Hz scale (0.004 ~ 40 Hz Morlet) dominates mid-signal
+        assert power[0].mean() > power[1].mean()
