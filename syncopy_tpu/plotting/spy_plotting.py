@@ -43,7 +43,7 @@ def _get_plotter(data, single):
         ("CrossSpectralData", True): plot_crossspectral_single,
         ("CrossSpectralData", False): plot_crossspectral_single,
         ("SpikeData", True): plot_spike_single,
-        ("SpikeData", False): plot_spike_single,
+        ("SpikeData", False): plot_spike_multi,
     }
     plotter = table.get((name, single))
     if plotter is None:
@@ -63,9 +63,17 @@ def _select_show(data, show_kwargs):
     return arr
 
 
-def plot_analog_single(data, shifted=True, **show_kwargs):
+def _reuse_or_new(ax, maker, **kwargs):
+    """ax-reuse/overlay support (reference sp_plotting ax handling): draw
+    into a caller-provided axes instead of a fresh figure."""
+    if ax is not None:
+        return ax.figure, ax
+    return maker(**kwargs)
+
+
+def plot_analog_single(data, shifted=True, ax=None, **show_kwargs):
     arr = _select_show(data, dict(show_kwargs))
-    fig, ax = _plt.mk_line_figax()
+    fig, ax = _reuse_or_new(ax, _plt.mk_line_figax)
     time = np.arange(arr.shape[0]) / data.samplerate
     chan_sel = show_kwargs.get("channel")
     labels = _channel_labels(data, chan_sel)
@@ -91,22 +99,28 @@ def plot_analog_multi(data, **show_kwargs):
     return fig, axs
 
 
-def plot_spectral_single(data, logscale=True, **show_kwargs):
-    is_tf = data.data.shape[data.dimord.index("time")] > len(data.trials)
-    if is_tf:
+def _is_time_freq(data):
+    return data.data.shape[data.dimord.index("time")] > len(data.trials)
+
+
+def plot_spectral_single(data, logscale=True, ax=None, **show_kwargs):
+    if _is_time_freq(data):
         arr = _select_show(data, dict(show_kwargs))
         arr = arr.mean(axis=1) if arr.ndim == 4 else arr  # average tapers
-        fig, ax = _plt.mk_img_figax()
+        fig, ax = _reuse_or_new(ax, _plt.mk_img_figax)
         time = np.arange(arr.shape[0]) / data.samplerate
         spec = arr.reshape(arr.shape[0], len(data.freq), -1)[:, :, 0]
         _plt.plot_tfreq(ax, spec.T, time, data.freq)
+        labels = _channel_labels(data, show_kwargs.get("channel"))
+        if labels:
+            ax.set_title(str(labels[0]), fontsize=_plt.pltConfig["sTitleSize"])
         fig.tight_layout()
         return fig, ax
     arr = _select_show(data, dict(show_kwargs))
     arr = np.abs(arr)
     arr = arr.mean(axis=1) if arr.ndim == 4 else arr
     arr = arr.reshape(-1, len(data.freq), arr.shape[-1])[0]
-    fig, ax = _plt.mk_line_figax(xlabel="frequency (Hz)", ylabel="power")
+    fig, ax = _reuse_or_new(ax, _plt.mk_line_figax, xlabel="frequency (Hz)", ylabel="power")
     if logscale:
         ax.set_yscale("log")
     labels = _channel_labels(data, show_kwargs.get("channel"))
@@ -116,13 +130,34 @@ def plot_spectral_single(data, logscale=True, **show_kwargs):
 
 
 def plot_spectral_multi(data, logscale=True, **show_kwargs):
+    labels = _channel_labels(data, show_kwargs.get("channel"))
+    if _is_time_freq(data):
+        # one time-frequency image per channel, shared color scale
+        # (reference mp_plotting.py:90-152)
+        arr = _select_show(data, dict(show_kwargs))
+        arr = arr.mean(axis=1) if arr.ndim == 4 else arr  # average tapers
+        arr = arr.reshape(arr.shape[0], len(data.freq), -1)  # (T, F, C)
+        n_chan = arr.shape[-1]
+        nrows, ncols = _calc_layout(n_chan)
+        fig, axs = _plt.mk_multi_img_figax(nrows, ncols)
+        time = np.arange(arr.shape[0]) / data.samplerate
+        vmax = float(np.abs(arr).max())
+        for k, ax in enumerate(axs.flatten()):
+            if k < n_chan:
+                _plt.plot_tfreq(ax, np.abs(arr[:, :, k]).T, time, data.freq, vmax=vmax)
+                ax.set_title(labels[k] if k < len(labels) else "",
+                             fontsize=_plt.pltConfig["mTitleSize"])
+            else:
+                ax.axis("off")
+        fig.tight_layout()
+        fig.subplots_adjust(wspace=0.05)
+        return fig, axs
     arr = _select_show(data, dict(show_kwargs))
     arr = np.abs(arr)
     arr = arr.mean(axis=1) if arr.ndim == 4 else arr
     arr = arr.reshape(-1, len(data.freq), arr.shape[-1])[0]
     nrows, ncols = _calc_layout(arr.shape[-1])
     fig, axs = _plt.mk_multi_line_figax(nrows, ncols, xlabel="frequency (Hz)", ylabel="power")
-    labels = _channel_labels(data, show_kwargs.get("channel"))
     for k, ax in enumerate(axs.flatten()):
         if k < arr.shape[-1]:
             ax.plot(np.asarray(data.freq), arr[:, k])
@@ -155,18 +190,89 @@ def plot_crossspectral_single(data, **show_kwargs):
     return fig, ax
 
 
-def plot_spike_single(data, **show_kwargs):
-    trials = show_kwargs.pop("trials", None)
-    arr = data.show(squeeze=False, trials=trials, **show_kwargs)
-    if isinstance(arr, list):
-        arr = np.concatenate([a for a in arr], axis=0)
-    fig, ax = _plt.mk_line_figax(xlabel="time (s)", ylabel="unit")
+def _spike_axis_labels(data, on_yaxis):
+    if on_yaxis == "unit":
+        return [str(u) for u in np.asarray(data.unit)]
+    if on_yaxis == "channel":
+        return [str(c) for c in np.asarray(data.channel)]
+    return None
+
+
+def _raster_one_trial(ax, data, arr, on_yaxis):
+    """Scatter one trial's spikes with `on_yaxis` ('unit' or 'channel')
+    grouping the y coordinate (reference spike_plotting.py:21-84)."""
     scol = data.dimord.index("sample")
-    ucol = data.dimord.index("unit")
+    ycol = data.dimord.index(on_yaxis)
     times = arr[:, scol] / data.samplerate
-    ax.scatter(times, arr[:, ucol], s=2, marker="|")
+    ax.scatter(times, arr[:, ycol], s=4, marker="|")
+
+
+def plot_spike_single(data, on_yaxis="unit", ax=None, **show_kwargs):
+    """
+    Spike raster with `on_yaxis` in {'unit', 'channel', 'trials'}
+    (reference spike_plotting.py:21-84): 'unit'/'channel' rasterize one
+    trial grouped by that id; 'trials' rasterizes ONE unit across trials
+    (select it via ``unit=``).
+    """
+    if on_yaxis not in ("unit", "channel", "trials"):
+        raise SPYError("on_yaxis must be 'unit', 'channel' or 'trials'")
+    trials = show_kwargs.pop("trials", None)
+
+    if on_yaxis == "trials":
+        arrs = data.show(squeeze=False, trials=trials, **show_kwargs)
+        if not isinstance(arrs, list):
+            arrs = [arrs]
+        ucol = data.dimord.index("unit")
+        units = np.unique(np.concatenate([a[:, ucol] for a in arrs if len(a)]))
+        if units.size != 1:
+            raise SPYError("Please select a single unit for on_yaxis='trials'")
+        fig, ax = _reuse_or_new(ax, _plt.mk_line_figax, xlabel="time (s)", ylabel="trials")
+        scol = data.dimord.index("sample")
+        for k, a in enumerate(arrs):
+            ax.scatter(a[:, scol] / data.samplerate, np.full(len(a), k), s=4, marker="|")
+        labels = ["trial" + str(k) for k in range(len(arrs))]
+        ax.set_title(str(np.asarray(data.unit)[int(units[0])]))
+    else:
+        if trials is None and len(data.trials) > 1:
+            SPYWarning("Plotting only the first trial; use `trials=` to select")
+            trials = 0
+        arr = data.show(squeeze=False, trials=trials, **show_kwargs)
+        if isinstance(arr, list):
+            arr = arr[0]
+        fig, ax = _reuse_or_new(ax, _plt.mk_line_figax, xlabel="time (s)", ylabel=on_yaxis)
+        _raster_one_trial(ax, data, arr, on_yaxis)
+        labels = _spike_axis_labels(data, on_yaxis)
+    if labels is not None and len(labels) <= 25:
+        ax.set_yticks(np.arange(len(labels)), labels)
+        ax.set_ylabel("")
     fig.tight_layout()
     return fig, ax
+
+
+def plot_spike_multi(data, on_yaxis="unit", **show_kwargs):
+    """One raster panel per trial (max 25), spikes grouped by `on_yaxis`
+    (reference spike_plotting.py:87-180)."""
+    if on_yaxis not in ("unit", "channel"):
+        raise SPYError("on_yaxis must be 'unit' or 'channel' for multipanel rasters")
+    trials = show_kwargs.pop("trials", None)
+    arrs = data.show(squeeze=False, trials=trials, **show_kwargs)
+    if not isinstance(arrs, list):
+        arrs = [arrs]
+    if len(arrs) > 25:
+        raise SPYError("Please select at most 25 trials for multipanel rasters")
+    nrows, ncols = _calc_layout(len(arrs))
+    fig, axs = _plt.mk_multi_line_figax(nrows, ncols, xlabel="time (s)", ylabel=on_yaxis)
+    labels = _spike_axis_labels(data, on_yaxis)
+    for k, ax in enumerate(axs.flatten()):
+        if k < len(arrs):
+            _raster_one_trial(ax, data, arrs[k], on_yaxis)
+            ax.set_title("trial" + str(k), fontsize=_plt.pltConfig["mTitleSize"])
+            if labels is not None and len(labels) <= 25:
+                ax.set_yticks(np.arange(len(labels)), labels)
+        else:
+            ax.axis("off")
+    fig.tight_layout()
+    return fig, axs
 
 
 def _channel_labels(data, chan_sel):
