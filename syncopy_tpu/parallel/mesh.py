@@ -150,7 +150,13 @@ def resolve_parallel(parallel=None):
     if parallel:
         n_dev = len(jax.devices())
         if n_dev == 1:
-            get_logger().info("parallel=True but only one device visible; running single-device")
+            from ..shared.errors import SPYWarning
+
+            SPYWarning(
+                "`parallel=True` but only ONE device is visible — no mesh to "
+                "build, running single-device (the analog of the reference's "
+                "'no parallel computing client found')"
+            )
             return None
         return make_mesh()
     return None

@@ -88,7 +88,47 @@ def unwrap_cfg(func):
 
         return func(*args, **kwargs)
 
+    _amend_docstring_and_signature(func, wrapper_cfg)
     return wrapper_cfg
+
+
+def _amend_docstring_and_signature(func, wrapper):
+    """Advertise the ``cfg`` calling convention on the wrapped frontend:
+    append a usage note to the docstring and add a ``cfg=None`` keyword to
+    the exposed signature (reference kwarg_decorators.py:200-299 performs
+    the same amendment so `help(frontend)` documents cfg support)."""
+    import inspect
+
+    note = (
+        "\n\n    Notes\n    -----\n"
+        "    This function supports FieldTrip-style ``cfg`` usage: collect\n"
+        "    all options in a config dict/StructDict and call\n"
+        "    ``{name}(cfg)`` (with ``cfg.data`` / ``cfg.dataset`` set) or\n"
+        "    ``{name}(data, cfg)``. Entries of ``cfg`` become keyword\n"
+        "    arguments; a stored ``out.cfg`` can be passed back to replay\n"
+        "    an analysis.\n"
+    ).format(name=func.__name__)
+    if wrapper.__doc__:
+        wrapper.__doc__ = wrapper.__doc__.rstrip() + note
+    else:
+        wrapper.__doc__ = note.lstrip()
+    try:
+        sig = inspect.signature(func)
+        if "cfg" not in sig.parameters:
+            params = [
+                p for p in sig.parameters.values()
+                if p.kind is not inspect.Parameter.VAR_KEYWORD
+            ]
+            var_kw = [
+                p for p in sig.parameters.values()
+                if p.kind is inspect.Parameter.VAR_KEYWORD
+            ]
+            params.append(
+                inspect.Parameter("cfg", inspect.Parameter.KEYWORD_ONLY, default=None)
+            )
+            wrapper.__signature__ = sig.replace(parameters=params + var_kw)
+    except (ValueError, TypeError):
+        pass
 
 
 def unwrap_select(func):
@@ -122,12 +162,17 @@ def unwrap_select(func):
 
 def detect_parallel_client(func):
     """
-    Resolve the ``parallel`` keyword: ``None`` picks up an active mesh
-    (the analog of a running Dask client), ``True`` builds a mesh over all
-    devices, ``False`` forces single-device execution. The resolved value is
-    passed through to the frontend as ``parallel``.
+    Validate the ``parallel`` keyword at the frontend boundary and pass it
+    through unchanged; the actual detection happens later, in
+    :func:`~syncopy_tpu.parallel.mesh.resolve_parallel`, once the engine
+    runs: ``None`` picks up the process-global active mesh (the analog of
+    the reference detecting a running Dask client), ``True`` builds a mesh
+    over all visible devices (warns and degrades when only one device
+    exists), ``False`` forces single-device execution.
 
-    Reference kwarg_decorators.py:415-584.
+    Reference kwarg_decorators.py:415-584 (there, the decorator itself
+    queries the Dask runtime; here mesh state is cheap process-global
+    state, so resolution is deferred to compute time).
     """
 
     @functools.wraps(func)

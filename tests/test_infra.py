@@ -238,3 +238,26 @@ class TestChainedCfgReplay:
         coh2 = spy.connectivityanalysis(spec2, coh.cfg)
         assert np.allclose(np.asarray(coh.data), np.asarray(coh2.data))
         assert list(coh2.cfg.keys()) == list(coh.cfg.keys())
+
+
+class TestFrontendDocAmendment:
+    """unwrap_cfg amends the public docstring/signature so `help(frontend)`
+    documents the cfg convention (reference kwarg_decorators.py:200-299)."""
+
+    def test_signature_gains_cfg(self):
+        import inspect
+
+        for fe in (spy.freqanalysis, spy.connectivityanalysis, spy.preprocessing,
+                   spy.resampledata, spy.mean):
+            sig = inspect.signature(fe)
+            assert "cfg" in sig.parameters, fe.__name__
+            assert sig.parameters["cfg"].default is None
+
+    def test_docstring_mentions_cfg(self):
+        assert "cfg" in spy.freqanalysis.__doc__
+        assert "FieldTrip-style" in spy.connectivityanalysis.__doc__
+
+    def test_get_defaults_excludes_cfg(self):
+        from syncopy_tpu.shared.tools import get_defaults
+
+        assert "cfg" not in get_defaults(spy.freqanalysis)
