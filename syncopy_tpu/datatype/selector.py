@@ -76,7 +76,8 @@ def _label_or_index_selection(values, labels, varname):
                 raise SPYValueError(legal="integer index", varname=varname, actual=str(v))
             if iv < -n or iv >= n:
                 raise SPYValueError(
-                    legal="index in [-{}, {})".format(n, n), varname=varname, actual=str(iv)
+                    legal="existing names or indices (index in [-{}, {}))".format(n, n),
+                    varname=varname, actual=str(iv),
                 )
             out.append(iv % n)
         else:
@@ -133,11 +134,15 @@ class Selector:
         ids = []
         for t in trials:
             it = int(t)
-            if it != t or it < -n_tot or it >= n_tot:
+            if it != t or it < 0 or it >= n_tot:
+                # reference rejects negative/out-of-range indices outright
+                # ("all array elements to be bound", test_selectdata.py:151)
                 raise SPYValueError(
-                    legal="trial indices in [0, {})".format(n_tot), varname="trials", actual=str(t)
+                    legal="all array elements to be bound: trial indices in "
+                          "[0, {})".format(n_tot),
+                    varname="trials", actual=str(t),
                 )
-            ids.append(it % n_tot)
+            ids.append(it)
         self.trial_ids = ids
 
     def _select_channels(self, data):
@@ -226,6 +231,26 @@ class Selector:
             tvec = (np.arange(n_samp) + data._t0[tid]) / data.samplerate
             idx = np.where((tvec >= lat_arr[0]) & (tvec <= lat_arr[1]))[0]
             self.time.append(_as_slice_if_possible(idx, n_samp))
+        if self.trial_ids and lat is not None and not (isinstance(lat, str) and lat == "all"):
+            # the window must be fully CONTAINED in at least one selected
+            # trial's time range — partial overlap everywhere is an error
+            # (reference test_selectdata.py:146-149, spike case :522-549)
+            lat_arr = np.atleast_1d(np.asarray(lat, dtype=float))
+            covered = False
+            for tid in self.trial_ids:
+                n_samp = int(data.sampleinfo[tid, 1] - data.sampleinfo[tid, 0])
+                if n_samp < 1:
+                    continue
+                t_lo = data._t0[tid] / data.samplerate
+                t_hi = (n_samp - 1 + data._t0[tid]) / data.samplerate
+                if t_lo <= lat_arr[0] and lat_arr[1] <= t_hi:
+                    covered = True
+                    break
+            if not covered:
+                raise SPYValueError(
+                    legal="at least one trial covering the latency window",
+                    varname="latency", actual=str(lat),
+                )
 
     def _select_discrete(self, data):
         """unit/eventid selections and per-trial row indexers for discrete data."""
@@ -241,8 +266,27 @@ class Selector:
             raise SPYValueError(legal="no 'unit' selection for {}".format(self._data_class), varname="select")
         if "eventid" in dimord:
             if self.select.get("eventid") is not None:
+                # reference semantics (test_selectdata.py:607-650): entries
+                # INDEX the sorted unique event ids, they are not the raw
+                # id values themselves
                 ev = np.atleast_1d(np.asarray(self.select["eventid"]))
-                self.eventid = [int(e) for e in ev]
+                if not np.issubdtype(ev.dtype, np.number):
+                    raise SPYValueError(
+                        legal="expected dtype = numeric event-id indices",
+                        varname="eventid", actual=str(self.select["eventid"]),
+                    )
+                uniq = np.unique(np.asarray(data.data[:, dimord.index("eventid")]))
+                idx = []
+                for e in ev:
+                    ie = int(e)
+                    if ie != e or ie < 0 or ie >= uniq.size:
+                        raise SPYValueError(
+                            legal="existing names or indices of unique event ids "
+                                  "[0, {})".format(uniq.size),
+                            varname="eventid", actual=str(e),
+                        )
+                    idx.append(ie)
+                self.eventid = [uniq[i] for i in idx]
         elif self.select.get("eventid") is not None:
             raise SPYValueError(legal="no 'eventid' selection for {}".format(self._data_class), varname="select")
 
@@ -276,6 +320,26 @@ class Selector:
                     mask &= (tvec >= lat_arr[0]) & (tvec <= lat_arr[1])
                 idx = np.where(mask)[0]
                 self.time.append(_as_slice_if_possible(idx, rows.shape[0]))
+            if self.latency is not None and not (isinstance(self.latency, str) and self.latency == "all"):
+                # same containment rule as continuous data: the window must
+                # lie inside at least one selected trial's time range
+                # (reference test_selectdata.py:522-549)
+                lat_arr = np.atleast_1d(np.asarray(self.latency, dtype=float))
+                covered = False
+                for tid in self.trial_ids:
+                    n_samp = int(data.sampleinfo[tid, 1] - data.sampleinfo[tid, 0])
+                    if n_samp < 1:
+                        continue
+                    t_lo = data._t0[tid] / data.samplerate
+                    t_hi = (n_samp - 1 + data._t0[tid]) / data.samplerate
+                    if t_lo <= lat_arr[0] and lat_arr[1] <= t_hi:
+                        covered = True
+                        break
+                if not covered:
+                    raise SPYValueError(
+                        legal="at least one trial covering the latency window",
+                        varname="latency", actual=str(self.latency),
+                    )
 
     # ------------------------------------------------------------------ #
 

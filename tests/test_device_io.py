@@ -89,3 +89,70 @@ class TestRunOnDevice:
         a = run_on_device(lambda v: v.sum(), np.ones((2, 2), "f4"), key=key)
         b = run_on_device(lambda v: v.sum(), np.ones((3, 3), "f4"), key=key)
         assert float(a) == 4.0 and float(b) == 9.0
+
+
+class TestReducedPrecisionBounds:
+    """Assert the documented error bounds of the reduced-precision
+    transfer paths (CLAUDE.md / BASELINE.md claims)."""
+
+    def test_f16_transfer_coherence_bound(self, monkeypatch):
+        import syncopy_tpu as spy
+        from syncopy_tpu.engine import routine
+
+        # the bench workload (white noise, the context of the documented
+        # <5e-5 bound); strongly autocorrelated data lands nearer ~1e-4
+        d = spy.synthdata.white_noise(nTrials=60, nSamples=500,
+                                      nChannels=8, seed=30, samplerate=200)
+        ref = spy.connectivityanalysis(d, method="coh", tapsmofrq=3)
+        monkeypatch.setattr(routine, "TRANSFER_DTYPE", "float16")
+        d2 = spy.synthdata.white_noise(nTrials=60, nSamples=500,
+                                       nChannels=8, seed=30, samplerate=200)
+        got = spy.connectivityanalysis(d2, method="coh", tapsmofrq=3)
+        dev = np.abs(np.asarray(got.data) - np.asarray(ref.data)).max()
+        assert dev < 5e-5, dev
+
+        # colored AR(2) data: looser but still tight general bound
+        a = spy.synthdata.ar2_network(nTrials=60, samplerate=200,
+                                      nSamples=500, seed=30)
+        monkeypatch.setattr(routine, "TRANSFER_DTYPE", "")
+        ref2 = spy.connectivityanalysis(a, method="coh", tapsmofrq=3)
+        monkeypatch.setattr(routine, "TRANSFER_DTYPE", "float16")
+        a2 = spy.synthdata.ar2_network(nTrials=60, samplerate=200,
+                                       nSamples=500, seed=30)
+        got2 = spy.connectivityanalysis(a2, method="coh", tapsmofrq=3)
+        dev2 = np.abs(np.asarray(got2.data) - np.asarray(ref2.data)).max()
+        assert dev2 < 5e-4, dev2
+
+    def test_f16_readback_power_bound(self, monkeypatch):
+        import syncopy_tpu as spy
+
+        monkeypatch.setenv("SPY_TPU_DEVICE_RESIDENT", "0")
+        d = spy.synthdata.white_noise(nTrials=10, nSamples=512,
+                                      nChannels=4, seed=31)
+        foi = np.linspace(10, 90, 20)
+        ref = spy.freqanalysis(d, method="wavelet", foi=foi, output="pow",
+                               keeptrials=True)
+        monkeypatch.setenv("SPY_TPU_READBACK_DTYPE", "float16")
+        got = spy.freqanalysis(d, method="wavelet", foi=foi, output="pow",
+                               keeptrials=True)
+        r = np.asarray(ref.data)
+        g = np.asarray(got.data)
+        rel = np.abs(g - r) / np.maximum(np.abs(r), np.abs(r).max() * 1e-3)
+        # f16 has an 11-bit mantissa: relative quantization is bounded by
+        # 2^-11 ~= 4.9e-4 (plus the shared-exponent flush guard above)
+        assert rel.max() <= 2.0 ** -11 + 1e-6, rel.max()
+
+    def test_f16_readback_never_downcasts_complex(self, monkeypatch):
+        import syncopy_tpu as spy
+
+        monkeypatch.setenv("SPY_TPU_DEVICE_RESIDENT", "0")
+        monkeypatch.setenv("SPY_TPU_READBACK_DTYPE", "float16")
+        d = spy.synthdata.white_noise(nTrials=4, nSamples=256,
+                                      nChannels=2, seed=32)
+        spec = spy.freqanalysis(d, method="mtmfft", output="fourier",
+                                keeptrials=True)
+        assert np.asarray(spec.data).dtype == np.complex64
+        ref = spy.freqanalysis(d, method="mtmfft", output="fourier",
+                               keeptrials=True)
+        del_env = True  # readback env still set; complex path must be exact
+        assert np.array_equal(np.asarray(spec.data), np.asarray(ref.data))

@@ -52,8 +52,12 @@ class TestEventData:
         codes = np.tile([1, 2], 50)
         evt = spy.EventData(data=np.column_stack([samples, codes]).astype(np.int64), samplerate=1000)
         assert evt.dimord == ["sample", "eventid"]
-        sel = spy.selectdata(evt, eventid=[1])
+        # eventid entries INDEX the sorted unique ids (reference semantics,
+        # test_selectdata.py:607-650): index 0 -> id value 1
+        sel = spy.selectdata(evt, eventid=[0])
         assert np.all(np.asarray(sel.data)[:, 1] == 1)
+        sel2 = spy.selectdata(evt, eventid=[1])
+        assert np.all(np.asarray(sel2.data)[:, 1] == 2)
 
 
 class TestSpikeDataExtras:
