@@ -151,9 +151,15 @@ class DeviceResident:
 
     def materialize(self):
         """Readback into the host array (idempotent); swaps the owner's
-        ``_data`` from the DeferredArray proxy to the real payload."""
-        if self._real is None:
-            self._real = self._materialize_fn(self)
+        ``_data`` from the DeferredArray proxy to the real payload. The
+        in-flight guard prevents re-entry when an OOM-recovery cache sweep
+        fires while this very readback is running."""
+        if self._real is None and not getattr(self, "_materializing", False):
+            self._materializing = True
+            try:
+                self._real = self._materialize_fn(self)
+            finally:
+                self._materializing = False
             owner = self._owner()
             if owner is not None and isinstance(owner._data, DeferredArray):
                 owner._data = self._real
@@ -162,6 +168,8 @@ class DeviceResident:
     def drop_device(self):
         """Release the HBM buffers (materializes first if needed — device
         residency must never lose data)."""
+        if getattr(self, "_materializing", False):
+            return  # an in-flight readback owns the records; keep them
         if self._real is None and self.records is not None:
             self.materialize()
         self.records = None

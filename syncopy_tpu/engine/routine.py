@@ -67,6 +67,53 @@ def _readback_dtype():
 #: host-RAM threshold above which outputs are written to disk-backed HDF5
 DEFAULT_HOST_BUDGET = int(os.environ.get("SPY_TPU_HOST_BYTES", 16 * 1024**3))
 
+#: transient-failure retries per compute chunk (tunneled devices drop
+#: connections; device OOM is retried once after evicting HBM caches)
+DISPATCH_RETRIES = int(os.environ.get("SPY_TPU_RETRIES", 2))
+
+#: error-string markers of transient runtime failures worth retrying
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE", "DEADLINE_EXCEEDED", "Socket closed", "Connection reset",
+    "connection", "ABORTED", "heartbeat",
+)
+
+
+def _dispatch_with_recovery(thunk, rebuild=None, what="device dispatch"):
+    """
+    Failure detection/recovery for device work behind a flaky tunnel
+    (SURVEY §5 aux subsystem; the reference delegates this to Dask worker
+    restarts). Retries `thunk` on transient runtime errors with backoff;
+    on device OOM (RESOURCE_EXHAUSTED) the HBM trial store and resident
+    results are evicted (residents are materialized first — no data loss)
+    before the retry. `rebuild` (optional) reconstructs the thunk's device
+    inputs from host state for attempts after the first.
+    """
+    last = None
+    for attempt in range(DISPATCH_RETRIES + 1):
+        try:
+            if attempt > 0 and rebuild is not None:
+                thunk = rebuild()
+            return thunk()
+        except Exception as exc:  # jax runtime errors subclass differently per version
+            msg = str(exc)
+            oom = "RESOURCE_EXHAUSTED" in msg
+            transient = any(m in msg for m in _TRANSIENT_MARKERS)
+            if attempt >= DISPATCH_RETRIES or not (oom or transient):
+                raise
+            last = exc
+            if oom:
+                get_logger().warning(
+                    "%s: device OOM — evicting HBM caches and retrying", what
+                )
+                clear_device_cache()
+            else:
+                get_logger().warning(
+                    "%s: transient device failure (%s) — retry %d/%d",
+                    what, msg.splitlines()[0][:120], attempt + 1, DISPATCH_RETRIES,
+                )
+                _time.sleep(0.5 * (attempt + 1))
+    raise last
+
 
 #: process-global compiled-function cache: identical (CR class, cfg,
 #: shapes, mesh) reuse the XLA executable across frontend calls — without
@@ -136,9 +183,11 @@ def _materialize_resident(resident):
     sdim = resident.stackingdim
     offsets = resident.offsets
     for rec in resident.records:
-        arr = decode_host(
-            _fetch_readback(rec.dev, rec.enc_shape), resident.was_complex, axis=1
-        )[: len(rec.positions)]
+        fetched = _dispatch_with_recovery(
+            lambda rec=rec: _fetch_readback(rec.dev, rec.enc_shape),
+            what="deferred result readback",
+        )
+        arr = decode_host(fetched, resident.was_complex, axis=1)[: len(rec.positions)]
         for i, pos in enumerate(rec.positions):
             row0, row1 = offsets[pos], offsets[pos + 1]
             sl = [slice(None)] * (arr.ndim - 1)
@@ -687,7 +736,10 @@ class ComputationalRoutine:
                         a = np.concatenate([a, reps], axis=0)
                     da, _ = shard_batch(np.asarray(a), mesh)
                     dev_aux.append(da)
-                res = fn(dev_batch, jnp.asarray(n_valid, dtype=jnp.int32), *dev_aux)
+                res = _dispatch_with_recovery(
+                    lambda: fn(dev_batch, jnp.asarray(n_valid, dtype=jnp.int32), *dev_aux),
+                    what="{} chunk dispatch".format(self.__class__.__name__),
+                )
                 if isinstance(res, tuple):
                     # (output, aux-info dict): aux entries are host-fetched and
                     # accumulated across ALL chunks (reference side-channel
@@ -718,12 +770,18 @@ class ComputationalRoutine:
             _t0 = _time.perf_counter()
             if getattr(self, "_post_fn", None) is not None:
                 acc = self._apply_post_fn(acc, acc_complex)
+                fetched = _dispatch_with_recovery(
+                    lambda: np.asarray(jax.device_get(acc)), what="reduction readback"
+                )
                 if getattr(self, "_post_unpack", None) is not None:
-                    avg = self._post_unpack(np.asarray(jax.device_get(acc)))
+                    avg = self._post_unpack(fetched)
                 else:
-                    avg = decode_host(np.asarray(jax.device_get(acc)), out_complex, axis=0)
+                    avg = decode_host(fetched, out_complex, axis=0)
             else:
-                avg = decode_host(np.asarray(jax.device_get(acc)), acc_complex, axis=0) / self.numTrials
+                fetched = _dispatch_with_recovery(
+                    lambda: np.asarray(jax.device_get(acc)), what="reduction readback"
+                )
+                avg = decode_host(fetched, acc_complex, axis=0) / self.numTrials
             if PROFILE:
                 get_logger().warning("final fetch %.3fs", _time.perf_counter() - _t0)
             host_out[...] = avg.astype(self.dtype, copy=False)
@@ -825,7 +883,10 @@ class ComputationalRoutine:
         return _GLOBAL_JIT_CACHE[key](acc, n)
 
     def _write_chunk(self, host_out, res, enc_shape, chunk_pos, n_valid, offsets, sdim, out_complex):
-        arr = decode_host(_fetch_readback(res, enc_shape), out_complex, axis=1)[:n_valid]
+        fetched = _dispatch_with_recovery(
+            lambda: _fetch_readback(res, enc_shape), what="result readback"
+        )
+        arr = decode_host(fetched, out_complex, axis=1)[:n_valid]
         for i, pos in enumerate(chunk_pos):
             row0, row1 = offsets[pos], offsets[pos + 1]
             sl = [slice(None)] * (arr.ndim - 1)

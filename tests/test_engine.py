@@ -270,3 +270,90 @@ class TestComputeIdempotent:
         out3 = SpectralData(dimord=SpectralData._defaultDimord)
         cr.compute(ad, out3)
         assert out3.data.shape[-1] == 2
+
+
+class TestDispatchRecovery:
+    """Failure detection/recovery (SURVEY §5): transient tunnel errors are
+    retried, device OOM evicts HBM caches before the retry."""
+
+    def test_transient_error_retried(self):
+        from syncopy_tpu.engine.routine import _dispatch_with_recovery
+
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("UNAVAILABLE: Socket closed by remote peer")
+            return 42
+
+        assert _dispatch_with_recovery(flaky, what="test") == 42
+        assert calls["n"] == 2
+
+    def test_oom_evicts_caches(self, monkeypatch):
+        from syncopy_tpu.engine import routine
+
+        evicted = {"n": 0}
+        monkeypatch.setattr(routine, "clear_device_cache",
+                            lambda: evicted.update(n=evicted["n"] + 1))
+        calls = {"n": 0}
+
+        def oom_once():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED: HBM out of memory")
+            return "ok"
+
+        assert routine._dispatch_with_recovery(oom_once, what="test") == "ok"
+        assert evicted["n"] == 1
+
+    def test_permanent_error_raises(self):
+        from syncopy_tpu.engine.routine import _dispatch_with_recovery
+
+        def broken():
+            raise ValueError("a plain logic bug")
+
+        with pytest.raises(ValueError, match="logic bug"):
+            _dispatch_with_recovery(broken, what="test")
+
+    def test_transient_gives_up_after_retries(self, monkeypatch):
+        from syncopy_tpu.engine import routine
+
+        monkeypatch.setattr(routine, "DISPATCH_RETRIES", 1)
+        calls = {"n": 0}
+
+        def always_down():
+            calls["n"] += 1
+            raise RuntimeError("DEADLINE_EXCEEDED: tunnel stuck")
+
+        with pytest.raises(RuntimeError, match="DEADLINE"):
+            routine._dispatch_with_recovery(always_down, what="test")
+        assert calls["n"] == 2
+
+    def test_engine_end_to_end_with_flaky_executable(self, monkeypatch):
+        """A compute whose first chunk dispatch dies transiently must still
+        produce the correct result."""
+        import syncopy_tpu as spy
+        from syncopy_tpu.engine import routine
+
+        d = spy.synthdata.white_noise(nTrials=6, nSamples=256, nChannels=3, seed=44)
+        ref = spy.freqanalysis(d, method="mtmfft", taper="hann")
+
+        real_get = routine.ComputationalRoutine._get_compiled
+        state = {"fail": True}
+
+        def wrap_get(self, *a, **kw):
+            fn = real_get(self, *a, **kw)
+
+            def flaky_fn(*args, **kwargs):
+                if state["fail"]:
+                    state["fail"] = False
+                    raise RuntimeError("UNAVAILABLE: connection dropped")
+                return fn(*args, **kwargs)
+
+            return flaky_fn
+
+        monkeypatch.setattr(routine.ComputationalRoutine, "_get_compiled", wrap_get)
+        d2 = spy.synthdata.white_noise(nTrials=6, nSamples=256, nChannels=3, seed=44)
+        got = spy.freqanalysis(d2, method="mtmfft", taper="hann")
+        assert np.array_equal(np.asarray(got.data), np.asarray(ref.data))
