@@ -9,7 +9,7 @@
 
 import numpy as np
 
-from ..shared.errors import SPYValueError
+from ..shared.errors import SPYTypeError, SPYValueError
 from .base_data import BaseData
 
 __all__ = ["DiscreteData", "SpikeData", "EventData"]
@@ -59,10 +59,25 @@ class DiscreteData(BaseData):
 
     def _set_dataset_property_with_ndarray(self, inData, propertyName, ndim=None):
         if propertyName == "data":
-            inData = np.atleast_2d(np.asarray(inData))
+            inData = np.asarray(inData)
             if inData.ndim != 2:
+                # reference rejects flat arrays outright
+                # (test_discretedata.py:128-130)
                 raise SPYValueError(legal="2-dimensional [nEvents x nCols] array",
                                     varname="data", actual="{}-dim".format(inData.ndim))
+            if inData.shape[0] == 0:
+                raise SPYValueError(legal="non empty data", varname="data",
+                                    actual="0 events")
+            if not np.issubdtype(inData.dtype, np.integer):
+                # sample/channel/unit/eventid columns are indices; NaN or
+                # float payloads are input errors (reference
+                # discrete_data.py data parsing, test :71-77)
+                if not (np.issubdtype(inData.dtype, np.floating)
+                        and np.all(np.isfinite(inData))
+                        and np.array_equal(inData, np.round(inData))):
+                    raise SPYTypeError(inData, varname="data",
+                                       expected="integer like array")
+                inData = inData.astype(np.int64)
         super()._set_dataset_property_with_ndarray(inData, propertyName, ndim=2 if propertyName == "data" else ndim)
 
     def _set_dataset_property_with_list(self, inData, propertyName, ndim=None):
@@ -163,7 +178,32 @@ class SpikeData(DiscreteData):
         if chan is None:
             self._channel = None
             return
-        self._channel = np.array([str(c) for c in chan])
+        if self.data is None:
+            raise SPYValueError(
+                legal="data first — cannot assign `channel` without data",
+                varname="channel",
+            )
+        chan = np.array([str(c) for c in chan])
+        # labels are DENSE over 0..max id (deviation from the reference,
+        # which labels only the unique ids present); a label list sized to
+        # the unique ids is expanded onto the dense grid
+        n_dense = int(self.channel_idx.max()) + 1 if self.channel_idx.size else 0
+        uniq = self.channel_idx
+        if chan.size == n_dense:
+            self._channel = chan
+        elif chan.size == uniq.size:
+            # build as a python list: numpy fixed-width strings would
+            # truncate labels longer than the default names
+            dense = ["channel" + str(i + 1) for i in range(n_dense)]
+            for pos, lab in zip(uniq.astype(int), chan):
+                dense[pos] = str(lab)
+            self._channel = np.array(dense)
+        else:
+            raise SPYValueError(
+                legal="exactly {} (dense) or {} (per present id) channel "
+                      "labels".format(n_dense, uniq.size),
+                varname="channel", actual=str(chan.size),
+            )
 
     # -- unit ---------------------------------------------------------- #
 
@@ -187,7 +227,27 @@ class SpikeData(DiscreteData):
         if unit is None:
             self._unit = None
             return
-        self._unit = np.array([str(u) for u in unit])
+        if self.data is None:
+            raise SPYValueError(
+                legal="data first — cannot assign `unit` without data",
+                varname="unit",
+            )
+        unit = np.array([str(u) for u in unit])
+        n_dense = int(self.unit_idx.max()) + 1 if self.unit_idx.size else 0
+        uniq = self.unit_idx
+        if unit.size == n_dense:
+            self._unit = unit
+        elif unit.size == uniq.size:
+            dense = ["unit" + str(i + 1) for i in range(n_dense)]
+            for pos, lab in zip(uniq.astype(int), unit):
+                dense[pos] = str(lab)
+            self._unit = np.array(dense)
+        else:
+            raise SPYValueError(
+                legal="exactly {} (dense) or {} (per present id) unit "
+                      "labels".format(n_dense, uniq.size),
+                varname="unit", actual=str(unit.size),
+            )
 
     # -- waveform ------------------------------------------------------ #
 

@@ -36,6 +36,19 @@ def definetrial(obj, trialdefinition=None, pre=None, post=None, start=None,
         _attach(obj, trl)
         return
 
+    if trialdefinition is None and (trigger is not None or start is not None):
+        # event codes from the object ITSELF (reference: evt.definetrial(
+        # pre=..., trigger=...), test_discretedata.py:377-382)
+        if not isinstance(obj, EventData):
+            raise SPYValueError(
+                legal="an EventData source (pass `trialdefinition=`) for "
+                      "code-based trial definition", varname="trialdefinition",
+            )
+        trl = _trials_from_events(obj, obj, pre=pre, post=post, start=start,
+                                  trigger=trigger, stop=stop, clip_edges=clip_edges)
+        _attach(obj, trl)
+        return
+
     if isinstance(trialdefinition, EventData) or (isinstance(trialdefinition, BaseData) and (pre is not None or trigger is not None or start is not None)):
         evt = trialdefinition
         trl = _trials_from_events(evt, obj, pre=pre, post=post, start=start,
@@ -97,7 +110,12 @@ def _attach(obj, trl):
 
 def _trials_from_events(evt, target, pre=None, post=None, start=None,
                         trigger=None, stop=None, clip_edges=False):
-    """Build a trl array from EventData trigger codes (reference :200+)."""
+    """Build a trl array from EventData trigger codes (reference :200+).
+
+    Event samples live on the EVENT object's clock; the returned bounds are
+    in TARGET samples (the two samplerates may differ — reference
+    tests/test_discretedata.py:366-430). `start`/`stop` may be scalars (all
+    matching pairs) or equal-length sequences consumed in order."""
     if evt.samplerate is None or target.samplerate is None:
         raise SPYError("Both objects need a samplerate for event-based trial definition")
     data = np.asarray(evt.data)
@@ -108,14 +126,23 @@ def _trials_from_events(evt, target, pre=None, post=None, start=None,
     nsamp_target = _payload_samples(target)
     rows = []
 
+    def to_target(evt_samples):
+        """Event-clock samples -> target-clock samples."""
+        if evt is target or evt.samplerate == target.samplerate:
+            return np.asarray(evt_samples, dtype=np.int64)
+        sec = np.asarray(evt_samples, dtype=float) / evt.samplerate
+        return np.round(sec * target.samplerate).astype(np.int64)
+
     if trigger is not None:
         if pre is None or post is None:
             raise SPYValueError(legal="both `pre` and `post` with `trigger`", varname="pre/post")
         pre_smp = int(round(pre * target.samplerate))
-        post_smp = int(round(post * target.samplerate))
         for smp in samples[codes == trigger]:
-            t_start = smp - pre_smp
-            t_stop = smp + post_smp
+            # round the final bound SECONDS onto the target clock (reference
+            # formula: sinfo = round((t_evt/sr_e -/+ pre/post) * sr_target))
+            t_sec = float(smp) / evt.samplerate
+            t_start = int(round((t_sec - pre) * target.samplerate))
+            t_stop = int(round((t_sec + post) * target.samplerate))
             offset = -pre_smp
             if t_start < 0 or t_stop > nsamp_target:
                 if not clip_edges:
@@ -126,15 +153,40 @@ def _trials_from_events(evt, target, pre=None, post=None, start=None,
                 t_stop = min(t_stop, nsamp_target)
             rows.append([t_start, t_stop, offset])
     elif start is not None and stop is not None:
-        start_samples = samples[codes == start]
-        stop_samples = samples[codes == stop]
-        for s0 in start_samples:
-            later = stop_samples[stop_samples > s0]
-            if later.size == 0:
-                if clip_edges:
-                    rows.append([s0, nsamp_target, 0])
-                continue
-            rows.append([s0, int(later[0]), 0])
+        if np.ndim(start) > 0 or np.ndim(stop) > 0:
+            # sequences: consume codes strictly in order — find the k-th
+            # start code, then the k-th stop code AFTER it, advance
+            # (reference definetrial.py start/stop array semantics)
+            starts = np.atleast_1d(np.asarray(start))
+            stops = np.atleast_1d(np.asarray(stop))
+            if starts.size != stops.size:
+                raise SPYValueError(
+                    legal="equally long `start` and `stop` code sequences",
+                    varname="start/stop",
+                )
+            pos = 0
+            for s_code, e_code in zip(starts, stops):
+                s_hits = np.where(codes[pos:] == s_code)[0]
+                if s_hits.size == 0:
+                    break
+                s_idx = pos + s_hits[0]
+                e_hits = np.where(codes[s_idx + 1 :] == e_code)[0]
+                if e_hits.size == 0:
+                    break
+                e_idx = s_idx + 1 + e_hits[0]
+                s_t, e_t = to_target([samples[s_idx], samples[e_idx]])
+                rows.append([s_t, e_t, 0])
+                pos = e_idx + 1
+        else:
+            start_samples = to_target(samples[codes == start])
+            stop_samples = to_target(samples[codes == stop])
+            for s0 in start_samples:
+                later = stop_samples[stop_samples > s0]
+                if later.size == 0:
+                    if clip_edges:
+                        rows.append([s0, nsamp_target, 0])
+                    continue
+                rows.append([s0, int(later[0]), 0])
     else:
         raise SPYValueError(legal="`trigger` (+pre/post) or `start`+`stop` codes", varname="definetrial")
 
