@@ -702,7 +702,12 @@ class ComputationalRoutine:
             chunk = pad_to_multiple(max(chunk, n_shard), n_shard)
 
             in_complex = np.issubdtype(np.dtype(data.data.dtype), np.complexfloating)
-            fn = self._get_compiled(shp, mesh, in_complex)
+            # complex aux inputs (e.g. a complex trial average) must cross
+            # the host->device boundary encoded as real pairs, exactly like
+            # the main batch (complex transfers are UNIMPLEMENTED on some
+            # TPU runtimes)
+            aux_complex = tuple(np.iscomplexobj(np.asarray(a[:1])) for a in aux_all)
+            fn = self._get_compiled(shp, mesh, in_complex, aux_complex)
 
             # channel mesh axis: shard the data's channel dimension too (the
             # reference's chan_per_worker analog); batch axis 0 is the trial
@@ -734,6 +739,7 @@ class ComputationalRoutine:
                         # repetition is safe for any aux semantic)
                         reps = np.repeat(a[-1:], chunkN - a.shape[0], axis=0)
                         a = np.concatenate([a, reps], axis=0)
+                    a, _ = encode_host(a, axis=1)
                     da, _ = shard_batch(np.asarray(a), mesh)
                     dev_aux.append(da)
                 res = _dispatch_with_recovery(
@@ -893,13 +899,14 @@ class ComputationalRoutine:
             sl[sdim] = slice(row0, row1)
             host_out[tuple(sl)] = arr[i]
 
-    def _get_compiled(self, shp, mesh, in_complex=False):
+    def _get_compiled(self, shp, mesh, in_complex=False, aux_complex=()):
         key = (
             self.__class__.__qualname__,
             _cfg_fingerprint(self.cfg),
             shp,
             mesh if mesh is None else tuple(mesh.shape.items()),
             in_complex,
+            aux_complex,
             self.keeptrials,
             _readback_dtype(),
         )
@@ -912,6 +919,9 @@ class ComputationalRoutine:
 
             def batched(batch, n_valid, *aux):
                 batch = decode_in_jit(batch, in_complex, axis=1)
+                aux = tuple(
+                    decode_in_jit(a, f, axis=1) for a, f in zip(aux, aux_complex)
+                )
                 aux_info = None
                 if not keeptrials and has_sum:
                     # fused masked trial-sum: avoids materializing per-trial

@@ -357,3 +357,34 @@ class TestDispatchRecovery:
         d2 = spy.synthdata.white_noise(nTrials=6, nSamples=256, nChannels=3, seed=44)
         got = spy.freqanalysis(d2, method="mtmfft", taper="hann")
         assert np.array_equal(np.asarray(got.data), np.asarray(ref.data))
+
+
+class TestComplexBoundaryInvariant:
+    """No complex array may ever cross the host->device boundary (complex
+    transfers are UNIMPLEMENTED on the target TPU runtime): the engine must
+    encode the main batch AND auxiliary per-trial inputs as real pairs."""
+
+    def test_aux_inputs_cross_encoded(self, monkeypatch):
+        import syncopy_tpu as spy
+        from syncopy_tpu.parallel import mesh as mesh_mod
+        from syncopy_tpu.engine import routine
+
+        seen = []
+        real_shard = mesh_mod.shard_batch
+
+        def checking_shard(batch, m, channel_axis_pos=None):
+            seen.append(np.asarray(batch).dtype)
+            assert not np.iscomplexobj(batch), "complex host->device transfer"
+            return real_shard(batch, m, channel_axis_pos=channel_axis_pos)
+
+        monkeypatch.setattr(routine, "shard_batch", checking_shard)
+        monkeypatch.setenv("SPY_TPU_DEVICE_RESIDENT", "0")
+
+        d = spy.synthdata.white_noise(nTrials=8, nSamples=256, nChannels=3, seed=50)
+        spec = spy.freqanalysis(d, method="mtmfft", output="fourier", keeptrials=True)
+        # jackknife drives the complex-aux path: the LOO average is complex
+        coh = spy.connectivityanalysis(d, method="coh", jackknife=True)
+        # complex trial statistics (centered second moment aux = complex mean)
+        spy.var(spec, dim="trials")
+        assert seen, "shard_batch never called"
+        assert all(not np.issubdtype(dt, np.complexfloating) for dt in seen)
