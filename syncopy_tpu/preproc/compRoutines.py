@@ -34,7 +34,16 @@ __all__ = [
 
 
 class _PreprocRoutine(ComputationalRoutine):
-    """Shared metadata: same-shape AnalogData output, properties carried."""
+    """Shared metadata: same-shape AnalogData output, properties carried.
+
+    Filtering/detrending routines report a per-trial ``has_nan`` flag
+    through the engine's aux side-channel (reference compRoutines.py:256,
+    718 collects the same metadata per worker); the frontend exposes it as
+    ``out.info['nan_trials']``."""
+
+    @staticmethod
+    def _nan_info(trial):
+        return {"has_nan": jnp.any(jnp.isnan(trial))}
 
     def process_metadata(self, data, out):
         sel = self.selector
@@ -73,8 +82,9 @@ class SincFiltering(_PreprocRoutine):
         if cfg["direction"] == "twopass":
             y = apply_fir(x, kernel)
             y = apply_fir(y[::-1], kernel)[::-1]
-            return y
-        return apply_fir(x, kernel)
+        else:
+            y = apply_fir(x, kernel)
+        return y, self._nan_info(trial)
 
 
 class ButFiltering(_PreprocRoutine):
@@ -96,8 +106,10 @@ class ButFiltering(_PreprocRoutine):
 
         x = detrend(trial.astype(jnp.float32), cfg["polyremoval"], axis=0)
         if cfg["direction"] == "twopass":
-            return sosfiltfilt(cfg["sos"], x).astype(jnp.float32)
-        return sosfilt(cfg["sos"], x).astype(jnp.float32)
+            y = sosfiltfilt(cfg["sos"], x).astype(jnp.float32)
+        else:
+            y = sosfilt(cfg["sos"], x).astype(jnp.float32)
+        return y, self._nan_info(trial)
 
 
 class Rectify(_PreprocRoutine):
@@ -191,7 +203,8 @@ class Detrending(_PreprocRoutine):
         super().__init__(polyremoval=polyremoval)
 
     def process_single_trial(self, trial, **cfg):
-        return detrend(trial.astype(jnp.float32), cfg["polyremoval"], axis=0)
+        y = detrend(trial.astype(jnp.float32), cfg["polyremoval"], axis=0)
+        return y, self._nan_info(trial)
 
 
 class Standardize(_PreprocRoutine):
@@ -207,4 +220,4 @@ class Standardize(_PreprocRoutine):
         x = detrend(trial.astype(jnp.float32), cfg["polyremoval"], axis=0)
         mean = jnp.mean(x, axis=0, keepdims=True)
         std = jnp.std(x, axis=0, keepdims=True)
-        return (x - mean) / std
+        return (x - mean) / std, self._nan_info(trial)

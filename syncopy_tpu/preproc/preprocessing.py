@@ -166,4 +166,9 @@ def _run_chain_step(cr, data, keeptrials, parallel, log_dict):
     out = AnalogData(dimord=data.dimord)
     cr.initialize(data, out._stackingDim, keeptrials=keeptrials)
     cr.compute(data, out, parallel=parallel, log_dict=log_dict)
+    # per-trial NaN flags from the aux side-channel -> trial indices
+    # (reference res.info['nan_trials'], compRoutines.py:256)
+    has_nan = cr.aux_info.get("has_nan")
+    if has_nan is not None:
+        out.info["nan_trials"] = [int(i) for i in np.where(np.asarray(has_nan))[0]]
     return out

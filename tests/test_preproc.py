@@ -234,3 +234,44 @@ class TestPreprocSelection:
             data, method="downsample", resamplefs=500, select={"trials": [1]}
         )
         assert len(out.trials) == 1
+
+
+class TestNaNMetadata:
+    """Per-trial NaN flags through the aux side-channel
+    (reference test_preproc.py:251-271)."""
+
+    def _nan_data(self):
+        arr = [(i + 1.0) * np.ones((20, 3), dtype="f4") for i in range(5)]
+        arr[1][5, 1] = np.nan
+        arr[4][10:15, 2] = np.nan
+        return spy.AnalogData(data=arr, samplerate=50)
+
+    def test_but_nan_trials(self):
+        res = spy.preprocessing(self._nan_data(), filter_class="but",
+                                filter_type="lp", freq=20)
+        assert res.info["nan_trials"] == [1, 4]
+        # IIR filters cannot work around NaNs: affected trials are all-NaN
+        assert np.isnan(np.asarray(res.trials[1])[:, 1]).all()
+        assert not np.isnan(np.asarray(res.trials[0])).any()
+
+    def test_firws_nan_trials(self):
+        res = spy.preprocessing(self._nan_data(), filter_class="firws",
+                                filter_type="lp", freq=20, order=40)
+        assert res.info["nan_trials"] == [1, 4]
+
+    def test_detrend_nan_trials(self):
+        res = spy.preprocessing(self._nan_data(), filter_class=None, polyremoval=1)
+        assert res.info["nan_trials"] == [1, 4]
+
+    def test_clean_data_empty_list(self):
+        clean = spy.synthdata.white_noise(nTrials=3, nSamples=64, nChannels=2, seed=0)
+        res = spy.preprocessing(clean, filter_class="but", filter_type="lp", freq=100)
+        assert res.info["nan_trials"] == []
+
+    def test_nan_flags_with_chunking(self, monkeypatch):
+        from syncopy_tpu.engine import routine
+
+        monkeypatch.setattr(routine, "MAX_CHUNK_TRIALS", 2)
+        res = spy.preprocessing(self._nan_data(), filter_class="but",
+                                filter_type="lp", freq=20)
+        assert res.info["nan_trials"] == [1, 4]
