@@ -452,6 +452,20 @@ def regularize_csd(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
     # 197-262) — same selection, one eigvalsh instead of nSteps*nFreq SVDs.
     CSDh = (CSD + jnp.conj(jnp.swapaxes(CSD, -1, -2))) / 2
     lam = jnp.linalg.eigvalsh(CSDh).astype(rdtype)  # (F, N)
+    # PSD repair: the MXU accumulates the trial sum sequentially in f32, so
+    # a many-trial CSD can carry tiny NEGATIVE (or near-singular) smallest
+    # eigenvalues (measured ~3e-5 relative at 1000 trials). An indefinite
+    # matrix has no Wilson factorization and a near-singular one breaks the
+    # float32 iteration — lift each offending frequency's spectrum to a
+    # small floor relative to its own diagonal power; healthy bins are
+    # untouched.
+    lam_min = lam.min(axis=1)  # (F,)
+    bin_scale = jnp.abs(lam).max(axis=1)  # (F,)
+    lam_floor = 1e-6 * bin_scale
+    psd_shift = jnp.maximum(lam_floor - lam_min, jnp.zeros((), rdtype))
+    psd_shift = jnp.where(lam_min < lam_floor, psd_shift, jnp.zeros((), rdtype))
+    CSD = CSD + (psd_shift[:, None, None] * jnp.eye(CSD.shape[1], dtype=CSD.dtype))
+    lam = lam + psd_shift[:, None]
     shifted = jnp.abs(lam[None] + epsilons[:, None, None])  # (E+1, F, N)
     conds = (shifted.max(axis=2) / shifted.min(axis=2)).max(axis=1)  # (E+1,)
     ok = conds < cond_max
@@ -529,9 +543,16 @@ def wilson_sf_host(CSD, nIter=100, rtol=1e-6):
 
 
 def regularize_csd_host(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
-    """Host-side counterpart of :func:`regularize_csd`."""
+    """Host-side counterpart of :func:`regularize_csd` (incl. PSD repair of
+    float32-accumulated trial sums)."""
     CSD = np.asarray(CSD, dtype=np.complex128)
     I = np.eye(CSD.shape[1])
+    CSDh = (CSD + np.conj(np.swapaxes(CSD, 1, 2))) / 2
+    lam = np.linalg.eigvalsh(CSDh)
+    lam_min = lam.min(axis=1)
+    lam_floor = 1e-6 * np.abs(lam).max(axis=1)
+    psd_shift = np.where(lam_min < lam_floor, lam_floor - lam_min, 0.0)
+    CSD = CSD + psd_shift[:, None, None] * I
     ini = float(np.linalg.cond(CSD).max())
     if ini < cond_max:
         return CSD, 0.0, ini

@@ -10,7 +10,26 @@ import jax.numpy as jnp
 
 from ..engine.routine import ComputationalRoutine
 
-__all__ = ["NumpyStatDim", "Covariance", "TrialReduce", "LOOAverage"]
+__all__ = ["NumpyStatDim", "Covariance", "TrialReduce", "LOOAverage", "EngineScratch"]
+
+
+class EngineScratch:
+    """Duck-typed output target for engine-internal passes whose result is
+    not a valid data-class payload (e.g. a (nTrials, C, C) covariance
+    stack): plain attributes, no shape validation, no persistence."""
+
+    def __init__(self):
+        self._log = ""
+        self._data = None
+        self._device_resident = None
+        self.data = None
+        self.log = ""
+
+    @property
+    def filename(self):
+        from ..datatype.util import gen_session_filename
+
+        return gen_session_filename(".scratch")
 
 
 def _batch_mask(batch, n_valid):

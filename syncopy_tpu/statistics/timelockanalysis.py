@@ -12,6 +12,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..datatype.continuous_data import TimeLockData
+from ..engine.routine import ComputationalRoutine
 from ..shared.errors import SPYTypeError, SPYValueError, SPYInfo
 from ..shared.input_processors import check_passed_kwargs
 from ..shared.kwarg_decorators import detect_parallel_client, unwrap_cfg, unwrap_select
@@ -20,6 +21,19 @@ from ..shared.parsers import data_parser
 from ..shared.tools import get_defaults, get_frontend_cfg
 
 __all__ = ["timelockanalysis"]
+
+
+class _TimeLockCopy(ComputationalRoutine):
+    """Chunked identity pass: stream the (selected, time-locked) trials
+    into the output payload without a whole-ensemble host stack."""
+
+    valid_kws = []
+
+    def process_single_trial(self, trial, **cfg):
+        return trial
+
+    def process_metadata(self, data, out):
+        pass  # the frontend attaches the trialdefinition itself
 
 
 @unwrap_cfg
@@ -78,33 +92,56 @@ def timelockanalysis(
         data.selection = select
         sel = data.selection
 
-        arrs = [sel.select_trial_array(data, k) for k in range(len(sel.trial_ids))]
-        shapes = {a.shape for a in arrs}
-        if len(shapes) > 1:
-            raise SPYValueError(
-                legal="time-locked trials of equal length", varname="latency",
-                actual="trial shapes {}".format(sorted(shapes)),
-            )
-        stack = jnp.asarray(np.stack(arrs))  # (nTrials, nTime, nChannel)
-        n_trials = stack.shape[0]
+        # streamed engine passes (reference streams per trial through one
+        # worker, summary_stats-style; a host np.stack of the whole
+        # ensemble would be unbounded): trial mean, exact two-pass
+        # variance, covariance CR, and — for keeptrials — a chunked
+        # identity copy. All consume device-resident inputs in HBM.
+        from .compRoutines import Covariance
+        from .summary_stats import _run_trial_reduce, _streamed_trial_mean
 
-        avg = jnp.mean(stack, axis=0)
-        var_ddof = 1 if n_trials > 1 else 0
-        var = jnp.var(stack, axis=0, ddof=var_ddof)
+        n_trials = len(sel.trial_ids)
+        try:
+            avg = _streamed_trial_mean(data, parallel=parallel)
+        except SPYValueError as exc:
+            if "same shape" in str(exc) or "identical trial shapes" in str(exc):
+                raise SPYValueError(
+                    legal="time-locked trials of equal length", varname="latency",
+                    actual=str(exc),
+                )
+            raise
+        _, m2_out = _run_trial_reduce(
+            data, "centered_sq", parallel=parallel, center=avg,
+            log_dict={"operation": "timelock var"},
+        )
+        var = np.asarray(m2_out.data)
+        if n_trials > 1:
+            var = var * (n_trials / (n_trials - 1.0))
 
         cov = None
         if covariance:
+            from .compRoutines import EngineScratch
+
             eff_ddof = ddof if ddof is not None else 1
-            centered = stack - jnp.mean(stack, axis=1, keepdims=True)
-            denom = stack.shape[1] - eff_ddof
-            covs = jnp.einsum("nti,ntj->nij", centered, centered) / denom
-            cov = covs if keeptrials else jnp.mean(covs, axis=0)
+            cov_cr = Covariance(ddof=eff_ddof, demean=True)
+            cov_scratch = EngineScratch()
+            cov_cr.initialize(data, 0, keeptrials=keeptrials)
+            cov_cr.compute(data, cov_scratch, parallel=parallel,
+                           device_resident=False,
+                           log_dict={"operation": "timelock covariance"})
+            cov_arr = np.asarray(cov_scratch.data)
+            cov = cov_arr if keeptrials else cov_arr[0]
 
         out = TimeLockData(samplerate=data.samplerate)
         offset = int(sel.trialdefinition[0, 2])
-        n_time = stack.shape[1]
+        n_time = avg.shape[0]
         if keeptrials:
-            out.data = np.asarray(stack).reshape(-1, stack.shape[2])
+            # chunked identity pass: the time-locked per-trial data streams
+            # into the output without a whole-ensemble host stack
+            _copy_cr = _TimeLockCopy()
+            _copy_cr.initialize(data, 0, keeptrials=True)
+            _copy_cr.compute(data, out, parallel=parallel,
+                             log_dict={"operation": "timelock copy"})
             trl = np.zeros((n_trials, 3))
             trl[:, 0] = np.arange(n_trials) * n_time
             trl[:, 1] = trl[:, 0] + n_time

@@ -330,3 +330,64 @@ class TestPackedReadback:
         per_trial = spy.connectivityanalysis(d, method="csd", keeptrials=True, tapsmofrq=2)
         mean = np.asarray(per_trial.data).mean(axis=0)
         assert np.abs(arr - mean).max() / np.abs(mean).max() < 1e-5
+
+
+class TestPSDRepair:
+    """Floating-point trial accumulation can leave the CSD slightly
+    indefinite (tiny negative eigenvalues); an indefinite matrix has no
+    Wilson factorization, so regularize_csd must repair it (measured floor
+    ~3e-5 at 1000 trials on the TPU MXU's sequential f32 accumulation)."""
+
+    def _psd_csd(self, N=8, seed=0):
+        """Smooth, factorizable CSD: hann-tapered spectra of AR(2) noise
+        (a Wilson factorization only exists for a valid spectral density —
+        per-bin random matrices are NOT one)."""
+        from scipy.signal import lfilter
+
+        rng = np.random.default_rng(seed)
+        n_trials, n_samp = 120, 256
+        e = rng.normal(size=(n_trials, n_samp, N)).astype("f4")
+        x = lfilter([1.0], [1.0, -0.55, 0.8], e, axis=1)
+        win = np.hanning(n_samp)
+        win = win * np.sqrt(2.0 / (win**2).sum())
+        tap = (x - x.mean(axis=1, keepdims=True)) * win[None, :, None]
+        spec = np.fft.rfft(tap, axis=1)
+        return (np.einsum("tfi,tfj->fij", spec, np.conj(spec)) / n_trials).astype(np.complex64)
+
+    def test_indefinite_csd_converges(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import regularize_csd, wilson_sf
+        from syncopy_tpu.parallel.device_io import run_on_device
+
+        csd = self._psd_csd()
+        # inject accumulation-noise-like indefiniteness at some bins
+        lam = np.linalg.eigvalsh(csd)
+        scale = float(np.abs(lam).mean())
+        eye = np.eye(csd.shape[1])
+        csd[10] -= (np.linalg.eigvalsh(csd[10]).min() + 3e-5 * scale) * eye
+        csd[40] -= (np.linalg.eigvalsh(csd[40]).min() + 1e-5 * scale) * eye
+        assert np.linalg.eigvalsh(csd[10]).min() < 0
+
+        def factorize(c):
+            creg, eps, _ = regularize_csd(
+                c.astype(jnp.complex64), cond_max=1e4, eps_max=1e-1
+            )
+            H, Sigma, conv, err = wilson_sf(creg, nIter=100, rtol=5e-6)
+            return conv, err
+
+        conv, err = run_on_device(factorize, csd, key=("psd_repair_test",))
+        assert bool(np.asarray(conv)), float(np.asarray(err))
+
+    def test_repair_leaves_psd_untouched(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import regularize_csd
+        from syncopy_tpu.parallel.device_io import run_on_device
+
+        csd = self._psd_csd(seed=1)
+        creg, eps, _ = run_on_device(
+            lambda c: regularize_csd(c.astype(jnp.complex64), cond_max=1e9),
+            csd, key=("psd_noop_test",),
+        )
+        assert np.allclose(creg, csd, atol=1e-7)
