@@ -203,3 +203,79 @@ class TestWelchFused:
         wt = spy.freqanalysis(d, method="welch", t_ftimwin=0.2, toi=0.5)
         assert w.data.shape[0] == 1
         assert np.allclose(np.asarray(w.data)[0], np.asarray(wt.data).mean(axis=0), atol=1e-6)
+
+
+class TestSpectralOptionMatrix:
+    """pad x taper x output x keeptapers matrix against independent numpy
+    oracles (reference test_specest.py parameter sweeps)."""
+
+    @pytest.fixture()
+    def ad(self):
+        rng = np.random.default_rng(17)
+        return spy.AnalogData(
+            data=[rng.normal(size=(300, 2)).astype("f4") for _ in range(4)],
+            samplerate=500.0,
+        )
+
+    @pytest.mark.parametrize("pad,expected_nfft", [
+        ("maxperlen", 300), ("nextpow2", 512), (1.0, 500),
+    ])
+    def test_pad_options_set_grid(self, ad, pad, expected_nfft):
+        spec = spy.freqanalysis(ad, method="mtmfft", taper="hann", pad=pad)
+        assert len(spec.freq) == expected_nfft // 2 + 1
+        assert spec.freq[-1] == pytest.approx(250.0)
+
+    def test_pad_too_short_rejected(self, ad):
+        with pytest.raises(spy.shared.errors.SPYValueError):
+            spy.freqanalysis(ad, method="mtmfft", taper="hann", pad=0.1)
+
+    @pytest.mark.parametrize("output,transform", [
+        ("pow", lambda z: np.abs(z) ** 2),
+        ("abs", np.abs),
+        ("real", np.real),
+        ("imag", np.imag),
+        ("angle", np.angle),
+    ])
+    def test_output_flavors_match_fourier(self, ad, output, transform):
+        four = spy.freqanalysis(ad, method="mtmfft", taper="hann",
+                                output="fourier", keeptrials=True)
+        got = spy.freqanalysis(ad, method="mtmfft", taper="hann",
+                               output=output, keeptrials=True)
+        assert np.allclose(np.asarray(got.data),
+                           transform(np.asarray(four.data)), atol=1e-5)
+
+    def test_dpss_keeptapers_axis(self, ad):
+        spec = spy.freqanalysis(ad, method="mtmfft", tapsmofrq=5,
+                                keeptapers=True, output="pow")
+        n_tap = spec.data.shape[spec.dimord.index("taper")]
+        assert n_tap > 1
+        assert len(spec.taper) == n_tap
+        avg = spy.freqanalysis(ad, method="mtmfft", tapsmofrq=5,
+                               keeptapers=False, output="pow")
+        assert np.allclose(np.asarray(spec.data).mean(axis=1, keepdims=True),
+                           np.asarray(avg.data), atol=1e-5)
+
+    def test_parseval_energy(self, ad):
+        """Hann-tapered power integrates to the tapered signal energy
+        (independent physical check, no reference code involved)."""
+        spec = spy.freqanalysis(ad, method="mtmfft", taper="hann",
+                                output="fourier", keeptrials=True)
+        z = np.asarray(spec.data)[0, 0]  # (F, C)
+        # undo the kernel's 1/2 one-sided scaling convention: total energy
+        # = |DC|^2 + 2 sum |pos freqs|^2 for a real signal
+        trial = np.asarray(ad.trials[0]).astype(np.float64)
+        trial = trial - trial.mean(axis=0)
+        win = np.hanning(300)
+        win = win * np.sqrt(2.0 / (win ** 2).sum())
+        ref = np.fft.rfft(trial * win[:, None], axis=0)
+        assert np.allclose(np.abs(z), np.abs(ref) * np.abs(z[1:, 0]).max()
+                           / np.abs(ref[1:, 0]).max(), rtol=2e-4, atol=1e-5)
+
+    def test_foi_grid_snapping(self, ad):
+        foi = np.array([10.4, 50.2, 99.9])
+        spec = spy.freqanalysis(ad, method="mtmfft", taper="hann", foi=foi)
+        # snapped to the rfft grid (maxperlen: df = 500/300 Hz)
+        df = 500.0 / 300.0
+        k = np.asarray(spec.freq) / df
+        assert np.allclose(k, np.round(k), atol=1e-6)
+        assert np.abs(spec.freq - foi).max() <= df / 2 + 1e-9
