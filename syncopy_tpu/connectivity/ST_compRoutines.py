@@ -109,18 +109,23 @@ class CrossSpectra(_CrossRoutine):
         spec = jnp.where(mask, spec, jnp.zeros((), spec.dtype))
         K = tapers.shape[0]
 
+        from ..ops.connectivity import csd_sum_compensated
         from ..ops.pallas_kernels import csd_accumulate, pallas_supported
 
-        if pallas_supported():
+        n_rows = spec.shape[0] * spec.shape[1]
+        if n_rows <= 64 and pallas_supported():
+            # small slabs: a single exact-enough MXU pass through the
+            # pallas kernel (serial error <= 64*eps stays below the Wilson
+            # factorizability floor)
             B, Kt, F, C = spec.shape
             slab = jnp.transpose(spec, (2, 0, 1, 3)).reshape(F, B * Kt, C)
             cs_re, cs_im = csd_accumulate(jnp.real(slab), jnp.imag(slab))
             cs_sum = jax.lax.complex(cs_re, cs_im) / K
         else:
-            cs_sum = jnp.einsum(
-                "bkfi,bkfj->fij", spec, jnp.conj(spec),
-                precision=jax.lax.Precision.HIGHEST,
-            ) / K
+            # many-trial sums need compensated accumulation: plain serial
+            # f32 accumulation noise (~3e-5 at 1000 trials) makes the CSD
+            # un-factorizable — see ops/connectivity.csd_sum_compensated
+            cs_sum = csd_sum_compensated(spec) / K
         return cs_sum[None].astype(jnp.complex64)
 
 

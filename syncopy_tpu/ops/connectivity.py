@@ -156,6 +156,57 @@ def _two_sum(a, b):
     return s, e
 
 
+def csd_sum_compensated(spec, sub=16):
+    """
+    Trial/taper-summed cross-spectral density ``sum_bk s_bki conj(s_bkj)``
+    with compensated (double-float32) accumulation.
+
+    Why: the MXU accumulates a 1000-term contraction SERIALLY in float32 —
+    the resulting CSD deviates from the float64 sum by ~3e-5 relative,
+    which is enough that NO exact Wilson spectral factorization of it
+    exists (the interpolated density dips negative between frequency grid
+    points), so Granger's factorization error floors at the accumulation
+    noise in ANY precision (measured: host float64 floors at the same
+    3.6e-5 on an f32-accumulated CSD, while the f64-accumulated CSD
+    factorizes in f32 to 9e-8). Splitting the sum into `sub`-row partials
+    (serial error <= sub*eps) combined with an error-free TwoSum tree
+    brings the noise to ~1e-7 — factorizable at the reference rtol.
+
+    Parameters
+    ----------
+    spec : (B, K, F, C) complex64 — per-trial tapered spectra (zero rows
+        for padded trials contribute nothing)
+
+    Returns
+    -------
+    (F, C, C) complex64 trial+taper SUM (not averaged)
+    """
+    B, K, F, C = spec.shape
+    rows = jnp.transpose(spec, (2, 0, 1, 3)).reshape(F, B * K, C)
+    pad = (-rows.shape[1]) % sub
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad), (0, 0)))
+    g = rows.shape[1] // sub
+    rows = rows.reshape(F, g, sub, C)
+    parts = jnp.einsum(
+        "fgsi,fgsj->gfij", rows, jnp.conj(rows),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pr, pi = jnp.real(parts), jnp.imag(parts)
+
+    def body(i, st):
+        hi_r, lo_r, hi_i, lo_i = st
+        s, e = _two_sum(hi_r, pr[i])
+        hi_r, lo_r = s, lo_r + e
+        s, e = _two_sum(hi_i, pi[i])
+        hi_i, lo_i = s, lo_i + e
+        return hi_r, lo_r, hi_i, lo_i
+
+    z = jnp.zeros((F, C, C), dtype=jnp.float32)
+    hi_r, lo_r, hi_i, lo_i = jax.lax.fori_loop(0, g, body, (z, z, z, z))
+    return jax.lax.complex(hi_r + lo_r, hi_i + lo_i)
+
+
 def _split3(x, q=8):
     """Slice a float32 array into 3 scaled q-bit mantissa pieces along the
     last (contraction) axis: ``x = sigma * (s1 + s2 + s3)`` with `sigma` a

@@ -391,3 +391,43 @@ class TestPSDRepair:
             csd, key=("psd_noop_test",),
         )
         assert np.allclose(creg, csd, atol=1e-7)
+
+
+class TestCompensatedCSDAccumulation:
+    """Many-trial CSD sums need double-float32 accumulation: plain serial
+    f32 accumulation noise (~3e-5 relative at 1000 trials) leaves the CSD
+    without an exact Wilson factorization (measured: host float64 floors at
+    the SAME level on an f32-accumulated CSD)."""
+
+    def test_matches_float64_sum(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import csd_sum_compensated
+        from syncopy_tpu.parallel.device_io import run_on_device
+
+        rng = np.random.default_rng(8)
+        spec = (rng.normal(size=(1000, 1, 40, 8))
+                + 1j * rng.normal(size=(1000, 1, 40, 8))).astype(np.complex64)
+        ref = np.einsum("bkfi,bkfj->fij", spec.astype(np.complex128),
+                        np.conj(spec.astype(np.complex128)))
+        got = run_on_device(csd_sum_compensated, spec, key=("comp_csd_test",))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 5e-7, rel
+
+    def test_many_trial_granger_converges_f32(self):
+        """End-to-end: 600-trial Granger through the engine's compensated
+        CSD must converge at the reference rtol in pure float32."""
+        from scipy.signal import lfilter
+
+        rng = np.random.default_rng(9)
+        n_trials, n_samp, n_chan = 600, 500, 8
+        e = rng.normal(size=(n_trials * n_samp, n_chan)).astype("f4")
+        x = lfilter([1.0], [1.0, -0.55, 0.8], e, axis=0).astype("f4")
+        trl = np.zeros((n_trials, 3))
+        trl[:, 0] = np.arange(n_trials) * n_samp
+        trl[:, 1] = trl[:, 0] + n_samp
+        ad = spy.AnalogData(data=x, samplerate=1000.0)
+        ad.trialdefinition = trl
+        g = spy.connectivityanalysis(ad, method="granger")
+        assert g.info["converged"], g.info["max rel. err"]
+        assert g.info["max rel. err"] < 5e-6
