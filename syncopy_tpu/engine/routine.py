@@ -72,9 +72,11 @@ DEFAULT_HOST_BUDGET = int(os.environ.get("SPY_TPU_HOST_BYTES", 16 * 1024**3))
 DISPATCH_RETRIES = int(os.environ.get("SPY_TPU_RETRIES", 2))
 
 #: error-string markers of transient runtime failures worth retrying
+#: ("INTERNAL" covers sporadic tunnel-side backend hiccups observed on the
+#: remote TPU runtime — a genuinely broken program fails on every retry)
 _TRANSIENT_MARKERS = (
     "UNAVAILABLE", "DEADLINE_EXCEEDED", "Socket closed", "Connection reset",
-    "connection", "ABORTED", "heartbeat",
+    "connection", "ABORTED", "heartbeat", "INTERNAL: TPU backend error",
 )
 
 
