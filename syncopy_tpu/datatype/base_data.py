@@ -293,6 +293,11 @@ class BaseData(ABC):
             self._extra_datasets[propertyName] = dset
 
     def _set_dataset_property_with_list(self, inData, propertyName, ndim=None):
+        if (propertyName == "data" and inData
+                and all(isinstance(o, BaseData) for o in inData)):
+            # list of syncopy objects: trial-concatenate them (reference
+            # constructor semantics, tests/test_continuousdata.py:268-305)
+            return self._init_from_object_list(inData)
         # list of per-trial arrays -> stack along stacking dim + trialdefinition
         arrs = [np.asarray(a) for a in inData]
         if not arrs:
@@ -323,6 +328,78 @@ class BaseData(ABC):
     def _set_dataset_property_with_generator(self, gen, propertyName):
         arrs = list(gen)
         self._set_dataset_property_with_list(arrs, propertyName)
+
+    def _init_from_object_list(self, objs):
+        """Trial-concatenate a list of same-class objects into this one
+        (reference AnalogData([obj1, obj2]) constructor semantics)."""
+        first = objs[0]
+        for o in objs:
+            if o.__class__ is not first.__class__:
+                raise SPYValueError(
+                    legal="objects of the same class", varname="data",
+                    actual="{} vs {}".format(first.__class__.__name__,
+                                             o.__class__.__name__),
+                )
+            if o.dimord != first.dimord:
+                raise SPYValueError(
+                    legal="matching dimords (same stacking dimension)",
+                    varname="data",
+                    actual="different stacking: {} vs {}".format(first.dimord, o.dimord),
+                )
+            if getattr(o, "samplerate", None) is None:
+                raise SPYValueError(
+                    legal="all objects with a samplerate set", varname="data",
+                    actual="missing attribute `samplerate`",
+                )
+            if o.samplerate != first.samplerate:
+                raise SPYValueError(
+                    legal="equal samplerates", varname="data",
+                    actual="different attribute `samplerate`",
+                )
+            if "channel" in first.dimord and first.channel is not None:
+                oc, fc = np.asarray(o.channel), np.asarray(first.channel)
+                # count mismatches surface as shape errors below
+                if oc.size == fc.size and list(oc) != list(fc):
+                    raise SPYValueError(
+                        legal="equal channel labels", varname="data",
+                        actual="different attribute `channel`",
+                    )
+        sdim = first._stackingDim
+        ref_other = None
+        trials = []
+        trl_rows = []
+        offset = 0
+        for o in objs:
+            for k, t in enumerate(o.trials):
+                arr = np.asarray(t)
+                other = [s for i, s in enumerate(arr.shape) if i != sdim]
+                if ref_other is None:
+                    ref_other = other
+                elif other != ref_other:
+                    raise SPYValueError(
+                        legal="equal shapes along non-stacking dims",
+                        varname="data", actual="mismatching shapes",
+                    )
+                trials.append(arr)
+                n = arr.shape[sdim]
+                row = [offset, offset + n, o.trialdefinition[k, 2]]
+                row.extend(o.trialdefinition[k, 3:])
+                trl_rows.append(row)
+                offset += n
+        self._set_dataset_property_with_ndarray(
+            np.concatenate(trials, axis=sdim), "data"
+        )
+        ncols = max(len(r) for r in trl_rows)
+        trl = np.zeros((len(trl_rows), ncols))
+        for i, r in enumerate(trl_rows):
+            trl[i, : len(r)] = r
+        self._trialdefinition = trl
+        self.samplerate = first.samplerate
+        if "channel" in first.dimord and first.channel is not None:
+            try:
+                self.channel = np.asarray(first.channel)
+            except Exception:
+                pass
 
     def _register_dataset(self, propertyName, inData=None):
         """

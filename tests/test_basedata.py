@@ -253,3 +253,62 @@ class TestConcatSpectral:
         out = spy.concat(a, b, dim="taper")
         assert out.data.shape[1] == 2 * a.data.shape[1]
         assert len(out.taper) == 2 * len(a.taper)
+
+
+class TestObjectListConstructor:
+    """AnalogData([obj1, obj2]) trial-concatenates (reference
+    test_continuousdata.py:268-305)."""
+
+    def _mk(self, n_trials, val, nSamples=10, sr=1.0):
+        return spy.AnalogData(
+            data=[val * np.ones((nSamples, 2), "f4") for _ in range(n_trials)],
+            samplerate=sr,
+        )
+
+    def test_concat_trials(self):
+        a, b = self._mk(2, 1.0), self._mk(3, 2.0)
+        cat = spy.AnalogData([a, b])
+        assert len(cat.trials) == 5
+        assert np.asarray(cat.trials[0])[0, 0] == 1.0
+        assert np.asarray(cat.trials[4])[0, 0] == 2.0
+        assert cat.samplerate == 1.0
+
+    def test_ragged_objects_concat(self):
+        gen = (i * np.ones((i + 1, 2), "f4") for i in range(3))
+        ragged = spy.AnalogData(gen, samplerate=1)
+        uniform = self._mk(2, 9.0)
+        cat = spy.AnalogData([ragged, uniform])
+        assert [len(np.asarray(t)) for t in cat.trials] == [1, 2, 3, 10, 10]
+
+    def test_missing_samplerate_rejected(self):
+        a = self._mk(2, 1.0)
+        b = spy.AnalogData(data=[np.ones((10, 2), "f4")])
+        with pytest.raises(spy.SPYValueError, match="missing attribute"):
+            spy.AnalogData([a, b])
+
+    def test_different_channels_rejected(self):
+        a, b = self._mk(2, 1.0), self._mk(2, 1.0)
+        a.channel = ["c1", "c2"]
+        b.channel = ["x1", "x2"]
+        with pytest.raises(spy.SPYValueError, match="different attribute"):
+            spy.AnalogData([a, b])
+
+    def test_mismatching_shapes_rejected(self):
+        a = self._mk(2, 1.0)
+        b = spy.AnalogData(data=[np.ones((2, 3), "f4")], samplerate=1.0)
+        with pytest.raises(spy.SPYValueError, match="mismatching shapes"):
+            spy.AnalogData([a, b])
+
+    def test_different_stacking_rejected(self):
+        a = self._mk(2, 1.0)
+        b = spy.AnalogData(data=[np.ones((2, 5), "f4")], samplerate=1.0,
+                           dimord=["channel", "time"])
+        with pytest.raises(spy.SPYValueError, match="stacking"):
+            spy.AnalogData([a, b])
+
+    def test_channel_propagates(self):
+        a, b = self._mk(2, 1.0), self._mk(2, 2.0)
+        a.channel = ["c1", "c2"]
+        b.channel = ["c1", "c2"]
+        cat = spy.AnalogData([a, b])
+        assert list(cat.channel) == ["c1", "c2"]
