@@ -170,6 +170,25 @@ def freqanalysis(
         )
         nperseg = int(t_ftimwin * data.samplerate)
 
+        if method == "welch":
+            # Welch averages segments and tapers by construction (reference
+            # test_welch.py:391-415 rejects conflicting settings outright)
+            if keeptapers:
+                raise SPYValueError(
+                    legal="keeptapers=False: Welch averages tapers by definition",
+                    varname="keeptapers", actual="True",
+                )
+            if output != "pow":
+                raise SPYValueError(
+                    legal="output='pow' (Welch estimates are power averages)",
+                    varname="output", actual=str(output),
+                )
+            if isinstance(toi, str) or isinstance(toi, (list, np.ndarray)):
+                raise SPYValueError(
+                    legal="a scalar overlap fraction in [0, 1) for `toi`",
+                    varname="toi", actual=str(toi),
+                )
+
         toi = _process_toi(toi, method, tStart, tEnd, data.samplerate)
 
         taper, taper_opt = process_taper(

@@ -279,3 +279,60 @@ class TestSpectralOptionMatrix:
         k = np.asarray(spec.freq) / df
         assert np.allclose(k, np.round(k), atol=1e-6)
         assert np.abs(spec.freq - foi).max() <= df / 2 + 1e-9
+
+
+class TestWelchMatrix:
+    """Welch behaviors (reference test_welch.py:42-415): statistical
+    variance reduction, trial averaging, rejections."""
+
+    def _welch(self, data, **kw):
+        kw.setdefault("method", "welch")
+        kw.setdefault("t_ftimwin", 0.1)
+        kw.setdefault("toi", 0.0)
+        return spy.freqanalysis(data, **kw)
+
+    def test_variance_reduction_with_more_windows(self):
+        """A longer signal (more Welch windows) must give a lower-variance
+        estimate than a short one at the same window count via overlap."""
+        wn_long = spy.synthdata.white_noise(nTrials=20, nChannels=1,
+                                            nSamples=10000, samplerate=1000, seed=42)
+        wn_short = spy.synthdata.white_noise(nTrials=20, nChannels=1,
+                                             nSamples=1000, samplerate=1000, seed=42)
+        spec_long = self._welch(wn_long, t_ftimwin=0.1, toi=0.0, foilim=[5, 200])
+        spec_short = self._welch(wn_short, t_ftimwin=0.02, toi=0.5, foilim=[5, 200])
+        var_long = spy.var(spec_long, dim="trials")
+        var_short = spy.var(spec_short, dim="trials")
+        assert var_long.data.shape[0] == 1
+        assert np.mean(np.asarray(var_long.data)) < np.mean(np.asarray(var_short.data))
+
+    def test_overlap_reduces_variance(self):
+        wn = spy.synthdata.white_noise(nTrials=20, nChannels=1,
+                                       nSamples=2000, samplerate=1000, seed=1)
+        v0 = spy.var(self._welch(wn, toi=0.0), dim="trials")
+        v5 = spy.var(self._welch(wn, toi=0.5), dim="trials")
+        assert np.mean(np.asarray(v5.data)) < np.mean(np.asarray(v0.data))
+
+    def test_trial_averaging(self):
+        wn = spy.synthdata.white_noise(nTrials=10, nChannels=2,
+                                       nSamples=1000, samplerate=1000, seed=2)
+        per_trial = self._welch(wn, keeptrials=True)
+        avg = self._welch(wn, keeptrials=False)
+        assert len(avg.trials) == 1
+        assert np.allclose(np.asarray(per_trial.data).mean(axis=0, keepdims=True),
+                           np.asarray(avg.data), atol=1e-6)
+
+    def test_rejects_keeptapers(self):
+        wn = spy.synthdata.white_noise(nTrials=2, nChannels=1,
+                                       nSamples=1000, samplerate=1000, seed=3)
+        with pytest.raises(spy.SPYValueError, match="keeptapers"):
+            self._welch(wn, tapsmofrq=2, keeptapers=True)
+
+    def test_rejects_invalid_toi_and_output(self):
+        wn = spy.synthdata.white_noise(nTrials=2, nChannels=1,
+                                       nSamples=1000, samplerate=1000, seed=3)
+        with pytest.raises(spy.SPYValueError, match="toi"):
+            self._welch(wn, toi="all")
+        with pytest.raises(spy.SPYValueError, match="toi"):
+            self._welch(wn, toi=np.linspace(0, 1, 5))
+        with pytest.raises(spy.SPYValueError, match="output"):
+            self._welch(wn, output="fourier")
