@@ -170,3 +170,64 @@ class TestBaseDataMemberParity:
         d.clear()  # flush is a no-op for in-memory data, must not raise
         assert d.singlepanelplot(trials=0) is not None
         assert d.multipanelplot(trials=0) is not None
+
+
+class TestArithmeticMatrix:
+    """Full operator matrix (+ - * / **) with scalars, arrays and objects,
+    incl. dimord guards and chained expressions (reference
+    test_continuousdata.py:380-418)."""
+
+    import operator as _op
+
+    OPS = [_op.add, _op.sub, _op.mul, _op.truediv, _op.pow]
+
+    @pytest.fixture()
+    def pair(self):
+        rng = np.random.default_rng(23)
+        data = rng.uniform(1.0, 2.0, size=(30, 3)).astype("f4")
+        trl = np.column_stack([np.arange(0, 30, 10), np.arange(10, 31, 10), np.zeros(3)])
+        a = spy.AnalogData(data=data, trialdefinition=trl, samplerate=2.0)
+        b = spy.AnalogData(data=data.copy(), trialdefinition=trl, samplerate=2.0)
+        return a, b
+
+    @pytest.mark.parametrize("op", OPS)
+    def test_scalar_ops(self, pair, op):
+        a, _ = pair
+        res = op(a, 2)
+        for k, t in enumerate(res.trials):
+            assert np.allclose(np.asarray(t), op(np.asarray(a.trials[k]), 2), atol=1e-6)
+
+    @pytest.mark.parametrize("op", OPS)
+    def test_object_ops(self, pair, op):
+        a, b = pair
+        res = op(a, b)
+        for k, t in enumerate(res.trials):
+            assert np.allclose(
+                np.asarray(t), op(np.asarray(a.trials[k]), np.asarray(b.trials[k])),
+                atol=1e-5,
+            )
+
+    def test_dimord_guard(self, pair):
+        a, _ = pair
+        flipped = spy.AnalogData(
+            data=np.asarray(a.data).T.copy(),
+            trialdefinition=a.trialdefinition, samplerate=2.0,
+            dimord=["channel", "time"],
+        )
+        with pytest.raises(spy.SPYValueError):
+            a + flipped
+
+    def test_chained_expression(self, pair):
+        a, b = pair
+        result = (a + b) / a ** 3
+        for k, t in enumerate(result.trials):
+            ta = np.asarray(a.trials[k])
+            tb = np.asarray(b.trials[k])
+            assert np.allclose(np.asarray(t), (ta + tb) / ta ** 3, atol=1e-5)
+
+    def test_spectral_object_ops(self):
+        d = spy.synthdata.white_noise(nTrials=3, nSamples=128, nChannels=2, seed=3)
+        s1 = spy.freqanalysis(d, method="mtmfft", taper="hann", output="fourier")
+        s2 = spy.freqanalysis(d, method="mtmfft", taper="hann", output="fourier")
+        diff = s1 - s2
+        assert np.allclose(np.abs(np.asarray(diff.data)), 0.0, atol=1e-7)
