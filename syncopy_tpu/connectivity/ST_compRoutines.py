@@ -66,12 +66,17 @@ class CrossSpectra(_CrossRoutine):
                  "polyremoval", "demean_taper", "output"]
 
     def __init__(self, samplerate=1.0, nSamples=None, taper="hann", taper_opt=None,
-                 demean_taper=False, polyremoval=0, freq_idx=None, foi=None):
+                 demean_taper=False, polyremoval=0, freq_idx=None, foi=None,
+                 exact_fft=False):
+        # exact_fft: factorization-grade CSD — compensated double-float32
+        # DFT + Gram (ops/connectivity.csd_sum_df32). Required for Granger
+        # on TPU: the hardware FFT's error structure leaves the averaged
+        # CSD without an exact Wilson factorization.
         super().__init__(
             samplerate=samplerate, nSamples=nSamples, taper=taper, taper_opt=taper_opt,
             demean_taper=demean_taper, polyremoval=polyremoval,
             freq_idx=None if freq_idx is None else np.asarray(freq_idx, dtype=int),
-            foi=foi,
+            foi=foi, exact_fft=bool(exact_fft),
         )
 
     def process_single_trial(self, trial, **cfg):
@@ -100,6 +105,19 @@ class CrossSpectra(_CrossRoutine):
         tapered = tapers[None, :, :, None] * x[:, None, :, :]  # (B, K, T, C)
         if cfg["demean_taper"]:
             tapered = tapered - jnp.mean(tapered, axis=2, keepdims=True)
+
+        if cfg.get("exact_fft") and batch.shape[1] <= 1024:
+            # factorization-grade CSD: compensated double-f32 DFT + Gram —
+            # the hardware FFT's error structure otherwise floors Wilson's
+            # elementwise-relative error ~100x above the spectral noise
+            from ..ops.connectivity import csd_sum_df32
+
+            K = tapers.shape[0]
+            mask = (jnp.arange(tapered.shape[0]) < n_valid)[:, None, None, None]
+            tapered = jnp.where(mask, tapered, jnp.zeros((), tapered.dtype))
+            cs_sum = csd_sum_df32(tapered, nfft, freq_idx=cfg["freq_idx"]) / K
+            return cs_sum[None].astype(jnp.complex64)
+
         spec = jnp.fft.rfft(tapered, n=nfft, axis=2)  # (B, K, F, C)
         if cfg["freq_idx"] is not None:
             spec = jnp.take(spec, jnp.asarray(cfg["freq_idx"]), axis=2)

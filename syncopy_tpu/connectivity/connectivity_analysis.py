@@ -440,6 +440,9 @@ def _setup_cross_spectra(data, method, nSamples, foi, foilim, tapsmofrq, nTaper,
         samplerate=data.samplerate, nSamples=nSamples, taper=taper, taper_opt=taper_opt,
         demean_taper=(method == "granger"), polyremoval=polyremoval,
         freq_idx=freq_idx, foi=out_foi,
+        # Granger needs a factorization-grade CSD (compensated DFT+Gram);
+        # coherence is a normalized ratio where plain f32 spectra suffice
+        exact_fft=(method == "granger"),
     )
     return st, out_foi
 

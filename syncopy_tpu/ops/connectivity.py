@@ -15,6 +15,8 @@
 #     sum_{j<k} cos(th_j - th_k) = (|sum_j u_j|^2 - n) / 2 with
 #     u_j = z_j/|z_j| — an O(nTrials) reduction over the trial stack.
 
+import functools
+
 import numpy as np
 
 import jax
@@ -156,6 +158,104 @@ def _two_sum(a, b):
     return s, e
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_twiddles_df32(nfft, T):
+    """One-sided DFT twiddle matrix in double-float32: W = Whi + Wlo with
+    Whi = f32(W64). Host-side, cached per (nfft, signal length)."""
+    k = np.arange(nfft // 2 + 1)
+    n = np.arange(T)
+    W = np.exp(-2j * np.pi * np.outer(k, n) / nfft)
+    Whi_re = W.real.astype(np.float32)
+    Wlo_re = (W.real - Whi_re.astype(np.float64)).astype(np.float32)
+    Whi_im = W.imag.astype(np.float32)
+    Wlo_im = (W.imag - Whi_im.astype(np.float64)).astype(np.float32)
+    return Whi_re, Wlo_re, Whi_im, Wlo_im
+
+
+def rfft_df32(x, nfft):
+    """
+    One-sided DFT of real float32 input to ~double-float32 accuracy,
+    entirely on the MXU.
+
+    Why not jnp.fft.rfft: the TPU FFT is accurate to ~2.4e-7 of the
+    spectral maximum, but its error structure is NOT that of a valid
+    signal's spectrum — a trial-averaged CSD built from such spectra has
+    no exact Wilson factorization, and Granger's elementwise-relative
+    factorization error floors ~100x above the spectral error (tiny
+    off-diagonal entries amplify absolute inconsistencies). Computing the
+    DFT as a compensated matmul against double-float32 twiddles removes
+    the floor: slice products accumulate exactly (q=7: contractions up to
+    1024 samples), the f64->f32 twiddle residual is applied as a plain
+    correction term.
+
+    Parameters
+    ----------
+    x : (T, M) float32, T <= 1024
+    nfft : int >= T (zero-padding is implicit)
+
+    Returns
+    -------
+    (Yr_hi, Yr_lo, Yi_hi, Yi_lo) : each (nfft//2+1, M) float32 —
+        the spectrum as double-float32 real/imag pairs
+    """
+    T = x.shape[0]
+    if T > 1024:
+        raise ValueError("rfft_df32 supports signal lengths up to 1024 samples")
+    Whi_re, Wlo_re, Whi_im, Wlo_im = _dft_twiddles_df32(int(nfft), int(T))
+    xT = jnp.swapaxes(x, 0, 1)  # (M, T) for the NT contraction
+    with jax.default_matmul_precision("highest"):
+        hr, lr = _gemm_nt_compensated(jnp.asarray(Whi_re), xT, q=7)
+        hi, li = _gemm_nt_compensated(jnp.asarray(Whi_im), xT, q=7)
+        lr = lr + jnp.asarray(Wlo_re) @ x
+        li = li + jnp.asarray(Wlo_im) @ x
+    return hr, lr, hi, li
+
+
+def csd_sum_df32(tapered, nfft, freq_idx=None):
+    """
+    Trial/taper-summed CSD from tapered time-domain signals with the
+    WHOLE spectral pipeline in double-float32: compensated DFT
+    (:func:`rfft_df32`) followed by a compensated Gram accumulation. This
+    is the factorization-grade CSD path for Granger — the resulting CSD
+    matches the float64 computation to ~1e-9 relative, so the Wilson
+    error converges to the reference rtol instead of flooring at the
+    float32 FFT noise.
+
+    Parameters
+    ----------
+    tapered : (B, K, T, C) float32 — detrended, tapered trial signals
+    nfft : int
+    freq_idx : optional frequency subselection (applied to the result)
+
+    Returns
+    -------
+    (F, C, C) complex64 trial+taper SUM (not averaged)
+    """
+    B, K, T, C = tapered.shape
+    M = B * K * C
+    x2d = jnp.transpose(tapered, (2, 0, 1, 3)).reshape(T, M)
+    hr, lr, hi, li = rfft_df32(x2d, nfft)
+    F = hr.shape[0]
+    if freq_idx is not None:
+        idx = jnp.asarray(freq_idx)
+        hr, lr, hi, li = (jnp.take(a, idx, axis=0) for a in (hr, lr, hi, li))
+        F = idx.shape[0]
+
+    def to_bkfc(a):
+        return jnp.transpose(a.reshape(F, B, K, C), (1, 2, 0, 3))
+
+    spec_hi = jax.lax.complex(to_bkfc(hr), to_bkfc(hi))
+    spec_lo = jax.lax.complex(to_bkfc(lr), to_bkfc(li))
+    # Gram of (hi + lo): hi x hi compensated; the hi x lo cross terms are
+    # ~1e-7 of the result, plain HIGHEST accumulation suffices; lo x lo
+    # is negligible
+    cs = csd_sum_compensated(spec_hi)
+    with jax.default_matmul_precision("highest"):
+        cross = jnp.einsum("bkfi,bkfj->fij", spec_hi, jnp.conj(spec_lo))
+        cross = cross + jnp.conj(jnp.swapaxes(cross, 1, 2))
+    return (cs + cross).astype(jnp.complex64)
+
+
 def csd_sum_compensated(spec, sub=16):
     """
     Trial/taper-summed cross-spectral density ``sum_bk s_bki conj(s_bkj)``
@@ -226,12 +326,14 @@ def _split3(x, q=8):
     return (s1, s2, s3), sigma
 
 
-def _gemm_nt_compensated(A, B):
+def _gemm_nt_compensated(A, B, q=8):
     """``A @ B^T`` (contraction over the last axis of both) to double-
     float32 accuracy: returns (hi, lo). Inputs are real float32 of shape
-    ``(..., I, K)`` / ``(..., J, K)`` with K <= 256."""
-    (a1, a2, a3), sa = _split3(A)
-    (b1, b2, b3), sb = _split3(B)
+    ``(..., I, K)`` / ``(..., J, K)``; slice products carry 2q mantissa
+    bits, so partial sums of up to ``2**(24-2q)`` terms accumulate exactly
+    (q=8 -> K <= 256, q=7 -> K <= 1024)."""
+    (a1, a2, a3), sa = _split3(A, q=q)
+    (b1, b2, b3), sb = _split3(B, q=q)
 
     def mm(x, y):
         return jnp.einsum("...ik,...jk->...ij", x, y, precision=jax.lax.Precision.HIGHEST)

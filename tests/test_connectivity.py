@@ -431,3 +431,49 @@ class TestCompensatedCSDAccumulation:
         g = spy.connectivityanalysis(ad, method="granger")
         assert g.info["converged"], g.info["max rel. err"]
         assert g.info["max rel. err"] < 5e-6
+
+
+class TestDf32SpectralPath:
+    """The factorization-grade CSD path: compensated double-float32 DFT +
+    Gram (ops/connectivity.rfft_df32 / csd_sum_df32), used by Granger."""
+
+    def test_rfft_df32_matches_float64(self):
+        from syncopy_tpu.ops.connectivity import rfft_df32
+        from syncopy_tpu.parallel.device_io import run_on_device
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1000, 16)).astype("f4")
+        ref = np.fft.rfft(x.astype(np.float64), axis=0)
+        hr, lr, hi, li = run_on_device(lambda a: rfft_df32(a, 1000), x,
+                                       key=("df32_rfft_test",))
+        got = (hr.astype(np.float64) + lr) + 1j * (hi.astype(np.float64) + li)
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 1e-9, rel
+
+    def test_rfft_df32_zero_padding(self):
+        from syncopy_tpu.ops.connectivity import rfft_df32
+        from syncopy_tpu.parallel.device_io import run_on_device
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(300, 4)).astype("f4")
+        ref = np.fft.rfft(x.astype(np.float64), n=512, axis=0)
+        hr, lr, hi, li = run_on_device(lambda a: rfft_df32(a, 512), x,
+                                       key=("df32_pad_test",))
+        got = (hr.astype(np.float64) + lr) + 1j * (hi.astype(np.float64) + li)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-9
+
+    def test_csd_sum_df32_entrywise_accuracy(self):
+        from syncopy_tpu.ops.connectivity import csd_sum_df32
+        from syncopy_tpu.parallel.device_io import run_on_device
+
+        rng = np.random.default_rng(2)
+        tp = rng.normal(size=(64, 1, 500, 8)).astype("f4")
+        spec64 = np.fft.rfft(tp.astype(np.float64), n=500, axis=2)
+        ref = np.einsum("bkfi,bkfj->fij", spec64, np.conj(spec64))
+        got = run_on_device(lambda a: csd_sum_df32(a, 500), tp,
+                            key=("df32_csd_test",))
+        # errors must be ENTRY-proportional (what keeps the Wilson
+        # factorization's elementwise metric convergent), bounded by the
+        # complex64 output storage quantization
+        denom = np.maximum(np.abs(ref), np.abs(ref).max() * 1e-6)
+        assert (np.abs(got - ref) / denom).max() < 2e-5
