@@ -77,6 +77,7 @@ DISPATCH_RETRIES = int(os.environ.get("SPY_TPU_RETRIES", 2))
 _TRANSIENT_MARKERS = (
     "UNAVAILABLE", "DEADLINE_EXCEEDED", "Socket closed", "Connection reset",
     "connection", "ABORTED", "heartbeat", "INTERNAL: TPU backend error",
+    "remote_compile", "HTTP 500",
 )
 
 
