@@ -166,6 +166,33 @@ class SpectralDyadicProduct(_CrossRoutine):
     def process_single_trial(self, trial, **cfg):
         return spectral_dyadic_product(trial, cfg["send_idx"], cfg["rec_idx"])
 
+    def process_batch_sum(self, batch, n_valid, **cfg):
+        """Fused masked trial sum with COMPENSATED accumulation: the
+        averaged CSD feeds Wilson downstream (granger on SpectralData
+        input), where plain serial f32 accumulation noise destroys
+        factorizability (see ops/connectivity.csd_sum_compensated)."""
+        from ..ops.connectivity import csd_sum_compensated
+
+        # batch: (B, nTime, K, F, C) complex
+        if cfg["send_idx"] is not None:
+            a = jnp.take(batch, jnp.asarray(cfg["send_idx"]), axis=4)
+            b = jnp.take(batch, jnp.asarray(cfg["rec_idx"]), axis=4)
+            mask = (jnp.arange(batch.shape[0]) < n_valid)[:, None, None, None, None]
+            a = jnp.where(mask, a, jnp.zeros((), a.dtype))
+            b = jnp.where(mask, b, jnp.zeros((), b.dtype))
+            cs = jnp.einsum(
+                "btkfi,btkfj->tfij", a, jnp.conj(b),
+                precision=jax.lax.Precision.HIGHEST,
+            ) / batch.shape[2]
+            return cs.astype(jnp.complex64)
+        mask = (jnp.arange(batch.shape[0]) < n_valid)[:, None, None, None, None]
+        x = jnp.where(mask, batch, jnp.zeros((), batch.dtype))
+        B, T, K, F, C = x.shape
+        per_time = jax.vmap(
+            lambda s: csd_sum_compensated(s), in_axes=1, out_axes=0
+        )(x.reshape(B, T, K, F, C))
+        return (per_time / K).astype(jnp.complex64)
+
     def process_metadata(self, data, out):
         sdim = 0
         n_times = [oshp[sdim] for oshp in self._per_trial_out_shapes_ordered]

@@ -60,6 +60,31 @@ def mtmfft(data, tapers, nfft, demean_taper=False):
     return jnp.fft.rfft(tapered, n=nfft, axis=1)
 
 
+def mtmfft_exact(data, tapers, nfft, demean_taper=False):
+    """
+    :func:`mtmfft` with the compensated double-float32 DFT
+    (ops/connectivity.rfft_df32) instead of the hardware FFT: the returned
+    complex64 spectrum carries ENTRY-proportional rounding only (~6e-8),
+    making downstream trial-averaged CSDs Wilson-factorizable on TPU
+    (the hardware FFT's error structure otherwise floors Granger's
+    convergence; see ops/connectivity.rfft_df32). Use for
+    ``freqanalysis(..., output='fourier', exact_fft=True)`` feeding
+    Granger. Signal lengths up to 1024 samples.
+    """
+    from .connectivity import rfft_df32
+
+    K, T = tapers.shape[0], data.shape[0]
+    C = data.shape[1]
+    tapered = tapers[:, :, None] * data.astype(jnp.float32)[None, :, :]
+    if demean_taper:
+        tapered = tapered - jnp.mean(tapered, axis=1, keepdims=True)
+    x2d = jnp.transpose(tapered, (1, 0, 2)).reshape(T, K * C)
+    hr, lr, hi, li = rfft_df32(x2d, nfft)
+    F = hr.shape[0]
+    y = jax.lax.complex(hr + lr, hi + li)
+    return jnp.transpose(y.reshape(F, K, C), (1, 0, 2)).astype(jnp.complex64)
+
+
 def spectral_convert(ftr, output):
     """Map complex Fourier coefficients to the requested output
     (reference const_def.py:12-37)."""

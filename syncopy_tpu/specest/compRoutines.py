@@ -13,7 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..engine.routine import ComputationalRoutine
-from ..ops.spectral import detrend, mtmfft, spectral_convert
+from ..ops.spectral import detrend, mtmfft, mtmfft_exact, spectral_convert
 from ..ops.stft import mtmconvol
 from ..ops.wavelet import cwt, superlet
 from ..ops.windows import make_tapers
@@ -43,17 +43,21 @@ class MultiTaperFFT(ComputationalRoutine):
         "output",
         "polyremoval",
         "ft_compat",
+        "exact_fft",
     ]
 
     def __init__(self, samplerate=1.0, nfft=None, taper="hann", taper_opt=None,
                  demean_taper=False, output="pow", keeptapers=False,
-                 polyremoval=0, freq_idx=None, ft_compat=False):
+                 polyremoval=0, freq_idx=None, ft_compat=False, exact_fft=False):
+        # exact_fft: compensated double-f32 DFT — entry-proportional
+        # spectral rounding so downstream trial-averaged CSDs stay
+        # Wilson-factorizable on TPU (ops/spectral.mtmfft_exact)
         super().__init__(
             samplerate=samplerate, nfft=nfft, taper=taper, taper_opt=taper_opt,
             demean_taper=demean_taper, output=output, keeptapers=keeptapers,
             polyremoval=polyremoval,
             freq_idx=None if freq_idx is None else np.asarray(freq_idx, dtype=int),
-            ft_compat=ft_compat,
+            ft_compat=ft_compat, exact_fft=bool(exact_fft),
         )
 
     def process_single_trial(self, trial, **cfg):
@@ -65,7 +69,8 @@ class MultiTaperFFT(ComputationalRoutine):
                 cfg["samplerate"], cfg["ft_compat"],
             )
         )
-        ftr = mtmfft(x, tapers, nfft, demean_taper=cfg["demean_taper"])
+        fft_fn = mtmfft_exact if cfg.get("exact_fft") else mtmfft
+        ftr = fft_fn(x, tapers, nfft, demean_taper=cfg["demean_taper"])
         if cfg["freq_idx"] is not None:
             ftr = jnp.take(ftr, jnp.asarray(cfg["freq_idx"]), axis=1)
         spec = spectral_convert(ftr, cfg["output"])

@@ -60,6 +60,7 @@ def freqanalysis(
     out=None,
     fooof_opt=None,
     ft_compat=False,
+    exact_fft=False,
     parallel=None,
     chan_per_worker=None,
     **kwargs,
@@ -150,6 +151,7 @@ def freqanalysis(
             polyremoval=polyremoval,
             freq_idx=freq_idx,
             ft_compat=ft_compat,
+            exact_fft=exact_fft,
         )
         log_dict = {"method": method, "output": output, "taper": taper,
                     "tapsmofrq": tapsmofrq, "pad": pad}

@@ -477,3 +477,35 @@ class TestDf32SpectralPath:
         # complex64 output storage quantization
         denom = np.maximum(np.abs(ref), np.abs(ref).max() * 1e-6)
         assert (np.abs(got - ref) / denom).max() < 2e-5
+
+
+class TestGrangerFromSpectra:
+    """Granger from precomputed fourier spectra converges when the spectra
+    come from the exact DFT path (freqanalysis exact_fft=True) and the
+    dyadic trial sum is compensated."""
+
+    def test_exact_fft_spectra_converge(self):
+        from scipy.signal import lfilter
+
+        rng = np.random.default_rng(12)
+        n_trials, n_samp, n_chan = 300, 400, 6
+        e = rng.normal(size=(n_trials * n_samp, n_chan)).astype("f4")
+        x = lfilter([1.0], [1.0, -0.55, 0.8], e, axis=0).astype("f4")
+        trl = np.zeros((n_trials, 3))
+        trl[:, 0] = np.arange(n_trials) * n_samp
+        trl[:, 1] = trl[:, 0] + n_samp
+        ad = spy.AnalogData(data=x, samplerate=1000.0)
+        ad.trialdefinition = trl
+        spec = spy.freqanalysis(ad, method="mtmfft", output="fourier",
+                                keeptrials=True, demean_taper=True,
+                                exact_fft=True)
+        g = spy.connectivityanalysis(spec, method="granger")
+        assert g.info["converged"], g.info["max rel. err"]
+
+    def test_exact_fft_matches_plain(self):
+        d = spy.synthdata.white_noise(nTrials=4, nSamples=300, nChannels=3, seed=4)
+        plain = spy.freqanalysis(d, method="mtmfft", output="fourier")
+        exact = spy.freqanalysis(d, method="mtmfft", output="fourier",
+                                 exact_fft=True)
+        a, b = np.asarray(plain.data), np.asarray(exact.data)
+        assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
