@@ -84,6 +84,24 @@ def main():
     p = spy.spike_psth(spd, binsize=0.1, latency="minperiod")
     print("OK psth", p.data.shape)
 
+    # device-resident pipeline chain: intermediates stay in HBM, the host
+    # link is touched once for the final averaged coherence
+    from syncopy_tpu.engine.resident import DeferredArray
+
+    pre = spy.preprocessing(d, filter_class="but", filter_type="bp",
+                            freq=[5, 80], order=4)
+    spec_c = spy.freqanalysis(pre, method="mtmfft", output="fourier",
+                              keeptrials=True)
+    coh_c = spy.connectivityanalysis(spec_c, method="coh")
+    resident = isinstance(pre._data, DeferredArray) and isinstance(
+        spec_c._data, DeferredArray)
+    print("OK resident chain", coh_c.data.shape, "(intermediates in HBM:",
+          resident, ")")
+
+    jk = spy.connectivityanalysis(d, method="coh", tapsmofrq=3, jackknife=True)
+    print("OK jackknife coherence",
+          np.asarray(jk._get_extra_dataset("jack_var")).shape)
+
     print("ALL OK in %.1fs" % (time.perf_counter() - t_all))
 
 

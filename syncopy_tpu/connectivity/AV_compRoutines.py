@@ -146,6 +146,17 @@ class GrangerCausality(_AVRoutine):
     def __init__(self, rtol=5e-6, nIter=100, cond_max=1e4):
         super().__init__(rtol=float(rtol), nIter=int(nIter), cond_max=float(cond_max))
 
+    def device_bytes_per_trial(self, shp, out_shp, out_dt):
+        """Wilson workspace per factorization: the compensated-residual
+        refinement slices psi into mantissa pieces and XLA keeps many
+        ``(2F, N, N)`` float32 intermediates live inside the while loop —
+        the compiler reports ~1 GB per replicate at (251, 16, 16).
+        Without this hook the engine would vmap ALL jackknife replicates
+        into one program (measured 30 GB HBM at 200 x 16 ch, a
+        compile-time OOM)."""
+        F, N = shp[1], shp[2]
+        return int(2 * F * N * N * 8 * 300)
+
     def process_single_trial(self, trial, **cfg):
         cdtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
         CSD = trial[0].astype(cdtype)
