@@ -268,3 +268,146 @@ class TestWaveletAliases:
         for alias in ("Marr", "Mexican_hat"):
             got = spy.freqanalysis(d, method="wavelet", wavelet=alias, foi=[10, 30], toi="all", output="real")
             assert np.allclose(np.asarray(got.data), np.asarray(base.data))
+
+
+class TestTFRMatrix:
+    """Time-frequency option matrix: toi forms, output flavors, foi grids
+    (reference test_specest.py TF sections)."""
+
+    @pytest.fixture()
+    def chirpy(self):
+        # 20 Hz for the first half, 60 Hz for the second
+        t = np.arange(1000) / 1000.0
+        sig = np.where(t < 0.5, np.sin(2 * np.pi * 20 * t), np.sin(2 * np.pi * 60 * t))
+        arr = np.tile(sig[:, None], (3, 2)).astype("f4")
+        trl = np.column_stack([np.arange(0, 3000, 1000), np.arange(1000, 3001, 1000),
+                               np.zeros(3)])
+        return spy.AnalogData(data=arr, samplerate=1000.0, trialdefinition=trl)
+
+    def test_mtmconvol_resolves_chirp(self, chirpy):
+        tf = spy.freqanalysis(chirpy, method="mtmconvol", t_ftimwin=0.25,
+                              toi="all", taper="hann")
+        arr = np.asarray(tf.data)[:1000, 0]  # (time, freq, chan) trial 0
+        freqs = np.asarray(tf.freq)
+        early = arr[100:350].mean(axis=0)[:, 0]
+        late = arr[650:900].mean(axis=0)[:, 0]
+        assert abs(freqs[early.argmax()] - 20) <= 6
+        assert abs(freqs[late.argmax()] - 60) <= 6
+
+    def test_toi_array_subset(self, chirpy):
+        toi = np.array([0.2, 0.5, 0.8])
+        tf = spy.freqanalysis(chirpy, method="mtmconvol", t_ftimwin=0.2,
+                              toi=toi, taper="hann")
+        # three window centers per trial
+        assert tf.data.shape[0] == 3 * len(chirpy.trials)
+        assert tf.samplerate == pytest.approx(1.0 / 0.3, rel=1e-6)
+
+    def test_toi_overlap_fraction(self, chirpy):
+        tf = spy.freqanalysis(chirpy, method="mtmconvol", t_ftimwin=0.2,
+                              toi=0.5, taper="hann")
+        # hop = nperseg/2 = 100 samples -> 10 windows per 1000-sample trial
+        assert tf.data.shape[0] == 10 * len(chirpy.trials)
+
+    def test_wavelet_output_flavors(self, chirpy):
+        foi = np.array([15.0, 20.0, 60.0, 80.0])
+        four = spy.freqanalysis(chirpy, method="wavelet", foi=foi,
+                                output="fourier", keeptrials=True)
+        powd = spy.freqanalysis(chirpy, method="wavelet", foi=foi,
+                                output="pow", keeptrials=True)
+        assert np.allclose(np.abs(np.asarray(four.data)) ** 2,
+                           np.asarray(powd.data), rtol=1e-4, atol=1e-6)
+
+    def test_wavelet_resolves_chirp(self, chirpy):
+        foi = np.linspace(10, 90, 17)
+        tf = spy.freqanalysis(chirpy, method="wavelet", foi=foi, output="pow")
+        arr = np.asarray(tf.data)[:1000, 0, :, 0]
+        assert abs(foi[arr[150:350].mean(axis=0).argmax()] - 20) <= 5
+        assert abs(foi[arr[650:850].mean(axis=0).argmax()] - 60) <= 5
+
+    def test_superlet_sharper_than_wavelet(self, chirpy):
+        foi = np.linspace(10, 90, 33)
+        wl = spy.freqanalysis(chirpy, method="wavelet", foi=foi, output="pow")
+        sl = spy.freqanalysis(chirpy, method="superlet", foi=foi,
+                              order_max=10, output="pow")
+
+        def bandwidth(tf):
+            arr = np.asarray(tf.data)[650:850, 0, :, 0].mean(axis=0)
+            half = arr > arr.max() / 2
+            return foi[half].max() - foi[half].min()
+
+        assert bandwidth(sl) <= bandwidth(wl) + 1e-9
+
+    def test_wavelet_families_run(self, chirpy):
+        for wav in ("Morlet", "Paul", "DOG", "Ricker"):
+            out = "pow" if wav in ("Morlet", "Paul") else "real"
+            tf = spy.freqanalysis(chirpy, method="wavelet", wavelet=wav,
+                                  foi=np.array([10.0, 40.0]), output=out,
+                                  select={"trials": [0]})
+            assert np.isfinite(np.asarray(tf.data)).all()
+
+
+class TestResamplingMatrix:
+    """Down/resampling behaviors vs scipy (reference test_resampledata)."""
+
+    @pytest.fixture()
+    def tone(self):
+        t = np.arange(4000) / 1000.0
+        sig = np.sin(2 * np.pi * 25 * t)[:, None].astype("f4")
+        trl = np.column_stack([np.arange(0, 4000, 1000),
+                               np.arange(1000, 4001, 1000), np.zeros(4)])
+        return spy.AnalogData(data=np.tile(sig, (1, 2)), samplerate=1000.0,
+                              trialdefinition=trl)
+
+    def test_downsample_preserves_tone(self, tone):
+        ds = spy.resampledata(tone, resamplefs=250.0, method="downsample")
+        assert ds.samplerate == 250.0
+        spec = spy.freqanalysis(ds, method="mtmfft", taper="hann")
+        p = np.asarray(spec.data)[0, 0, :, 0]
+        assert abs(spec.freq[p.argmax()] - 25) < 2
+
+    def test_resample_non_integer_factor(self, tone):
+        rs = spy.resampledata(tone, resamplefs=400.0, method="resample")
+        assert rs.samplerate == 400.0
+        assert abs(rs.data.shape[0] - 4 * 400) <= 4
+        spec = spy.freqanalysis(rs, method="mtmfft", taper="hann")
+        p = np.asarray(spec.data)[0, 0, :, 0]
+        assert abs(spec.freq[p.argmax()] - 25) < 2
+
+    def test_trialdefinition_rescaled(self, tone):
+        ds = spy.resampledata(tone, resamplefs=500.0, method="downsample")
+        trl = ds.trialdefinition
+        assert np.allclose(trl[:, 1] - trl[:, 0], 500)
+
+    def test_downsample_rejects_noninteger_factor(self, tone):
+        with pytest.raises(spy.SPYValueError):
+            spy.resampledata(tone, resamplefs=333.0, method="downsample")
+
+
+class TestCfgReplayMatrix:
+    """Every frontend's out.cfg must replay to identical results
+    (reference test_cfg.py)."""
+
+    @pytest.fixture()
+    def ad(self):
+        return spy.synthdata.ar2_network(nTrials=12, samplerate=200,
+                                         nSamples=400, seed=31)
+
+    @pytest.mark.parametrize("call", [
+        lambda d: spy.freqanalysis(d, method="mtmfft", tapsmofrq=3,
+                                   foilim=[5, 80], keeptrials=False),
+        lambda d: spy.freqanalysis(d, method="welch", t_ftimwin=0.25, toi=0.0),
+        lambda d: spy.connectivityanalysis(d, method="coh", tapsmofrq=3,
+                                           output="imag"),
+        lambda d: spy.preprocessing(d, filter_class="but", filter_type="bp",
+                                    freq=[8, 30], order=6),
+        lambda d: spy.resampledata(d, resamplefs=100.0, method="downsample"),
+    ])
+    def test_replay(self, ad, call):
+        res = call(ad)
+        fe_name = [k for k in res.cfg if k in
+                   ("freqanalysis", "connectivityanalysis", "preprocessing",
+                    "resampledata")][-1]
+        frontend = getattr(spy, fe_name)
+        replay = frontend(ad, res.cfg)
+        assert np.allclose(np.asarray(res.data), np.asarray(replay.data),
+                           atol=1e-6)
