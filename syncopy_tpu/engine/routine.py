@@ -720,9 +720,13 @@ class ComputationalRoutine:
                 chan_axis = data.dimord.index("channel") + 1 + (1 if in_complex else 0)
 
             if consume_plan is not None:
-                # input already in HBM: each producer chunk is one compute
-                # chunk (the producer's padded chunk size wins)
-                source = self._resident_chunks(consume_plan[shp], mesh, chan_axis)
+                # input already in HBM: consume the producer's chunks, but
+                # never exceed THIS routine's chunk budget — a consumer
+                # with a large per-trial workspace (e.g. Wilson) must split
+                # oversized producer records on device
+                source = self._resident_chunks(
+                    consume_plan[shp], mesh, chan_axis, max_chunk=chunk
+                )
             else:
                 source = self._host_chunks(
                     data, positions, shp, chunk, mesh, chan_axis, in_complex
@@ -810,11 +814,23 @@ class ComputationalRoutine:
             # h5py dataset: re-point the object at the file
             out._data = host_out
 
-    def _resident_chunks(self, records, mesh, chan_axis):
-        """Chunk source over HBM-resident producer records."""
+    def _resident_chunks(self, records, mesh, chan_axis, max_chunk=None):
+        """Chunk source over HBM-resident producer records; records larger
+        than `max_chunk` are split into fixed-size sub-chunks on device
+        (zero-padded tail so every sub-chunk hits the same executable)."""
         for rec in records:
             dev_batch = _resident_input(rec, mesh, chan_axis)
-            yield dev_batch, list(rec.positions), rec.chunk, len(rec.positions)
+            if max_chunk is None or rec.chunk <= max_chunk:
+                yield dev_batch, list(rec.positions), rec.chunk, len(rec.positions)
+                continue
+            step = int(max_chunk)
+            for s0 in range(0, len(rec.positions), step):
+                sub_pos = list(rec.positions[s0 : s0 + step])
+                sub = dev_batch[s0 : s0 + step]
+                if sub.shape[0] < step:
+                    pad = [(0, step - sub.shape[0])] + [(0, 0)] * (sub.ndim - 1)
+                    sub = jnp.pad(sub, pad)
+                yield sub, sub_pos, step, len(sub_pos)
 
     def _host_chunks(self, data, positions, shp, chunk, mesh, chan_axis, in_complex):
         """Chunk source over the host payload: gather, pad, encode, upload —

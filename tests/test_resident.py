@@ -270,3 +270,43 @@ class TestStreamedReductions:
         tracemalloc.stop()
         # a host np.stack of the ensemble would show up as >= ensemble_bytes
         assert peak < ensemble_bytes, (peak, ensemble_bytes)
+
+
+class TestResidentSubChunking:
+    """A consumer whose chunk budget is smaller than the producer's record
+    size must split resident records on device (regression: jackknife
+    Granger's Wilson workspace blew compile-time HBM when it inherited the
+    LOO producer's 200-replicate chunks)."""
+
+    def test_consumer_splits_producer_records(self, adata, monkeypatch):
+        from syncopy_tpu.engine import routine
+
+        spec = spy.freqanalysis(adata, method="mtmfft", output="fourier",
+                                keeptrials=True)
+        assert isinstance(spec._data, DeferredArray)
+        # shrink the consumer's chunk ceiling below the producer's record
+        monkeypatch.setattr(routine, "MAX_CHUNK_TRIALS", 4)
+        res = spy.itc(spec)
+        # still consumed from HBM (no materialization) ...
+        assert isinstance(spec._data, DeferredArray)
+        # ... and numerically identical to the oracle
+        stack = np.stack([np.asarray(t) for t in spec.trials])
+        unit = stack / np.abs(stack)
+        ref = np.abs(unit.mean(axis=0).mean(axis=0, keepdims=True))
+        assert np.allclose(np.asarray(res.data), ref, atol=1e-6)
+
+    def test_split_keeptrials_consumer(self, adata, monkeypatch):
+        from syncopy_tpu.engine import routine
+
+        pre = spy.preprocessing(adata, filter_class="but", filter_type="lp",
+                                freq=100, order=4)
+        monkeypatch.setattr(routine, "MAX_CHUNK_TRIALS", 4)
+        spec = spy.freqanalysis(pre, method="mtmfft", output="pow",
+                                keeptrials=True)
+        assert isinstance(pre._data, DeferredArray)
+        pre2 = _host_reference(adata, spy.preprocessing, filter_class="but",
+                               filter_type="lp", freq=100, order=4)
+        spec2 = _host_reference(pre2, spy.freqanalysis, method="mtmfft",
+                                output="pow", keeptrials=True)
+        assert np.allclose(np.asarray(spec.data), np.asarray(spec2.data),
+                           atol=1e-6)
