@@ -82,3 +82,79 @@ class TestFooofFrontend:
         )
         peaks = res.info["fooof_peak_params"][0]
         assert any(abs(p[0] - 40) < 8 for p in peaks)
+
+
+class TestFooofDepth:
+    """Quantitative FOOOF validation on synthetic ground truth (the native
+    re-fit must recover known generative parameters; reference test_fooof
+    validates against the fooof package the same way)."""
+
+    def _synth(self, offset=1.5, exponent=1.2, peaks=((12.0, 0.8, 1.5),),
+               knee=None, f=None):
+        if f is None:
+            f = np.linspace(2, 80, 157)
+        if knee is None:
+            log_ap = offset - exponent * np.log10(f)
+        else:
+            log_ap = offset - np.log10(knee + f ** exponent)
+        log_p = log_ap.copy()
+        for c, h, w in peaks:
+            log_p = log_p + h * np.exp(-((f - c) ** 2) / (2 * w ** 2))
+        return f, 10 ** log_p
+
+    def test_parameter_recovery_fixed(self):
+        from syncopy_tpu.specest.fooofspy import fooofspy
+
+        f, p = self._synth(offset=1.5, exponent=1.2,
+                           peaks=((12.0, 0.8, 1.5), (40.0, 0.5, 3.0)))
+        spectra, det = fooofspy(p[:, None], f)
+        ap = det["aperiodic_params"][0]
+        assert abs(ap[0] - 1.5) < 0.15      # offset
+        assert abs(ap[-1] - 1.2) < 0.15     # exponent
+        centers = sorted(pk[0] for pk in det["peak_params"][0])
+        assert abs(centers[0] - 12.0) < 1.0
+        assert abs(centers[-1] - 40.0) < 1.5
+        assert det["r_squared"][0] > 0.99
+
+    def test_knee_mode_recovery(self):
+        from syncopy_tpu.specest.fooofspy import fooofspy
+
+        f, p = self._synth(offset=2.0, exponent=2.0, peaks=(), knee=150.0)
+        spectra, det = fooofspy(
+            p[:, None], f, fooof_opt={"aperiodic_mode": "knee"}
+        )
+        assert det["r_squared"][0] > 0.995
+        ap = det["aperiodic_params"][0]
+        assert abs(ap[0] - 2.0) < 0.1      # offset
+        assert abs(ap[1] - 150.0) < 15.0   # knee
+        assert abs(ap[2] - 2.0) < 0.1      # exponent
+        # any residual-noise "peaks" must be negligible in height
+        assert all(pk[1] < 0.05 for pk in det["peak_params"][0])
+
+    def test_model_reconstruction_error(self):
+        from syncopy_tpu.specest.fooofspy import fooofspy
+
+        rng = np.random.default_rng(5)
+        f, p = self._synth(peaks=((20.0, 0.6, 2.0),))
+        noisy = p * 10 ** (rng.normal(0, 0.02, size=p.size))
+        spectra, det = fooofspy(noisy[:, None], f)
+        mask = f > 0
+        err = np.abs(np.log10(spectra[mask, 0]) - np.log10(p[mask])).mean()
+        assert err < 0.05
+
+    def test_freq_range_restriction(self):
+        from syncopy_tpu.specest.fooofspy import fooofspy
+
+        f, p = self._synth(peaks=((12.0, 0.9, 1.5), (60.0, 0.9, 2.0)))
+        _, det = fooofspy(p[:, None], f, freq_range=[5, 30])
+        centers = [pk[0] for pk in det["peak_params"][0]]
+        assert all(5 <= c <= 30 for c in centers)
+
+    def test_frontend_info_keys(self):
+        d = spy.synthdata.ar2_network(nTrials=20, samplerate=200,
+                                      nSamples=500, seed=8)
+        res = spy.freqanalysis(d, method="mtmfft", output="fooof",
+                               keeptrials=False, tapsmofrq=2)
+        for key in ("fooof_aperiodic_params", "fooof_peak_params",
+                    "fooof_r_squared", "fooof_n_peaks"):
+            assert any(k.startswith(key.split("_params")[0]) for k in res.info), (key, list(res.info))
