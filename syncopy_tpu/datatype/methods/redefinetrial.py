@@ -8,7 +8,7 @@
 
 import numpy as np
 
-from ...shared.errors import SPYError, SPYValueError
+from ...shared.errors import SPYError, SPYTypeError, SPYValueError
 from ...shared.kwarg_decorators import unwrap_cfg
 
 __all__ = ["redefinetrial"]
@@ -38,15 +38,25 @@ def redefinetrial(
     if data.data is None:
         raise SPYError("Cannot redefine trials of empty object")
 
+    # window/segment specifications are mutually exclusive, and none of
+    # them combines with `trl` or with `minlength` (reference
+    # redefinetrial.py rejects these as "Incompatible input arguments")
     exclusive = [toilim is not None, (begsample is not None or endsample is not None), trl is not None]
     if sum(exclusive) > 1:
-        raise SPYValueError(
-            legal="only one of `toilim`, `begsample`/`endsample`, `trl`",
-            varname="redefinetrial",
+        raise SPYError(
+            "Incompatible input arguments: only one of `toilim`, "
+            "`begsample`/`endsample`, `trl` may be used"
         )
     if trl is not None and (trials is not None or minlength is not None or offset is not None):
-        raise SPYValueError(
-            legal="`trl` cannot be combined with other parameters", varname="trl"
+        raise SPYError(
+            "Incompatible input arguments: `trl` cannot be combined with "
+            "other parameters"
+        )
+    if minlength is not None and (toilim is not None or begsample is not None
+                                  or endsample is not None):
+        raise SPYError(
+            "Incompatible input arguments: `minlength` cannot be combined "
+            "with `toilim` or `begsample`/`endsample`"
         )
 
     old = data.trialdefinition
@@ -82,13 +92,30 @@ def redefinetrial(
                 raise SPYValueError(legal="'maxperlen' or scalar seconds", varname="minlength", actual=minlength)
             sel = lens == lens.max()
         else:
+            if not isinstance(minlength, (int, float, np.number)):
+                raise SPYTypeError(minlength, varname="minlength",
+                                   expected="scalar or 'maxperlen'")
+            if float(minlength) <= 0:
+                raise SPYValueError(
+                    legal="expected value to be greater than 0",
+                    varname="minlength", actual=str(minlength),
+                )
             sel = lens >= float(minlength)
         new_trl = new_trl[sel]
         keep = keep[sel]
     if new_trl.shape[0] == 0:
-        raise SPYValueError(legal="at least one remaining trial", varname="redefinetrial")
+        # all trials filtered away: return an EMPTY object (reference
+        # semantics, test_redefinetrial.py:91-128) instead of raising
+        out = data.__class__(dimord=data.dimord)
+        if getattr(data, "samplerate", None) is not None:
+            out.samplerate = data.samplerate
+        out.log = "redefinetrial -> no remaining trials (empty object)"
+        return out
 
     if offset is not None:
+        if isinstance(offset, str):
+            raise SPYTypeError(offset, varname="offset",
+                               expected="scalar, array of offsets")
         if isinstance(offset, (int, float, np.number)):
             new_trl[:, 2] = new_trl[:, 2] + float(offset)
         else:

@@ -242,7 +242,7 @@ class TestRedefinetrialEdges:
         assert np.all(lens >= 950)
 
     def test_exclusive_args(self, adata_equal):
-        with pytest.raises(spy.SPYValueError):
+        with pytest.raises(spy.shared.errors.SPYError, match="Incompatible"):
             spy.redefinetrial(adata_equal, toilim=[0, 0.5], begsample=10)
 
 
@@ -312,3 +312,80 @@ class TestObjectListConstructor:
         b.channel = ["c1", "c2"]
         cat = spy.AnalogData([a, b])
         assert list(cat.channel) == ["c1", "c2"]
+
+
+class TestRedefinetrialMatrix:
+    """Behavioral matrix for redefinetrial (reference
+    test_redefinetrial.py:42-266): incompatible-argument guards, offset
+    forms, minlength filtering incl. empty results."""
+
+    @pytest.fixture()
+    def reg(self):
+        arr = np.arange(200, dtype="f4").reshape(100, 2)
+        trl = np.column_stack([np.arange(0, 100, 10), np.arange(10, 101, 10),
+                               -np.full(10, 10)])
+        return spy.AnalogData(data=arr, samplerate=10.0, trialdefinition=trl)
+
+    @pytest.fixture()
+    def irreg(self):
+        lens = [10, 10, 10, 10, 10, 10, 10, 10, 15, 8]
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        arr = np.zeros((bounds[-1], 2), "f4")
+        trl = np.column_stack([bounds[:-1], bounds[1:], np.zeros(10)])
+        return spy.AnalogData(data=arr, samplerate=10.0, trialdefinition=trl)
+
+    @pytest.mark.parametrize("kwargs", [
+        dict(offset=-2, trl=3 * np.ones((1, 3))),
+        dict(begsample=2, trl=3 * np.ones((1, 3))),
+        dict(trl=3 * np.ones((1, 3)), toilim=[0, 1]),
+        dict(minlength=2, toilim=[0, 1]),
+        dict(begsample=2, minlength=2),
+    ])
+    def test_incompatible_arguments(self, reg, kwargs):
+        from syncopy_tpu.datatype.methods.redefinetrial import redefinetrial
+
+        with pytest.raises(spy.shared.errors.SPYError, match="Incompatible"):
+            redefinetrial(reg, **kwargs)
+
+    def test_offset_forms(self, reg):
+        from syncopy_tpu.datatype.methods.redefinetrial import redefinetrial
+
+        d = redefinetrial(reg, offset=12)
+        assert np.all(d.trialdefinition[:, 2] == 2)  # -10 + 12
+        d2 = redefinetrial(reg, offset=np.arange(10) - 5)
+        assert np.array_equal(d2.trialdefinition[:, 2], -10 + np.arange(10) - 5)
+        with pytest.raises(spy.SPYValueError, match="offsets"):
+            redefinetrial(reg, offset=np.arange(9))
+        with pytest.raises(spy.shared.errors.SPYTypeError, match="scalar"):
+            redefinetrial(reg, offset="no-number")
+
+    def test_minlength_matrix(self, reg, irreg):
+        from syncopy_tpu.datatype.methods.redefinetrial import redefinetrial
+
+        assert len(redefinetrial(reg, minlength=1).trials) == 10
+        # nothing survives -> EMPTY object, not an error
+        empty = redefinetrial(reg, minlength=2)
+        assert empty.data is None
+        assert len(redefinetrial(irreg, minlength=1).trials) == 9
+        assert len(redefinetrial(irreg, minlength=1.5).trials) == 1
+        assert redefinetrial(irreg, trials=[0, 1, 9], minlength=1.5).data is None
+        with pytest.raises(spy.shared.errors.SPYTypeError, match="scalar"):
+            redefinetrial(reg, minlength=np.arange(10))
+        with pytest.raises(spy.SPYValueError, match="greater"):
+            redefinetrial(reg, minlength=-0.1)
+
+    def test_toilim_window(self, reg):
+        from syncopy_tpu.datatype.methods.redefinetrial import redefinetrial
+
+        d = redefinetrial(reg, toilim=[-0.5, -0.2])
+        # window [-0.5, -0.2] s at 10 Hz with offset -10: samples 5..8
+        assert np.all(d.trialdefinition[:, 1] - d.trialdefinition[:, 0] == 4)
+        assert np.all(d.trialdefinition[:, 2] == -5)
+
+    def test_begend_sample(self, reg):
+        from syncopy_tpu.datatype.methods.redefinetrial import redefinetrial
+
+        d = redefinetrial(reg, begsample=2, endsample=8)
+        assert np.all(d.trialdefinition[:, 1] - d.trialdefinition[:, 0] == 6)
+        arr0 = np.asarray(d.trials[0])
+        assert np.array_equal(arr0, np.asarray(reg.trials[0])[2:8])
