@@ -67,6 +67,12 @@ def spike_psth(
     prior_selection = data._selection
     try:
         window = get_analysis_window(data, latency)
+        if not isinstance(binsize, str) and binsize > (window[1] - window[0]):
+            raise SPYValueError(
+                legal="binsize less or equals {:.3g} (the analysis window)".format(
+                    window[1] - window[0]),
+                varname="binsize", actual=str(binsize),
+            )
         if not vartriallen:
             select, num_discard = create_trial_selection(data, window)
             if num_discard > 0:
@@ -74,9 +80,15 @@ def spike_psth(
             select["latency"] = list(window)
             data.selection = select
         else:
-            select = dict(data.selection.select) if data.selection is not None else {}
-            select["latency"] = list(window)
-            data.selection = select
+            # vartriallen: trials may cover the window only PARTIALLY
+            # (maxperiod spans the union of all trials) — the histogram
+            # bin edges bound the counted range, so the window must NOT go
+            # through the selection (whose latency semantics require full
+            # containment); uncovered bins are NaN-masked below
+            if data.selection is None:
+                from ..datatype.selector import Selector
+
+                data.selection = {}
         sel = data.selection
 
         trials = [sel.select_trial_array(data, k) for k in range(len(sel.trial_ids))]

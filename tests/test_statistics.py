@@ -152,3 +152,67 @@ class TestJackknifeOracle:
         var_ref = (n - 1) * ((reps - theta_dot) ** 2).sum(axis=0)
         assert np.abs(bias - bias_ref).max() < 1e-4
         assert np.abs(var - var_ref).max() < 1e-4
+
+
+class TestPSTHMatrix:
+    """Latency/binsize/exception matrix (reference test_spike_psth.py:34-312)."""
+
+    @pytest.fixture()
+    def spd(self):
+        rng = np.random.default_rng(42)
+        s = spy.synthdata.poisson_noise(nTrials=10, nSpikes=5000, nChannels=2,
+                                        nUnits=3, samplerate=1000, seed=42)
+        trl = s.trialdefinition
+        trl[:, 2] = -rng.integers(50, 150, size=trl.shape[0])
+        s.trialdefinition = trl
+        return s
+
+    def test_latency_maxperiod_spans_union(self, spd):
+        c = spy.spike_psth(spd, binsize=0.1, latency="maxperiod")
+        dt = 1.0 / c.samplerate
+        starts, ends = spd.trialintervals[:, 0], spd.trialintervals[:, 1]
+        assert abs(starts.min() - c.time[0][0]) < dt
+        assert abs(ends.max() - c.time[0][-1]) < dt
+        # unequal trials -> some bins uncovered -> NaNs
+        assert np.isnan(np.asarray(c.data)).any()
+
+    def test_latency_minperiod_no_nans(self, spd):
+        c = spy.spike_psth(spd, binsize=0.1, latency="minperiod")
+        dt = 1.0 / c.samplerate
+        starts, ends = spd.trialintervals[:, 0], spd.trialintervals[:, 1]
+        assert abs(starts.max() - c.time[0][0]) < dt
+        # bin-edge flooring can leave the last LEFT edge up to ~1.5 bins in
+        # (the reference notes the same rounding slack)
+        assert abs(ends.min() - c.time[0][-1]) < 2 * dt
+        assert not np.isnan(np.asarray(c.data)).any()
+
+    def test_latency_pre_post_stim(self, spd):
+        pre = spy.spike_psth(spd, binsize=0.1, latency="prestim")
+        assert np.all(pre.time[0] <= 1e-9)
+        post = spy.spike_psth(spd, binsize=0.1, latency="poststim")
+        assert np.all(post.time[0] >= -1e-9)
+
+    def test_manual_oversized_window(self, spd):
+        c = spy.spike_psth(spd, binsize=0.1, latency=[-0.5, 5.0])
+        dt = 1.0 / c.samplerate
+        assert abs(-0.5 - c.time[0][0]) <= dt
+        assert np.isnan(np.asarray(c.data)).any()
+
+    def test_binsize_rules_ordering(self, spd):
+        rice = spy.spike_psth(spd, binsize="rice", latency="minperiod")
+        sqrt = spy.spike_psth(spd, binsize="sqrt", latency="minperiod")
+        assert sqrt.time[0].size > rice.time[0].size
+        secs = spy.spike_psth(spd, binsize=0.2, latency="minperiod")
+        assert np.allclose(np.diff(secs.time[0]), 0.2)
+
+    @pytest.mark.parametrize("kwargs,msg", [
+        (dict(binsize=-0.2), "binsize"),
+        (dict(binsize=0.3, latency=[0, 0.2]), "less or equals"),
+        (dict(binsize="sth"), "one of"),
+        (dict(output="counts"), "one of"),
+        (dict(latency="sth"), "one of"),
+    ])
+    def test_exceptions(self, spd, kwargs, msg):
+        kwargs.setdefault("binsize", 0.1)
+        with pytest.raises(spy.SPYValueError, match=msg):
+            spy.spike_psth(spd, **kwargs)
