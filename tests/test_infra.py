@@ -261,3 +261,90 @@ class TestFrontendDocAmendment:
         from syncopy_tpu.shared.tools import get_defaults
 
         assert "cfg" not in get_defaults(spy.freqanalysis)
+
+
+class TestBestMatchMatrix:
+    """best_match semantics (reference test_spytools.py:31-120)."""
+
+    def _sources(self):
+        rng = np.random.default_rng(0)
+        int_src = np.arange(0, 20)
+        rand_int = rng.permutation(int_src)
+        float_src = np.linspace(0, 19, 39)
+        return int_src, rand_int, float_src
+
+    def test_nearest_value_and_index(self):
+        from syncopy_tpu.shared.tools import best_match
+
+        int_src, rand_int, float_src = self._sources()
+        sel = np.array([1.4, 2.6, 2.6, 17.8])
+        for source in (int_src, rand_int):
+            val, idx = best_match(source, sel)
+            expected = np.round(sel)
+            assert np.array_equal(val, expected)
+            assert np.array_equal(source[idx], expected)
+
+    def test_squash_duplicates_keeps_order(self):
+        from syncopy_tpu.shared.tools import best_match
+
+        int_src, _, _ = self._sources()
+        sel = np.array([2.6, 2.6, 1.4, 17.8])
+        val, idx = best_match(int_src, sel, squash_duplicates=True)
+        assert np.array_equal(np.sort(val), np.unique(np.round(sel)))
+        assert len(val) == 3
+
+    def test_tolerance_violation(self):
+        from syncopy_tpu.shared.tools import best_match
+
+        int_src, _, _ = self._sources()
+        with pytest.raises(spy.SPYValueError):
+            best_match(int_src, np.array([1.4, 2.6]), tol=1e-6)
+
+    def test_span_selection(self):
+        from syncopy_tpu.shared.tools import best_match
+
+        _, _, float_src = self._sources()
+        val, idx = best_match(float_src, [2.0, 5.0], span=True)
+        assert np.all((val >= 2.0) & (val <= 5.0))
+        assert np.array_equal(float_src[idx], val)
+
+
+class TestStructDictCopy:
+    """StructDict copy semantics (reference test_tools.py:18-180,
+    issue #394: copying must not degrade to a plain dict)."""
+
+    def _cfg(self):
+        cfg = spy.StructDict()
+        cfg.a = 0.5
+        cfg.b = "test"
+        cfg.c = [1, 2, 3]
+        return cfg
+
+    def test_shallow_copy_type_and_sharing(self):
+        from syncopy_tpu.shared.tools import StructDict
+
+        cfg = self._cfg()
+        cfg2 = cfg.copy()
+        assert type(cfg2) is StructDict
+        cfg.c.append(4)
+        assert cfg2.c == cfg.c  # shallow: list shared
+
+    def test_deepcopy_isolates(self):
+        import copy
+
+        from syncopy_tpu.shared.tools import StructDict
+
+        cfg = self._cfg()
+        cfg3 = copy.deepcopy(cfg)
+        assert type(cfg3) is StructDict
+        cfg.c.append(4)
+        assert cfg3.c == [1, 2, 3]
+
+    def test_from_dict_and_attribute_access(self):
+        from syncopy_tpu.shared.tools import StructDict
+
+        cfg = StructDict({"a": 0.5, "nested": {"x": 1}})
+        assert cfg.a == 0.5
+        assert cfg["a"] == 0.5
+        cfg.new = 7
+        assert cfg["new"] == 7
