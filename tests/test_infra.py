@@ -348,3 +348,67 @@ class TestStructDictCopy:
         assert cfg["a"] == 0.5
         cfg.new = 7
         assert cfg["new"] == 7
+
+
+class TestParserMatrix:
+    """Parser validation matrix (reference test_parsers.py:30-357)."""
+
+    def test_scalar_parser(self):
+        from syncopy_tpu.shared.parsers import scalar_parser
+
+        scalar_parser(4, varname="x", ntype="int_like", lims=[-4, 4])
+        scalar_parser(4.0, varname="x", lims=[0, 10])
+        with pytest.raises(spy.SPYValueError):
+            scalar_parser(5, varname="x", lims=[0, 4])
+        with pytest.raises(spy.SPYValueError):
+            scalar_parser(4.5, varname="x", ntype="int_like")
+        with pytest.raises(spy.SPYTypeError):
+            scalar_parser("4", varname="x")
+        # complex values are scalars too; limits apply to |z|-style checks
+        with pytest.raises(spy.SPYValueError):
+            scalar_parser(complex(2, -1), varname="x", lims=[-3, 1])
+
+    def test_array_parser(self):
+        from syncopy_tpu.shared.parsers import array_parser
+
+        arr = np.arange(10, dtype=float)
+        array_parser(arr, varname="a", dims=1)
+        array_parser(arr, varname="a", lims=[0, 9])
+        with pytest.raises(spy.SPYValueError):
+            array_parser(arr, varname="a", lims=[1, 8])
+        with pytest.raises(spy.SPYValueError):
+            array_parser(np.ones((2, 2)), varname="a", dims=1)
+        with pytest.raises(spy.SPYValueError):
+            array_parser(arr + 0.5, varname="a", ntype="int_like")
+
+    def test_io_parser(self, tmp_path):
+        from syncopy_tpu.shared.parsers import io_parser
+
+        f = tmp_path / "x.dat"
+        f.write_text("hi")
+        io_parser(str(f), varname="f", isfile=True, exists=True)
+        io_parser(str(tmp_path), varname="d", isfile=False, exists=True)
+        with pytest.raises(spy.SPYIOError):
+            io_parser(str(tmp_path / "missing.dat"), varname="f", exists=True)
+
+    def test_data_parser(self):
+        from syncopy_tpu.shared.parsers import data_parser
+
+        d = spy.synthdata.white_noise(nTrials=2, nSamples=64, nChannels=2, seed=0)
+        data_parser(d, varname="d", dataclass="AnalogData", empty=False)
+        with pytest.raises(spy.SPYValueError):
+            data_parser(d, varname="d", dataclass="SpectralData")
+        empty = spy.AnalogData()
+        with pytest.raises(spy.SPYValueError):
+            data_parser(empty, varname="d", empty=False)
+        with pytest.raises(spy.SPYTypeError):
+            data_parser(np.ones(3), varname="d")
+
+    def test_filename_parser(self, tmp_path):
+        from syncopy_tpu.shared.parsers import filename_parser
+
+        info = filename_parser(str(tmp_path / "sess.spy" / "sess_test.analog"))
+        assert info["container"] == "sess.spy"
+        assert info["extension"] == ".analog"
+        with pytest.raises(spy.SPYValueError):
+            filename_parser(str(tmp_path / "file.bogus_ext"))
