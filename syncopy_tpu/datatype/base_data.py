@@ -411,6 +411,11 @@ class BaseData(ABC):
             raise SPYValueError(legal="valid identifier", varname="propertyName", actual=propertyName)
         if inData is not None:
             self._extra_datasets[propertyName] = np.asarray(inData) if not isinstance(inData, h5py.Dataset) else inData
+        elif self._extra_datasets.get(propertyName) is not None:
+            # attaching None DETACHES an existing dataset (reference
+            # test_attach_dataset.py:139); declaring a fresh slot stays a
+            # no-op placeholder
+            self._extra_datasets[propertyName] = None
         else:
             self._extra_datasets.setdefault(propertyName, None)
 

@@ -231,3 +231,74 @@ class TestArithmeticMatrix:
         s2 = spy.freqanalysis(d, method="mtmfft", taper="hann", output="fourier")
         diff = s1 - s2
         assert np.allclose(np.abs(np.asarray(diff.data)), 0.0, atol=1e-7)
+
+
+class TestSynthDataSeeds:
+    """Seed semantics of @collect_trials generators (reference
+    test_synthdata.py:57-165)."""
+
+    def test_single_trial_array_mode(self):
+        from syncopy_tpu.synthdata.analog import white_noise
+
+        a = white_noise(nSamples=100, nChannels=2, nTrials=None, seed=42)
+        b = white_noise(nSamples=100, nChannels=2, nTrials=None, seed=42)
+        assert isinstance(a, np.ndarray)
+        assert np.allclose(a, b)
+        c = white_noise(nSamples=100, nChannels=2, nTrials=None)
+        d = white_noise(nSamples=100, nChannels=2, nTrials=None)
+        assert not np.allclose(c, d)
+
+    def test_seeded_trials_differ_within_object(self):
+        w1 = spy.synthdata.white_noise(nSamples=100, nChannels=2, nTrials=4, seed=42)
+        w2 = spy.synthdata.white_noise(nSamples=100, nChannels=2, nTrials=4, seed=42)
+        assert not np.allclose(w1.show(trials=0), w1.show(trials=1))
+        assert np.allclose(w1.show(trials=0), w2.show(trials=0))
+        assert np.allclose(w1.show(trials=1), w2.show(trials=1))
+
+    def test_seed_per_trial_false(self):
+        s = spy.synthdata.white_noise(nSamples=100, nChannels=2, nTrials=4,
+                                      seed=42, seed_per_trial=False)
+        assert np.allclose(s.show(trials=0), s.show(trials=1))
+
+    def test_ar2_seed(self):
+        a = spy.synthdata.ar2_network(nTrials=3, nSamples=200, seed=5)
+        b = spy.synthdata.ar2_network(nTrials=3, nSamples=200, seed=5)
+        assert np.allclose(np.asarray(a.data), np.asarray(b.data))
+
+
+class TestAttachedDatasetMatrix:
+    """Extra-dataset lifecycle (reference test_attach_dataset.py:23-330)."""
+
+    def _spikes(self):
+        data = np.column_stack([np.arange(40), np.zeros(40), np.zeros(40)]).astype(int)
+        return spy.SpikeData(data=data, samplerate=1000)
+
+    def test_attach_update_detach(self):
+        spd = self._spikes()
+        spd._register_dataset("extra", np.ones((3, 3), dtype=np.float32))
+        assert np.allclose(np.asarray(spd._get_extra_dataset("extra")), 1.0)
+        spd._register_dataset("extra", 2 * np.ones((3, 3), dtype=np.float32))
+        assert np.allclose(np.asarray(spd._get_extra_dataset("extra")), 2.0)
+        spd._register_dataset("extra", None)
+        assert spd._get_extra_dataset("extra") is None
+
+    def test_copy_preserves_extra(self):
+        spd = self._spikes()
+        spd._register_dataset("extra", np.arange(6, dtype=np.float32).reshape(2, 3))
+        dup = spd.copy()
+        assert np.array_equal(np.asarray(dup._get_extra_dataset("extra")),
+                              np.asarray(spd._get_extra_dataset("extra")))
+
+    def test_save_load_roundtrip_with_extra(self, tmp_path):
+        spd = self._spikes()
+        spd._register_dataset("waveform", np.random.randn(40, 1, 8).astype("f4"))
+        spy.save(spd, container=str(tmp_path / "wf"))
+        loaded = spy.load(str(tmp_path / "wf.spy"))
+        assert np.allclose(np.asarray(loaded.waveform), np.asarray(spd.waveform))
+
+    def test_psth_runs_with_waveform_attached(self):
+        spd = spy.synthdata.poisson_noise(nTrials=3, nSpikes=600, nChannels=2,
+                                          nUnits=2, samplerate=1000, seed=0)
+        spd.waveform = np.random.randn(np.asarray(spd.data).shape[0], 1, 8).astype("f4")
+        p = spy.spike_psth(spd, binsize=0.1, latency="minperiod")
+        assert np.isfinite(np.asarray(p.data)).any()
