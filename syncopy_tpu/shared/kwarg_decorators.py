@@ -37,15 +37,16 @@ def unwrap_cfg(func):
             if not isinstance(cfg, dict):
                 raise SPYTypeError(cfg, varname="cfg", expected="dict or StructDict")
 
-        # cfg passed positionally (either slot)
-        for k, arg in enumerate(args):
-            if isinstance(arg, dict) and not hasattr(arg, "dimord"):
-                if cfg is not None:
-                    raise SPYValueError(
-                        legal="single `cfg` argument", varname="cfg", actual="two cfg dicts"
-                    )
-                cfg = args.pop(k)
-                break
+        # cfg passed positionally (either slot); more than one dict — or a
+        # positional dict on top of a cfg keyword — is ambiguous
+        dict_pos = [k for k, a in enumerate(args)
+                    if isinstance(a, dict) and not hasattr(a, "dimord")]
+        if dict_pos and (cfg is not None or len(dict_pos) > 1):
+            raise SPYValueError(
+                legal="single `cfg` argument", varname="cfg", actual="two cfg dicts"
+            )
+        if dict_pos:
+            cfg = args.pop(dict_pos[0])
 
         if cfg is not None:
             cfg = StructDict(cfg)

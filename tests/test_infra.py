@@ -412,3 +412,62 @@ class TestParserMatrix:
         assert info["extension"] == ".analog"
         with pytest.raises(spy.SPYValueError):
             filename_parser(str(tmp_path / "file.bogus_ext"))
+
+
+class TestCfgCallStyles:
+    """unwrap_cfg call-convention matrix (reference test_decorators.py:54-170)."""
+
+    @pytest.fixture()
+    def ad(self):
+        return spy.synthdata.white_noise(nTrials=3, nSamples=128, nChannels=2, seed=0)
+
+    def _run(self, *args, **kwargs):
+        res = spy.freqanalysis(*args, method="mtmfft", taper="hann", **kwargs)
+        return np.asarray(res.data)
+
+    def test_valid_call_styles(self, ad):
+        ref = self._run(ad)
+        cfg = spy.StructDict()
+        cfg.method = "mtmfft"
+        cfg.taper = "hann"
+        # cfg carrying the data
+        cfg_with_data = spy.StructDict(dict(cfg))
+        cfg_with_data.data = ad
+        assert np.allclose(np.asarray(spy.freqanalysis(cfg_with_data).data), ref)
+        # data positional + cfg positional (both orders)
+        assert np.allclose(np.asarray(spy.freqanalysis(ad, cfg).data), ref)
+        assert np.allclose(np.asarray(spy.freqanalysis(cfg, ad).data), ref)
+        # data positional + cfg keyword
+        assert np.allclose(np.asarray(spy.freqanalysis(ad, cfg=cfg).data), ref)
+        # cfg.dataset alias
+        cfg_ds = spy.StructDict(dict(cfg))
+        cfg_ds.dataset = ad
+        assert np.allclose(np.asarray(spy.freqanalysis(cfg_ds).data), ref)
+
+    def test_data_in_cfg_and_positional_rejected(self, ad):
+        cfg = spy.StructDict()
+        cfg.method = "mtmfft"
+        cfg.taper = "hann"
+        cfg.data = ad
+        with pytest.raises(spy.SPYValueError, match="positionally or via cfg"):
+            spy.freqanalysis(ad, cfg)
+
+    def test_conflicting_cfg_and_kwarg_rejected(self, ad):
+        cfg = spy.StructDict()
+        cfg.method = "mtmfft"
+        with pytest.raises(spy.SPYValueError, match="non-conflicting"):
+            spy.freqanalysis(ad, cfg, method="wavelet")
+
+    def test_two_cfgs_rejected(self, ad):
+        cfg = spy.StructDict()
+        cfg.method = "mtmfft"
+        with pytest.raises(spy.SPYValueError, match="single"):
+            spy.freqanalysis(cfg, dict(cfg), data=ad)
+
+    def test_linguistic_booleans(self, ad):
+        cfg = spy.StructDict()
+        cfg.method = "mtmfft"
+        cfg.taper = "hann"
+        cfg.keeptrials = "no"
+        res = spy.freqanalysis(ad, cfg)
+        assert res.data.shape[0] == 1
