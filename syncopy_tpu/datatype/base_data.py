@@ -15,7 +15,6 @@ import os
 import socket
 import time
 from abc import ABC
-from copy import copy as _shallow_copy
 from datetime import datetime
 
 import h5py

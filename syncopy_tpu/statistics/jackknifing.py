@@ -9,7 +9,6 @@
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from ..shared.errors import SPYError, SPYValueError
 

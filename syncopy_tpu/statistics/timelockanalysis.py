@@ -9,7 +9,6 @@
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from ..datatype.continuous_data import TimeLockData
 from ..engine.routine import ComputationalRoutine
