@@ -148,7 +148,11 @@ def _trials_from_events(evt, target, pre=None, post=None, start=None,
                 if not clip_edges:
                     continue
                 if t_start < 0:
-                    offset += t_start  # shift t0 accordingly
+                    # dropping |t_start| leading samples moves the first
+                    # sample CLOSER to the trigger: offset -50 with t_start
+                    # -40 becomes -10 (first kept sample is 10 samples
+                    # before t0), not -90
+                    offset -= t_start
                     t_start = 0
                 t_stop = min(t_stop, nsamp_target)
             rows.append([t_start, t_stop, offset])
@@ -175,7 +179,14 @@ def _trials_from_events(evt, target, pre=None, post=None, start=None,
                     break
                 e_idx = s_idx + 1 + e_hits[0]
                 s_t, e_t = to_target([samples[s_idx], samples[e_idx]])
-                rows.append([s_t, e_t, 0])
+                if s_t < 0 or e_t > nsamp_target:
+                    if not clip_edges:
+                        pos = e_idx + 1
+                        continue
+                    s_t = max(s_t, 0)
+                    e_t = min(e_t, nsamp_target)
+                if s_t < e_t:
+                    rows.append([s_t, e_t, 0])
                 pos = e_idx + 1
         else:
             start_samples = to_target(samples[codes == start])

@@ -85,6 +85,27 @@ def _label_or_index_selection(values, labels, varname):
     return out
 
 
+def _require_latency_coverage(data, trial_ids, lat):
+    """The latency window must be fully CONTAINED in at least one selected
+    trial's time range — partial overlap everywhere is an error (reference
+    test_selectdata.py:146-149 and the spike case :522-549)."""
+    if not trial_ids or lat is None or (isinstance(lat, str) and lat == "all"):
+        return
+    lat_arr = np.atleast_1d(np.asarray(lat, dtype=float))
+    for tid in trial_ids:
+        n_samp = int(data.sampleinfo[tid, 1] - data.sampleinfo[tid, 0])
+        if n_samp < 1:
+            continue
+        t_lo = data._t0[tid] / data.samplerate
+        t_hi = (n_samp - 1 + data._t0[tid]) / data.samplerate
+        if t_lo <= lat_arr[0] and lat_arr[1] <= t_hi:
+            return
+    raise SPYValueError(
+        legal="at least one trial covering the latency window",
+        varname="latency", actual=str(lat),
+    )
+
+
 class Selector:
     """
     In-place selection descriptor attached to a data object.
@@ -231,26 +252,7 @@ class Selector:
             tvec = (np.arange(n_samp) + data._t0[tid]) / data.samplerate
             idx = np.where((tvec >= lat_arr[0]) & (tvec <= lat_arr[1]))[0]
             self.time.append(_as_slice_if_possible(idx, n_samp))
-        if self.trial_ids and lat is not None and not (isinstance(lat, str) and lat == "all"):
-            # the window must be fully CONTAINED in at least one selected
-            # trial's time range — partial overlap everywhere is an error
-            # (reference test_selectdata.py:146-149, spike case :522-549)
-            lat_arr = np.atleast_1d(np.asarray(lat, dtype=float))
-            covered = False
-            for tid in self.trial_ids:
-                n_samp = int(data.sampleinfo[tid, 1] - data.sampleinfo[tid, 0])
-                if n_samp < 1:
-                    continue
-                t_lo = data._t0[tid] / data.samplerate
-                t_hi = (n_samp - 1 + data._t0[tid]) / data.samplerate
-                if t_lo <= lat_arr[0] and lat_arr[1] <= t_hi:
-                    covered = True
-                    break
-            if not covered:
-                raise SPYValueError(
-                    legal="at least one trial covering the latency window",
-                    varname="latency", actual=str(lat),
-                )
+        _require_latency_coverage(data, self.trial_ids, lat)
 
     def _select_discrete(self, data):
         """unit/eventid selections and per-trial row indexers for discrete data."""
@@ -320,26 +322,7 @@ class Selector:
                     mask &= (tvec >= lat_arr[0]) & (tvec <= lat_arr[1])
                 idx = np.where(mask)[0]
                 self.time.append(_as_slice_if_possible(idx, rows.shape[0]))
-            if self.latency is not None and not (isinstance(self.latency, str) and self.latency == "all"):
-                # same containment rule as continuous data: the window must
-                # lie inside at least one selected trial's time range
-                # (reference test_selectdata.py:522-549)
-                lat_arr = np.atleast_1d(np.asarray(self.latency, dtype=float))
-                covered = False
-                for tid in self.trial_ids:
-                    n_samp = int(data.sampleinfo[tid, 1] - data.sampleinfo[tid, 0])
-                    if n_samp < 1:
-                        continue
-                    t_lo = data._t0[tid] / data.samplerate
-                    t_hi = (n_samp - 1 + data._t0[tid]) / data.samplerate
-                    if t_lo <= lat_arr[0] and lat_arr[1] <= t_hi:
-                        covered = True
-                        break
-                if not covered:
-                    raise SPYValueError(
-                        legal="at least one trial covering the latency window",
-                        varname="latency", actual=str(self.latency),
-                    )
+            _require_latency_coverage(data, self.trial_ids, self.latency)
 
     # ------------------------------------------------------------------ #
 

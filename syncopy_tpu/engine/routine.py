@@ -76,7 +76,7 @@ DISPATCH_RETRIES = int(os.environ.get("SPY_TPU_RETRIES", 2))
 #: remote TPU runtime — a genuinely broken program fails on every retry)
 _TRANSIENT_MARKERS = (
     "UNAVAILABLE", "DEADLINE_EXCEEDED", "Socket closed", "Connection reset",
-    "connection", "ABORTED", "heartbeat", "INTERNAL: TPU backend error",
+    "connection dropped", "ABORTED", "heartbeat", "INTERNAL: TPU backend error",
     "remote_compile", "HTTP 500",
 )
 
@@ -115,7 +115,7 @@ def _dispatch_with_recovery(thunk, rebuild=None, what="device dispatch"):
                     what, msg.splitlines()[0][:120], attempt + 1, DISPATCH_RETRIES,
                 )
                 _time.sleep(0.5 * (attempt + 1))
-    raise last
+    raise last  # pragma: no cover — loop always re-raises on the last attempt
 
 
 #: process-global compiled-function cache: identical (CR class, cfg,
@@ -167,22 +167,28 @@ def clear_device_cache():
     _DEVICE_CACHE_SIZE[0] = 0
 
 
-def _materialize_resident(resident):
-    """Readback closure for :class:`DeviceResident`: reconstruct the stacked
-    host output from the per-chunk device buffers (the deferred counterpart
-    of the eager ``_write_chunk`` path)."""
-    shape, dtype = resident.shape, resident.dtype
-    nbytes = int(np.prod(shape)) * dtype.itemsize
-    owner = resident._owner()
+def _allocate_host_output(shape, dtype, owner):
+    """Host target for a stacked result: RAM, or a disk-backed HDF5 dataset
+    when over ``SPY_TPU_HOST_BYTES`` (shared by the eager preallocation and
+    the deferred resident readback — reference preallocate_output,
+    computational_routine.py:750-804)."""
+    nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
     if nbytes > DEFAULT_HOST_BUDGET and owner is not None:
         import h5py
 
         f = h5py.File(owner.filename, "w")
-        host_out = f.create_dataset("data", shape=shape, dtype=dtype)
+        dset = f.create_dataset("data", shape=shape, dtype=dtype)
         owner._hdfFile = f
         owner._is_temp_file = True
-    else:
-        host_out = np.empty(shape, dtype=dtype)
+        return dset
+    return np.empty(shape, dtype=dtype)
+
+
+def _materialize_resident(resident):
+    """Readback closure for :class:`DeviceResident`: reconstruct the stacked
+    host output from the per-chunk device buffers (the deferred counterpart
+    of the eager ``_write_chunk`` path)."""
+    host_out = _allocate_host_output(resident.shape, resident.dtype, resident._owner())
     sdim = resident.stackingdim
     offsets = resident.offsets
     for rec in resident.records:
@@ -588,21 +594,29 @@ class ComputationalRoutine:
         if os.environ.get("SPY_TPU_DEVICE_RESIDENT", "1") == "0" and device_resident is not True:
             return False
         budget = resident_budget_bytes()
-        if budget <= 0:
-            return False
         est = int(np.prod(self.outputShape)) * self.dtype.itemsize
-        if device_resident is None and est > budget:
-            return False
-        return _admit(est)
+        denied = (budget <= 0
+                  or (device_resident is None and est > budget)
+                  or not _admit(est))
+        if denied and device_resident is True:
+            get_logger().warning(
+                "device_resident=True requested but the HBM budget "
+                "(SPY_TPU_RESIDENT_BYTES=%d) cannot hold %d bytes — "
+                "falling back to eager host readback", budget, est,
+            )
+        return not denied
 
     def _accumulate_aux(self, aux_info, chunk_pos, n_valid, chunk_size):
         """Collect one chunk's aux-info dict. Entries whose leading axis is
         the chunk batch are per-trial: padding rows are dropped and values
         recorded under their selected-trial position. Anything else (scalar
-        diagnostics of a fused batch reduction) is kept per chunk."""
+        diagnostics of a fused batch reduction) is kept per chunk; prefix a
+        key with ``chunk_`` to force per-chunk handling even when its
+        leading axis coincidentally equals the chunk size."""
         for k, v in aux_info.items():
             arr = np.asarray(jax.device_get(v))
-            if arr.ndim >= 1 and arr.shape[0] == chunk_size:
+            if (arr.ndim >= 1 and arr.shape[0] == chunk_size
+                    and not k.startswith("chunk_")):
                 per_trial = self._aux_per_trial.setdefault(k, {})
                 for i, pos in enumerate(chunk_pos[: int(n_valid)]):
                     per_trial[pos] = arr[i]
@@ -840,7 +854,9 @@ class ComputationalRoutine:
             self._selection_fingerprint(data),
             shp,
             chunk,
-            TRANSFER_DTYPE,
+            # exact-transfer CRs must never share f16-cast cached chunks
+            # uploaded by a lossy CR on the same payload (and vice versa)
+            None if getattr(self, "exact_transfer", False) else TRANSFER_DTYPE,
             None if mesh is None else tuple(mesh.shape.items()),
             in_complex,
             tuple(positions),
@@ -867,10 +883,17 @@ class ComputationalRoutine:
                 # (pair axis AFTER the trial axis — tiny trailing dims
                 # make TPU readback pathologically slow)
                 batch, _ = encode_host(batch, axis=1)
-                if TRANSFER_DTYPE and not in_complex and batch.dtype == np.float32:
+                if (TRANSFER_DTYPE and not in_complex
+                        and batch.dtype == np.float32
+                        and not getattr(self, "exact_transfer", False)):
                     batch = batch.astype(TRANSFER_DTYPE)
                 _t1 = _time.perf_counter()
-                dev_batch, n_valid = shard_batch(batch, mesh, channel_axis_pos=chan_axis)
+                dev_batch, _ = shard_batch(batch, mesh, channel_axis_pos=chan_axis)
+                # n_valid counts REAL trials: padding rows must be masked —
+                # NaN-sensitive reductions (phase unit vectors, centered
+                # moments) would otherwise be poisoned on the first,
+                # uncached pass (the cached branch already did this)
+                n_valid = len(chunk_pos)
                 if built_chunks is not None:
                     built_chunks.append(dev_batch)
                 _t2 = _time.perf_counter()
@@ -971,17 +994,7 @@ class ComputationalRoutine:
     def _preallocate_output(self, out):
         """Allocate the stacked output: host RAM, or HDF5 when too large
         (reference preallocate_output computational_routine.py:750-804)."""
-        nbytes = int(np.prod(self.outputShape)) * self.dtype.itemsize
-        if nbytes > DEFAULT_HOST_BUDGET:
-            import h5py
-
-            fname = out.filename
-            f = h5py.File(fname, "w")
-            dset = f.create_dataset("data", shape=self.outputShape, dtype=self.dtype)
-            out._hdfFile = f
-            out._is_temp_file = True
-            return dset
-        return np.empty(self.outputShape, dtype=self.dtype)
+        return _allocate_host_output(self.outputShape, self.dtype, out)
 
     # ------------------------------------------------------------------ #
     # provenance

@@ -304,9 +304,22 @@ def _trialdef_from_codes(adata, stores, start_code, end_code, t0_stream, fs, nmi
                 trl_starts.size, trl_ends.size)
         )
     n = min(trl_starts.size, trl_ends.size)
-    trldef = np.zeros((n, 3))
-    trldef[:, 0] = trl_starts[:n]
-    trldef[:, 1] = trl_ends[:n]
+    starts, ends = trl_starts[:n], trl_ends[:n]
+    # only keep in-bounds, forward trials (like the store-name path): an
+    # end strobe before its start or past the recording would otherwise
+    # attach an invalid trialdefinition silently
+    good = (starts >= 0) & (starts < ends) & (ends <= nmin)
+    if not good.all():
+        SPYWarning(
+            "Dropping {} out-of-bounds/reversed strobe trial(s)".format(int((~good).sum()))
+        )
+    starts, ends = starts[good], ends[good]
+    if starts.size == 0:
+        raise SPYValueError(legal="at least one in-bounds strobe trial",
+                            varname="start_code", actual=str(start_code))
+    trldef = np.zeros((starts.size, 3))
+    trldef[:, 0] = starts
+    trldef[:, 1] = ends
     return trldef
 
 

@@ -612,8 +612,12 @@ def regularize_csd(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
     # float32 iteration — lift each offending frequency's spectrum to a
     # small floor relative to its own diagonal power; healthy bins are
     # untouched.
+    # diagnostics must reflect the matrix as RECEIVED: record the initial
+    # condition number before any repair
+    raw_abs = jnp.abs(lam)
+    ini_cond_raw = (raw_abs.max(axis=1) / raw_abs.min(axis=1)).max()
     lam_min = lam.min(axis=1)  # (F,)
-    bin_scale = jnp.abs(lam).max(axis=1)  # (F,)
+    bin_scale = raw_abs.max(axis=1)  # (F,)
     lam_floor = 1e-6 * bin_scale
     psd_shift = jnp.maximum(lam_floor - lam_min, jnp.zeros((), rdtype))
     psd_shift = jnp.where(lam_min < lam_floor, psd_shift, jnp.zeros((), rdtype))
@@ -622,7 +626,7 @@ def regularize_csd(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
     shifted = jnp.abs(lam[None] + epsilons[:, None, None])  # (E+1, F, N)
     conds = (shifted.max(axis=2) / shifted.min(axis=2)).max(axis=1)  # (E+1,)
     ok = conds < cond_max
-    ini_cond = conds[0]
+    ini_cond = ini_cond_raw
     any_ok = jnp.any(ok)
     first_ok = jnp.argmax(ok)  # smallest epsilon that works (ordered ascending)
     chosen = jnp.where(any_ok, first_ok, len(epsilons) - 1)

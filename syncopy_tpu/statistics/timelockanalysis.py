@@ -27,6 +27,9 @@ class _TimeLockCopy(ComputationalRoutine):
     into the output payload without a whole-ensemble host stack."""
 
     valid_kws = []
+    #: an identity copy must be bit-exact — never quantize the upload
+    #: (SPY_TPU_TRANSFER_DTYPE=float16 would otherwise degrade the data)
+    exact_transfer = True
 
     def process_single_trial(self, trial, **cfg):
         return trial

@@ -45,6 +45,19 @@ class TestEventTrials:
         spy.definetrial(adata, trialdefinition=evt, pre=0.2, post=99.0, trigger=1, clip_edges=True)
         assert np.all(adata.trialdefinition[:, 1] <= 10000)
 
+    def test_clip_edges_left_offset(self):
+        # trigger@10, pre=post=0.1s @ 500 Hz -> span [-40, 60), offset -50;
+        # clipping 40 leading samples moves the first sample CLOSER to the
+        # trigger: offset must become -10 (sign regression)
+        evt = spy.EventData(np.array([[10, 1], [380, 1]]), samplerate=500,
+                            dimord=["sample", "eventid"])
+        tgt = spy.AnalogData(data=np.zeros((400, 2), "f4"), samplerate=500)
+        spy.definetrial(tgt, trialdefinition=evt, pre=0.1, post=0.1,
+                        trigger=1, clip_edges=True)
+        trl = tgt.trialdefinition
+        assert trl[0].tolist() == [0.0, 60.0, -10.0]
+        assert trl[1].tolist() == [330.0, 400.0, -50.0]
+
 
 class TestEventData:
     def test_init_and_selection(self):

@@ -388,3 +388,60 @@ class TestComplexBoundaryInvariant:
         spy.var(spec, dim="trials")
         assert seen, "shard_batch never called"
         assert all(not np.issubdtype(dt, np.complexfloating) for dt in seen)
+
+
+class TestHostPathPaddingMask:
+    """Regression (code review): the FIRST, uncached host upload must mask
+    zero-padded rows — NaN-sensitive reductions (phase unit vectors,
+    centered moments) were poisoned when the trial count was not a power
+    of two and the input was not device-resident."""
+
+    def _spec(self, n_trials=20):
+        import syncopy_tpu as spy
+
+        d = spy.synthdata.white_noise(nTrials=n_trials, nSamples=128,
+                                      nChannels=2, seed=60)
+        return spy.freqanalysis(d, method="mtmfft", output="fourier",
+                                keeptrials=True)
+
+    def test_itc_first_pass_host_path(self, monkeypatch):
+        import syncopy_tpu as spy
+        from syncopy_tpu.engine.routine import clear_device_cache
+
+        monkeypatch.setenv("SPY_TPU_DEVICE_RESIDENT", "0")
+        spec = self._spec()
+        clear_device_cache()  # force the fresh-upload branch
+        res = spy.itc(spec)
+        arr = np.asarray(res.data)
+        assert np.isfinite(arr).all(), "padding rows leaked into the resultant"
+        stack = np.stack([np.asarray(t) for t in spec.trials])
+        unit = stack / np.abs(stack)
+        ref = np.abs(unit.mean(axis=0).mean(axis=0, keepdims=True))
+        assert np.allclose(arr, ref, atol=1e-6)
+
+    def test_var_first_pass_host_path(self, monkeypatch):
+        import syncopy_tpu as spy
+        from syncopy_tpu.engine.routine import clear_device_cache
+
+        monkeypatch.setenv("SPY_TPU_DEVICE_RESIDENT", "0")
+        spec = self._spec()
+        clear_device_cache()
+        v = spy.var(spec, dim="trials")
+        stack = np.stack([np.asarray(t) for t in spec.trials])
+        ref = np.mean(np.abs(stack - stack.mean(axis=0)) ** 2, axis=0)
+        assert np.allclose(np.asarray(v.data), ref, atol=1e-6)
+
+
+class TestTimelockExactTransfer:
+    """The keeptrials identity copy must be bit-exact even when f16 ingest
+    is enabled globally (an identity kernel must never quantize)."""
+
+    def test_no_f16_quantization(self, monkeypatch):
+        import syncopy_tpu as spy
+        from syncopy_tpu.engine import routine
+
+        monkeypatch.setattr(routine, "TRANSFER_DTYPE", "float16")
+        d = spy.synthdata.white_noise(nTrials=6, nSamples=100, nChannels=2, seed=61)
+        tl = spy.timelockanalysis(d, keeptrials=True)
+        stack = np.concatenate([np.asarray(t) for t in d.trials], axis=0)
+        assert np.array_equal(np.asarray(tl.data), stack)
