@@ -655,6 +655,17 @@ class BaseData(ABC):
             for ts, to in zip(self.trials, other.trials):
                 if not np.allclose(np.asarray(ts, dtype=np.float64), np.asarray(to, dtype=np.float64), equal_nan=True):
                     return False
+        # registered extra datasets are part of the object's identity
+        # (reference tests/test_attach_dataset.py:75-137: objects differing
+        # only in an attached dataset — presence or values — compare unequal)
+        mine = {k: v for k, v in self._registered_datasets.items() if v is not None}
+        theirs = {k: v for k, v in other._registered_datasets.items() if v is not None}
+        if set(mine) != set(theirs):
+            return False
+        for k, v in mine.items():
+            a, b = np.asarray(v), np.asarray(theirs[k])
+            if a.shape != b.shape or not np.allclose(a, b, equal_nan=True):
+                return False
         return True
 
     def __ne__(self, other):

@@ -49,7 +49,10 @@ def resampledata(
         raise SPYValueError(legal=str(availableMethods), varname="method", actual=str(method))
     scalar_parser(resamplefs, varname="resamplefs", lims=[np.finfo(float).eps, data.samplerate])
     if lpfreq is not None:
-        scalar_parser(lpfreq, varname="lpfreq", lims=[0, data.samplerate / 2])
+        # the anti-alias cut must sit at or below the NEW Nyquist
+        # (reference resampledata.py lpfreq validation: "less or equals
+        # <resamplefs/2>")
+        scalar_parser(lpfreq, varname="lpfreq", lims=[0, resamplefs / 2])
     if order is not None:
         scalar_parser(order, varname="order", ntype="int_like", lims=[0, np.inf])
 

@@ -142,7 +142,7 @@ def unwrap_select(func):
 
     @functools.wraps(func)
     def wrapper_select(*args, **kwargs):
-        select = kwargs.pop("select", None)
+        select = kwargs.get("select", None)
         data = args[0] if args else kwargs.get("data")
         prior = None
         applied = False
@@ -152,6 +152,10 @@ def unwrap_select(func):
             prior = data._selection
             data.selection = select
             applied = True
+            # leave `select` in kwargs: frontends record it into out.cfg
+            # (reference get_frontend_cfg pops it there, tools.py:205-213)
+        elif "select" in kwargs:
+            kwargs.pop("select")
         try:
             return func(*args, **kwargs)
         finally:

@@ -119,15 +119,34 @@ def get_frontend_cfg(defaults, lcls, kwargs):
     cfg = StructDict()
     for key in defaults:
         if key in lcls:
-            cfg[key] = lcls[key]
+            cfg[key] = _plain_value(lcls[key])
     for key, value in kwargs.items():
         if key not in ("parallel", "chan_per_worker"):
-            cfg[key] = value
+            cfg[key] = _plain_value(value)
     if lcls.get("kwargs"):
         for key, value in lcls["kwargs"].items():
             if key == "select":
-                cfg[key] = value
+                cfg[key] = _plain_value(value)
     return cfg
+
+
+def _plain_value(value):
+    """Normalize a cfg entry to plain JSON-serializable Python (reference
+    tools.py:125-164): numpy arrays/ranges become lists, numpy scalars
+    become int/float, dicts (``select``) are normalized recursively — so a
+    cfg survives a save/load JSON round-trip comparing EQUAL to the
+    original (tests/test_cfg.py:66-90 replay semantics)."""
+    if isinstance(value, dict):
+        return {k: _plain_value(v) for k, v in value.items()}
+    if isinstance(value, np.ndarray):
+        return value.tolist()
+    if isinstance(value, range):
+        return list(value)
+    if isinstance(value, (list, tuple)):
+        return [_plain_value(v) for v in value]
+    if isinstance(value, np.generic):
+        return value.item()
+    return value
 
 
 def best_match(source, selection, span=False, tol=None, squash_duplicates=False):

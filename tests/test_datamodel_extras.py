@@ -296,6 +296,31 @@ class TestAttachedDatasetMatrix:
         loaded = spy.load(str(tmp_path / "wf.spy"))
         assert np.allclose(np.asarray(loaded.waveform), np.asarray(spd.waveform))
 
+    def test_equality_sees_extra_datasets(self):
+        # reference test_attach_dataset.py:75-137: presence AND values of
+        # attached datasets participate in object comparison
+        a, b = self._spikes(), self._spikes()
+        assert a == b
+        a._register_dataset("extra", np.ones((3, 3), dtype=np.float32))
+        assert a != b
+        b._register_dataset("extra", np.ones((3, 3), dtype=np.float32))
+        assert a == b
+        b._register_dataset("extra", 2 * np.ones((3, 3), dtype=np.float32))
+        assert a != b
+        # detaching restores equality with a plain object
+        a._register_dataset("extra", None)
+        b._register_dataset("extra", None)
+        assert a == b == self._spikes()
+
+    def test_copy_equality_roundtrip(self):
+        spd = self._spikes()
+        spd._register_dataset("extra", np.arange(9.0).reshape(3, 3))
+        dup = spd.copy()
+        assert dup == spd
+        np.asarray(dup._get_extra_dataset("extra"))  # still intact
+        dup._register_dataset("extra", np.zeros((3, 3)))
+        assert dup != spd
+
     def test_psth_runs_with_waveform_attached(self):
         spd = spy.synthdata.poisson_noise(nTrials=3, nSpikes=600, nChannels=2,
                                           nUnits=2, samplerate=1000, seed=0)

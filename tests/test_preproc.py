@@ -196,6 +196,73 @@ class TestResampling:
         assert spec.freq[np.argmax(arr)] == pytest.approx(20, abs=2)
 
 
+class TestResamplePower:
+    """Spectral-power conservation through rate conversion (reference
+    tests/test_resampledata.py:45-145): naive decimation of white noise
+    doubles per-bin power (aliasing folds the removed band back in),
+    anti-alias filtering and polyphase resampling conserve it."""
+
+    fs, nSamples, nTrials = 200, 991, 60
+
+    @pytest.fixture(scope="class")
+    def noise_and_pow(self):
+        adata = spy.synthdata.white_noise(
+            nTrials=self.nTrials, nChannels=2, nSamples=self.nSamples,
+            samplerate=self.fs, seed=42,
+        )
+        spec = spy.freqanalysis(adata, tapsmofrq=1, keeptrials=False)
+        pow_orig = np.asarray(spec.data)[0, 0, 5:, 0].mean()
+        return adata, pow_orig
+
+    def _mean_power(self, ds, fmax=None):
+        spec = spy.freqanalysis(ds, tapsmofrq=1, keeptrials=False)
+        arr = np.asarray(spec.data)[0, 0, :, 0]
+        if fmax is not None:
+            arr = arr[np.asarray(spec.freq) <= fmax]
+        return arr[5:].mean()
+
+    def test_naive_decimation_doubles_power(self, noise_and_pow):
+        adata, pow_orig = noise_and_pow
+        ds = spy.resampledata(adata, method="downsample", resamplefs=self.fs // 2)
+        lens = np.unique(np.diff(ds.sampleinfo, axis=1))
+        assert lens.size == 1  # equal trials stay equal
+        assert np.allclose(2 * pow_orig, self._mean_power(ds), rtol=0.15)
+
+    def test_aa_filter_conserves_power(self, noise_and_pow):
+        adata, pow_orig = noise_and_pow
+        ds = spy.resampledata(adata, method="downsample",
+                              resamplefs=self.fs // 2, lpfreq=self.fs // 4)
+        # away from the filter roll-off the plateau matches the original
+        assert np.allclose(pow_orig, self._mean_power(ds, fmax=self.fs / 4 - 5),
+                           rtol=0.15)
+
+    def test_polyphase_resample_conserves_power(self, noise_and_pow):
+        adata, pow_orig = noise_and_pow
+        rs = spy.resampledata(adata, method="resample",
+                              resamplefs=self.fs * 0.43, order=5000)
+        lens = np.unique(np.diff(rs.sampleinfo, axis=1))
+        assert lens.size == 1
+        assert np.allclose(pow_orig,
+                           self._mean_power(rs, fmax=self.fs * 0.43 / 2 - 3),
+                           rtol=0.15)
+
+    def test_lpfreq_beyond_new_nyquist_rejected(self, noise_and_pow):
+        adata, _ = noise_and_pow
+        with pytest.raises(spy.SPYValueError, match="lpfreq"):
+            spy.resampledata(adata, method="downsample",
+                             resamplefs=self.fs // 2, lpfreq=self.fs / 1.5)
+
+    def test_selection_through_resample(self, noise_and_pow):
+        adata, pow_orig = noise_and_pow
+        ds = spy.resampledata(adata, method="downsample",
+                              resamplefs=self.fs // 2, lpfreq=self.fs // 4,
+                              select={"trials": list(range(20)), "channel": [1]})
+        assert len(ds.trials) == 20 and len(ds.channel) == 1
+        assert np.all(np.isfinite(np.asarray(ds.data)))
+        # no power lost relative to the original plateau
+        assert self._mean_power(ds, fmax=self.fs / 4 - 5) >= 0.7 * pow_orig
+
+
 class TestChained:
     def test_filter_then_spectrum(self):
         data = two_band_signal()
