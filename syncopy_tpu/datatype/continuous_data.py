@@ -91,6 +91,7 @@ class ContinuousData(BaseData):
             )
         return None
 
+    @property
     def is_time_locked(self):
         """True if all trials have equal length and offset (reference :80)."""
         trl = self.trialdefinition
