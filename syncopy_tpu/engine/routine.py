@@ -912,9 +912,11 @@ class ComputationalRoutine:
         """Fuse the post transform (incl. the /numTrials normalization)
         into one cached device program."""
         pack = getattr(self, "_post_pack", None)
+        rb16 = _readback_dtype() == "float16"
         key = (
             self.__class__.__qualname__, "post", self._post_key,
             tuple(acc.shape), str(acc.dtype), kernel_complex, pack is not None,
+            rb16,
         )
         if key not in _GLOBAL_JIT_CACHE:
             post = self._post_fn
@@ -923,8 +925,14 @@ class ComputationalRoutine:
                 x = decode_in_jit(a, kernel_complex, axis=0) / n
                 y = post(x)
                 if pack is not None:
-                    return pack(y)
-                return encode_in_jit(y, axis=0)[0]
+                    z, was_c = pack(y), False  # pack must return REAL
+                else:
+                    z, was_c = encode_in_jit(y, axis=0)
+                # reduced-precision readback for REAL fused reductions only
+                # (complex pairs keep f32: phase would degrade)
+                if rb16 and not was_c and z.dtype == jnp.float32:
+                    z = z.astype(jnp.float16)
+                return z
 
             _GLOBAL_JIT_CACHE[key] = jax.jit(finalize)
         n = jnp.asarray(float(self.numTrials), dtype=jnp.float32)

@@ -160,6 +160,30 @@ class TestReadbackDtype:
         four_ref = np.asarray(spy.freqanalysis(ad, method="mtmfft", taper="hann", output="fourier").data)
         assert np.abs(four - four_ref).max() == 0
 
+    def test_f16_readback_fused_reduction(self, monkeypatch):
+        """The knob also covers the keeptrials=False fused post path
+        (coherence via post_pack): real packed results downcast within the
+        f16 bound 2^-11, final dtype stays float32; a complex fused result
+        (trial-averaged fourier) is never downcast."""
+        import syncopy_tpu as spy
+
+        ad = spy.synthdata.ar2_network(nTrials=6, AdjMat=np.zeros((3, 3)),
+                                       nSamples=300, seed=2)
+        ref = np.asarray(spy.connectivityanalysis(ad, method="coh", tapsmofrq=3).data)
+        monkeypatch.setenv("SPY_TPU_READBACK_DTYPE", "float16")
+        got_obj = spy.connectivityanalysis(ad, method="coh", tapsmofrq=3)
+        got = np.asarray(got_obj.data)
+        assert got.dtype == np.float32
+        assert np.abs(got - ref).max() < 2 ** -11 + 1e-6
+        assert np.abs(got - ref).max() > 0  # quantization did happen
+
+        cplx = np.asarray(spy.freqanalysis(ad, method="mtmfft", taper="hann",
+                                           output="fourier", keeptrials=False).data)
+        monkeypatch.delenv("SPY_TPU_READBACK_DTYPE")
+        cplx_ref = np.asarray(spy.freqanalysis(ad, method="mtmfft", taper="hann",
+                                               output="fourier", keeptrials=False).data)
+        assert np.abs(cplx - cplx_ref).max() == 0
+
 
 class TestPostPackHook:
     def test_pack_unpack_roundtrip(self):
