@@ -113,7 +113,10 @@ class TestResidentChain:
         assert np.array_equal(np.asarray(pre.data), np.asarray(pre2.data))
 
     def test_hbm_budget_evicts_by_materializing(self, adata, monkeypatch):
-        monkeypatch.setenv("SPY_TPU_RESIDENT_BYTES", "200000")
+        # one 5120x4 f32 result is 82-132 kB on device depending on chunk
+        # padding (pow2 chunks vs SPY_TPU_CHUNK_BYTES=1); 150 kB admits one
+        # result but never two, in ANY chunk layout
+        monkeypatch.setenv("SPY_TPU_RESIDENT_BYTES", "150000")
         first = spy.preprocessing(adata, filter_class="but", filter_type="lp",
                                   freq=100, order=4)
         assert isinstance(first._data, DeferredArray)
