@@ -4,6 +4,8 @@
 # in HBM until the final stage, with deferred readback that is bit-equal to
 # the eager host path.
 
+import os
+
 import numpy as np
 import pytest
 
@@ -32,6 +34,8 @@ def _host_reference(adata, fn, *args, **kwargs):
         del os.environ["SPY_TPU_DEVICE_RESIDENT"]
 
 
+@pytest.mark.skipif(os.environ.get("SPY_TPU_DEVICE_RESIDENT") == "0",
+                    reason="device residency disabled via env")
 class TestResidentChain:
     def test_chain_stays_on_device(self, adata):
         pre = spy.preprocessing(adata, filter_class="but", filter_type="lp",
@@ -165,6 +169,8 @@ class TestResidentChain:
         assert len([r for r in _REGISTRY if r() is not None]) <= n0 + 1
 
 
+@pytest.mark.skipif(os.environ.get("SPY_TPU_DEVICE_RESIDENT") == "0",
+                    reason="device residency disabled via env")
 class TestStreamedReductions:
     """PPC / trial statistics / jackknife must consume device-resident
     inputs chunk-wise — never a whole-ensemble host stack."""
@@ -275,6 +281,8 @@ class TestStreamedReductions:
         assert peak < ensemble_bytes, (peak, ensemble_bytes)
 
 
+@pytest.mark.skipif(os.environ.get("SPY_TPU_DEVICE_RESIDENT") == "0",
+                    reason="device residency disabled via env")
 class TestResidentSubChunking:
     """A consumer whose chunk budget is smaller than the producer's record
     size must split resident records on device (regression: jackknife
