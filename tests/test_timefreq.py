@@ -411,3 +411,35 @@ class TestCfgReplayMatrix:
         replay = frontend(ad, res.cfg)
         assert np.allclose(np.asarray(res.data), np.asarray(replay.data),
                            atol=1e-6)
+
+
+class TestUnevenToi:
+    def test_uneven_toi_warns_and_falls_back(self):
+        """Unevenly spaced toi arrays compute fine but cannot be represented
+        on SpectralData's uniform time axis: warn + 1 Hz fallback (reference
+        compRoutines.py:864-874)."""
+        import warnings
+
+        d = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=2,
+                                   nSamples=1000, nChannels=2)
+        toi = np.array([0.3, 0.35, 0.9, 1.5])
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
+                                  toi=toi, taper="hann")
+        assert any("unevenly spaced" in str(w.message) for w in rec)
+        assert tf.samplerate == 1.0
+        assert tf.data.shape[0] == 2 * toi.size
+        arr = np.asarray(tf.data)
+        assert np.isfinite(arr).all()
+        # the spectral content is still correct per window
+        assert tf.freq[np.argmax(arr[0, 0, :, 0])] == pytest.approx(30, abs=3)
+
+    def test_even_toi_sets_rate(self):
+        d = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=1,
+                                   nSamples=1000, nChannels=1)
+        toi = np.arange(0.2, 1.8, 0.2)
+        tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
+                              toi=toi, taper="hann")
+        assert tf.samplerate == pytest.approx(5.0)
+        assert np.allclose(tf.time[0], toi)
