@@ -222,6 +222,10 @@ def connectivityanalysis(
             data, st_out, parallel=parallel, log_dict=log_dict,
             post_device_fn=fused_post[0], post_key=fused_post[1],
             post_pack=pack, post_unpack=unpack,
+            # the Hermitian pack encodes the COMPLEX averaged CSD — must
+            # never be downcast by SPY_TPU_READBACK_DTYPE (Wilson amplifies
+            # f16 quantization to O(0.1) Granger errors)
+            post_pack_complex=(method in ("csd", "granger")),
         )
         if method != "granger":
             out = st_out

@@ -653,7 +653,10 @@ class BaseData(ABC):
             if td_s is not None and not np.array_equal(td_s, td_o):
                 return False
             for ts, to in zip(self.trials, other.trials):
-                if not np.allclose(np.asarray(ts, dtype=np.float64), np.asarray(to, dtype=np.float64), equal_nan=True):
+                # no float64 cast: it would silently DROP imaginary parts,
+                # making complex payloads differing only in phase compare
+                # equal; allclose handles complex/float/int natively
+                if not np.allclose(np.asarray(ts), np.asarray(to), equal_nan=True):
                     return False
         # registered extra datasets are part of the object's identity
         # (reference tests/test_attach_dataset.py:75-137: objects differing

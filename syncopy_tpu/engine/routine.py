@@ -533,7 +533,8 @@ class ComputationalRoutine:
     def compute(self, data, out, parallel=None, parallel_store=None, method=None,
                 mem_thresh=None, log_dict=None, parallel_debug=False,
                 post_device_fn=None, post_key=None,
-                post_pack=None, post_unpack=None, device_resident=None):
+                post_pack=None, post_unpack=None, post_pack_complex=False,
+                device_resident=None):
         """
         Run the routine. `post_device_fn` (with a hashable `post_key` for
         executable caching) is an optional device-side transform fused onto
@@ -543,6 +544,9 @@ class ComputationalRoutine:
         compress the fused result for the device->host readback (e.g.
         triangular packing of symmetric connectivity matrices — halves the
         readback bytes losslessly); `post_pack` must return a REAL array.
+        Set `post_pack_complex=True` when that real array ENCODES complex
+        content (e.g. Hermitian-packed CSDs) so reduced-precision readback
+        (``SPY_TPU_READBACK_DTYPE``) never downcasts it.
 
         `device_resident` controls whether per-trial results stay in HBM
         with a deferred host readback (see ``engine/resident.py``): True /
@@ -556,6 +560,7 @@ class ComputationalRoutine:
         self._post_fn = post_device_fn
         self._post_pack = post_pack
         self._post_unpack = post_unpack
+        self._post_pack_complex = bool(post_pack_complex)
         self._post_key = post_key
         # restart from the pristine initialize() shape every call so a second
         # compute() on the same CR never double-applies the post transform
@@ -913,10 +918,11 @@ class ComputationalRoutine:
         into one cached device program."""
         pack = getattr(self, "_post_pack", None)
         rb16 = _readback_dtype() == "float16"
+        pack_complex = getattr(self, "_post_pack_complex", False)
         key = (
             self.__class__.__qualname__, "post", self._post_key,
             tuple(acc.shape), str(acc.dtype), kernel_complex, pack is not None,
-            rb16,
+            rb16, pack_complex,
         )
         if key not in _GLOBAL_JIT_CACHE:
             post = self._post_fn
@@ -925,7 +931,10 @@ class ComputationalRoutine:
                 x = decode_in_jit(a, kernel_complex, axis=0) / n
                 y = post(x)
                 if pack is not None:
-                    z, was_c = pack(y), False  # pack must return REAL
+                    # pack returns a REAL array, but it may ENCODE complex
+                    # content (Hermitian-packed CSD) — the caller declares
+                    # that via post_pack_complex and it is never downcast
+                    z, was_c = pack(y), pack_complex
                 else:
                     z, was_c = encode_in_jit(y, axis=0)
                 # reduced-precision readback for REAL fused reductions only

@@ -59,16 +59,22 @@ class StructDict(dict):
         return new
 
 
-def _json_sanitize(value):
-    """Convert numpy scalars/arrays to JSON-compatible builtins."""
+def _json_sanitize(value, stringify_keys=True):
+    """Convert numpy scalars/arrays/ranges to JSON-compatible builtins;
+    ``stringify_keys=False`` keeps dict keys as-is (cfg normalization)."""
     if isinstance(value, np.generic):
         return value.item()
     if isinstance(value, np.ndarray):
         return value.tolist()
+    if isinstance(value, range):
+        return list(value)
     if isinstance(value, dict):
-        return {str(k): _json_sanitize(v) for k, v in value.items()}
+        return {
+            (str(k) if stringify_keys else k): _json_sanitize(v, stringify_keys)
+            for k, v in value.items()
+        }
     if isinstance(value, (list, tuple)):
-        return [_json_sanitize(v) for v in value]
+        return [_json_sanitize(v, stringify_keys) for v in value]
     return value
 
 
@@ -136,17 +142,7 @@ def _plain_value(value):
     become int/float, dicts (``select``) are normalized recursively — so a
     cfg survives a save/load JSON round-trip comparing EQUAL to the
     original (tests/test_cfg.py:66-90 replay semantics)."""
-    if isinstance(value, dict):
-        return {k: _plain_value(v) for k, v in value.items()}
-    if isinstance(value, np.ndarray):
-        return value.tolist()
-    if isinstance(value, range):
-        return list(value)
-    if isinstance(value, (list, tuple)):
-        return [_plain_value(v) for v in value]
-    if isinstance(value, np.generic):
-        return value.item()
-    return value
+    return _json_sanitize(value, stringify_keys=False)
 
 
 def best_match(source, selection, span=False, tol=None, squash_duplicates=False):

@@ -169,13 +169,15 @@ class _TimeFreqRoutine(ComputationalRoutine):
             if steps.size and np.allclose(steps, steps[0]):
                 new_rate = 1.0 / steps[0]
             else:
-                # SpectralData's time axis is uniformly sampled — uneven toi
-                # points cannot be represented faithfully (reference
-                # compRoutines.py:864-874 warns and falls back to 1 Hz)
-                SPYWarning(
-                    "`SpectralData`'s `time` property does not support "
-                    "unevenly spaced `toi` selections!", caller="freqanalysis",
-                )
+                if steps.size:
+                    # SpectralData's time axis is uniformly sampled — uneven
+                    # toi points cannot be represented faithfully (reference
+                    # compRoutines.py:864-874 warns and falls back to 1 Hz);
+                    # a SINGLE toi point has no spacing to misrepresent
+                    SPYWarning(
+                        "`SpectralData`'s `time` property does not support "
+                        "unevenly spaced `toi` selections!", caller="freqanalysis",
+                    )
                 new_rate = 1.0
             offsets = np.full(sel_trl.shape[0], toi[0] * new_rate)
         elif isinstance(toi, str):  # 'all'

@@ -389,3 +389,17 @@ class TestRedefinetrialMatrix:
         assert np.all(d.trialdefinition[:, 1] - d.trialdefinition[:, 0] == 6)
         arr0 = np.asarray(d.trials[0])
         assert np.array_equal(arr0, np.asarray(reg.trials[0])[2:8])
+
+
+class TestComplexEquality:
+    def test_phase_difference_detected(self):
+        """__eq__ must not discard imaginary parts: payloads differing only
+        in phase are NOT equal."""
+        a = spy.SpectralData(data=(np.ones((10, 1, 4, 2)) * (1 + 1j)).astype("c8"),
+                             samplerate=10)
+        b = spy.SpectralData(data=(np.ones((10, 1, 4, 2)) * (1 - 1j)).astype("c8"),
+                             samplerate=10)
+        assert a != b
+        c = spy.SpectralData(data=(np.ones((10, 1, 4, 2)) * (1 + 1j)).astype("c8"),
+                             samplerate=10)
+        assert a == c

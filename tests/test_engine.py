@@ -184,6 +184,29 @@ class TestReadbackDtype:
                                                output="fourier", keeptrials=False).data)
         assert np.abs(cplx - cplx_ref).max() == 0
 
+    def test_f16_readback_never_touches_packed_complex(self, monkeypatch):
+        """The Hermitian pack used by csd/granger encodes COMPLEX content
+        in a real array — post_pack_complex must exempt it from the knob
+        (f16 CSD quantization is amplified ~O(0.1) by Wilson)."""
+        import syncopy_tpu as spy
+
+        ad = spy.synthdata.ar2_network(nTrials=10, nSamples=300, seed=4)
+        csd_ref = np.asarray(spy.connectivityanalysis(ad, method="csd",
+                                                      tapsmofrq=3).data)
+        g_ref = np.asarray(spy.connectivityanalysis(ad, method="granger",
+                                                    tapsmofrq=3).data)
+        monkeypatch.setenv("SPY_TPU_READBACK_DTYPE", "float16")
+        csd = np.asarray(spy.connectivityanalysis(ad, method="csd",
+                                                  tapsmofrq=3).data)
+        g = np.asarray(spy.connectivityanalysis(ad, method="granger",
+                                                tapsmofrq=3).data)
+        assert np.abs(csd - csd_ref).max() == 0
+        # the FINAL granger matrix is real and may be f16-quantized by the
+        # knob (~|g|*2^-11); what must NOT happen is quantization of the
+        # intermediate CSD, which Wilson amplifies to O(0.1)
+        gmax = max(np.abs(g_ref).max(), 1.0)
+        assert np.abs(g - g_ref).max() < gmax * 2 ** -10
+
 
 class TestPostPackHook:
     def test_pack_unpack_roundtrip(self):

@@ -443,3 +443,15 @@ class TestUnevenToi:
                               toi=toi, taper="hann")
         assert tf.samplerate == pytest.approx(5.0)
         assert np.allclose(tf.time[0], toi)
+
+    def test_single_toi_point_no_warning(self):
+        import warnings
+
+        d = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=1,
+                                   nSamples=1000, nChannels=1)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
+                                  toi=np.array([0.5]), taper="hann")
+        assert not any("unevenly spaced" in str(w.message) for w in rec)
+        assert tf.data.shape[0] == 1
