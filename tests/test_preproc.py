@@ -125,6 +125,24 @@ class TestRectify:
         out = spy.preprocessing(data, filter_class=None, polyremoval=0, rectify=True)
         assert np.all(np.asarray(out.data) >= 0)
 
+    @pytest.mark.parametrize("output", ["abs", "real", "imag", "absreal",
+                                        "absimag", "angle"])
+    def test_hilbert_outputs_vs_scipy(self, output):
+        rng = np.random.default_rng(9)
+        sig = rng.normal(size=(500, 2)).astype("f4")
+        data = spy.AnalogData(data=sig, samplerate=500)
+        out = spy.preprocessing(data, filter_class=None, polyremoval=0,
+                                hilbert=output)
+        # polyremoval=0 demeans before the transform — mirror it
+        demeaned = sig.astype(np.float64) - sig.astype(np.float64).mean(axis=0)
+        analytic = sp_sig.hilbert(demeaned, axis=0)
+        expected = {
+            "abs": np.abs(analytic), "real": analytic.real,
+            "imag": analytic.imag, "absreal": np.abs(analytic.real),
+            "absimag": np.abs(analytic.imag), "angle": np.angle(analytic),
+        }[output]
+        assert np.allclose(np.asarray(out.data), expected, atol=1e-4), output
+
     def test_rectify_and_hilbert_conflict(self):
         data = two_band_signal(nTrials=1)
         with pytest.raises(spy.SPYValueError):
