@@ -24,6 +24,8 @@ from .shared.errors import (  # noqa: F401
     SPYWarning,
     SPYInfo,
     SPYLog,
+    SPYExceptionHandler,
+    log,
 )
 from .shared.tools import StructDict, SerializableDict, get_defaults, best_match  # noqa: F401
 from .shared.log import (  # noqa: F401
@@ -33,7 +35,7 @@ from .shared.log import (  # noqa: F401
     set_loglevel,
 )
 from .shared.profiling import profile, Timer  # noqa: F401
-from .datatype.util import setup_storage, storage_dir  # noqa: F401
+from .datatype.util import setup_storage, storage_dir, get_dir_size  # noqa: F401
 
 #: session-scoped temp-storage directory (reference `__storage__`)
 __storage__, __storage_size_gb__, __storage_nfiles__ = setup_storage()

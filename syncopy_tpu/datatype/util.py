@@ -54,9 +54,8 @@ def get_dir_size(start_path=".", unit="B"):
                     nfiles += 1
             except OSError:
                 pass
-    if unit == "GB":
-        return total / 1e9, nfiles
-    return total, nfiles
+    scale = {"B": 1, "KB": 1e3, "MB": 1e6, "GB": 1e9}.get(str(unit).upper(), 1)
+    return total / scale if scale != 1 else total, nfiles
 
 
 def gen_session_filename(extension):

@@ -140,12 +140,49 @@ def SPYLog(msg, loglevel="INFO", caller=None):
     """Route a message to the package logger (reference errors.py:410-473)."""
     logger = get_logger()
     level = str(loglevel).upper()
+    if level == "IMPORTANT":
+        # the custom level 25 — mapping it to INFO (20) would be filtered
+        # by the default IMPORTANT logger threshold
+        from .log import IMPORTANT
+
+        logger.log(IMPORTANT, str(msg))
+        return
     fn = {
         "DEBUG": logger.debug,
         "INFO": logger.info,
-        "IMPORTANT": logger.info,
         "WARNING": logger.warning,
         "ERROR": logger.error,
         "CRITICAL": logger.critical,
     }.get(level, logger.info)
     fn(str(msg))
+
+
+def log(msg, level="IMPORTANT", par=False, caller=None):
+    """Log `msg` to the package logger (reference errors.py:398-473 `log`);
+    `par=True` routes to the per-host parallel logger."""
+    from .log import get_parallel_logger
+
+    if par:
+        logger = get_parallel_logger()
+        getattr(logger, str(level).lower(), logger.info)(str(msg))
+        return
+    SPYLog(msg, loglevel=level, caller=caller)
+
+
+def SPYExceptionHandler(*args, **kwargs):
+    """Print the ACTIVE exception concisely (reference errors.py:142-300).
+
+    The reference installs this as sys.excepthook / IPython showtraceback;
+    here the equivalent hook is installed by
+    :func:`install_exception_handler` — this callable is exported for API
+    compatibility and handles either calling convention."""
+    if len(args) >= 3 and isinstance(args[0], type):
+        exc_type, exc, tb = args[:3]
+    else:
+        exc_type, exc, tb = sys.exc_info()
+    if exc_type is not None and issubclass(exc_type, SPYError):
+        print("{}: {}".format(exc_type.__name__, exc), file=sys.stderr)
+    elif exc_type is not None:
+        import traceback
+
+        traceback.print_exception(exc_type, exc, tb)

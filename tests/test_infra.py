@@ -191,8 +191,16 @@ class TestLogging:
         assert plg is not None
 
     def test_set_loglevel(self):
-        spy.set_loglevel("DEBUG")
-        spy.set_loglevel("WARNING")
+        import logging
+
+        prior = spy.get_logger().level
+        try:
+            spy.set_loglevel("DEBUG")
+            assert spy.get_logger().level == logging.DEBUG
+            spy.set_loglevel("WARNING")
+            assert spy.get_logger().level == logging.WARNING
+        finally:
+            spy.get_logger().setLevel(prior)
 
     def test_object_log_history(self, adata_equal):
         spec = spy.freqanalysis(adata_equal, method="mtmfft", taper="hann")
@@ -471,3 +479,14 @@ class TestCfgCallStyles:
         cfg.keeptrials = "no"
         res = spy.freqanalysis(ad, cfg)
         assert res.data.shape[0] == 1
+
+
+class TestDirSizeUnits:
+    def test_unit_scaling(self, tmp_path):
+        (tmp_path / "a.bin").write_bytes(b"\0" * 2_000_000)
+        b, n = spy.get_dir_size(str(tmp_path))
+        assert (b, n) == (2_000_000, 1)
+        mb, _ = spy.get_dir_size(str(tmp_path), unit="MB")
+        assert mb == pytest.approx(2.0)
+        gb, _ = spy.get_dir_size(str(tmp_path), unit="GB")
+        assert gb == pytest.approx(0.002)

@@ -52,3 +52,41 @@ class TestStorage:
         spy.clear()
         assert os.path.exists(fname)
         del obj
+
+
+class TestReferenceApiParity:
+    def test_reference_toplevel_names_present(self):
+        """Every public name the reference exports at package level exists
+        here too (reference __init__.py import surface)."""
+        for name in ("SPYExceptionHandler", "get_dir_size", "log",
+                     "cleanup", "clear", "copy", "esi_cluster_setup",
+                     "cluster_cleanup", "definetrial", "redefinetrial"):
+            assert callable(getattr(spy, name)), name
+
+    def test_log_routes_to_logger(self):
+        import logging
+
+        records = []
+
+        class Grab(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        logger = logging.getLogger("syncopy_tpu")
+        h = Grab()
+        logger.addHandler(h)
+        prior = logger.level
+        logger.setLevel(25)  # the custom IMPORTANT threshold
+        try:
+            spy.log("parity check message", level="IMPORTANT")
+        finally:
+            logger.removeHandler(h)
+            logger.setLevel(prior)
+        assert any("parity check message" in m for m in records)
+
+    def test_exception_handler_formats_spy_errors(self, capsys):
+        try:
+            raise spy.SPYValueError(legal="x", varname="v")
+        except spy.SPYValueError:
+            spy.SPYExceptionHandler()
+        assert "SPYValueError" in capsys.readouterr().err
