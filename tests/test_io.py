@@ -465,3 +465,25 @@ class TestTDTBlock:
         # missing end code must raise (reference load_tdt.py:84-89)
         with pytest.raises(spy.shared.errors.SPYValueError, match="end"):
             spy.load_tdt(str(d), start_code=23000)
+
+
+class TestSaveOverwrite:
+    def test_refuses_then_overwrites(self, tmp_path):
+        ad = spy.AnalogData(data=np.ones((40, 2), "f4"), samplerate=10)
+        spy.save(ad, container=str(tmp_path / "c"))
+        other = spy.AnalogData(data=2 * np.ones((40, 2), "f4"), samplerate=10)
+        with pytest.raises((spy.SPYError, spy.SPYIOError, IOError)):
+            spy.save(other, container=str(tmp_path / "c"))
+        spy.save(other, container=str(tmp_path / "c"), overwrite=True)
+        loaded = spy.load(str(tmp_path / "c.spy"))
+        assert np.allclose(np.asarray(loaded.data), 2.0)
+
+    def test_tagged_saves_coexist(self, tmp_path):
+        ad = spy.AnalogData(data=np.ones((40, 2), "f4"), samplerate=10)
+        spy.save(ad, container=str(tmp_path / "c"), tag="raw")
+        flt = spy.AnalogData(data=3 * np.ones((40, 2), "f4"), samplerate=10)
+        spy.save(flt, container=str(tmp_path / "c"), tag="filtered")
+        raw = spy.load(str(tmp_path / "c.spy"), tag="raw")
+        filt = spy.load(str(tmp_path / "c.spy"), tag="filtered")
+        assert np.allclose(np.asarray(raw.data), 1.0)
+        assert np.allclose(np.asarray(filt.data), 3.0)
