@@ -368,3 +368,25 @@ class TestAllTapers:
             assert arr.sum() > 0, taper
             ran += 1
         assert ran >= 20
+
+
+class TestMethodOutputMatrix:
+    @pytest.mark.parametrize("method,extra", [
+        ("mtmfft", {}),
+        ("mtmconvol", {"t_ftimwin": 0.25, "toi": 0.5}),
+        ("wavelet", {"foi": np.array([10.0, 20.0, 40.0])}),
+        ("superlet", {"foi": np.array([10.0, 20.0, 40.0]), "order_max": 4}),
+    ])
+    @pytest.mark.parametrize("output", ["pow", "fourier", "abs", "real",
+                                        "imag", "angle", "absreal", "absimag"])
+    def test_runs_with_correct_dtype(self, method, extra, output):
+        from syncopy_tpu.shared.const_def import spectralDTypes
+
+        d = spy.synthdata.harmonic(freq=20, samplerate=256, nTrials=2,
+                                   nSamples=256, nChannels=2)
+        spec = spy.freqanalysis(d, method=method, taper="hann",
+                                output=output, **extra)
+        arr = np.asarray(spec.data)
+        assert arr.dtype == spectralDTypes[output], (method, output)
+        assert np.isfinite(arr).all() if output != "angle" else True
+        assert arr.shape[-1] == 2
