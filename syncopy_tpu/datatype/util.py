@@ -54,7 +54,14 @@ def get_dir_size(start_path=".", unit="B"):
                     nfiles += 1
             except OSError:
                 pass
-    scale = {"B": 1, "KB": 1e3, "MB": 1e6, "GB": 1e9}.get(str(unit).upper(), 1)
+    scales = {"B": 1, "KB": 1e3, "MB": 1e6, "GB": 1e9}
+    key = str(unit).upper()
+    if key not in scales:
+        from ..shared.errors import SPYValueError
+
+        raise SPYValueError(legal="one of " + str(sorted(scales)),
+                            varname="unit", actual=str(unit))
+    scale = scales[key]
     return total / scale if scale != 1 else total, nfiles
 
 

@@ -21,6 +21,8 @@ __all__ = [
     "SPYWarning",
     "SPYInfo",
     "SPYLog",
+    "SPYExceptionHandler",
+    "log",
 ]
 
 
@@ -139,6 +141,8 @@ def SPYInfo(msg, caller=None):
 def SPYLog(msg, loglevel="INFO", caller=None):
     """Route a message to the package logger (reference errors.py:410-473)."""
     logger = get_logger()
+    if caller:
+        msg = "<{}> {}".format(caller, msg)
     level = str(loglevel).upper()
     if level == "IMPORTANT":
         # the custom level 25 — mapping it to INFO (20) would be filtered
@@ -159,14 +163,23 @@ def SPYLog(msg, loglevel="INFO", caller=None):
 
 def log(msg, level="IMPORTANT", par=False, caller=None):
     """Log `msg` to the package logger (reference errors.py:398-473 `log`);
-    `par=True` routes to the per-host parallel logger."""
-    from .log import get_parallel_logger
+    `par=True` routes to the per-host parallel logger; `caller` is prefixed
+    onto the message for provenance."""
+    import logging
 
+    from .log import IMPORTANT, get_parallel_logger
+
+    if caller:
+        msg = "<{}> {}".format(caller, msg)
     if par:
         logger = get_parallel_logger()
-        getattr(logger, str(level).lower(), logger.info)(str(msg))
+        lvl = str(level).upper()
+        # the custom IMPORTANT level (25) has no Logger method — route by
+        # numeric level or it is silently filtered at the default threshold
+        num = IMPORTANT if lvl == "IMPORTANT" else getattr(logging, lvl, logging.INFO)
+        logger.log(num, str(msg))
         return
-    SPYLog(msg, loglevel=level, caller=caller)
+    SPYLog(msg, loglevel=level)
 
 
 def SPYExceptionHandler(*args, **kwargs):

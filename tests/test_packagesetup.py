@@ -90,3 +90,44 @@ class TestReferenceApiParity:
         except spy.SPYValueError:
             spy.SPYExceptionHandler()
         assert "SPYValueError" in capsys.readouterr().err
+
+    def test_log_parallel_default_level_not_dropped(self):
+        import logging
+
+        records = []
+
+        class Grab(logging.Handler):
+            def emit(self, record):
+                records.append((record.levelno, record.getMessage()))
+
+        plg = spy.get_parallel_logger()
+        h = Grab()
+        plg.addHandler(h)
+        try:
+            spy.log("par-important-msg", par=True)  # default IMPORTANT
+        finally:
+            plg.removeHandler(h)
+        assert any(lvl == 25 and "par-important-msg" in m for lvl, m in records)
+
+    def test_log_caller_prefix(self):
+        import logging
+
+        records = []
+
+        class Grab(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        lg = logging.getLogger("syncopy_tpu")
+        h = Grab()
+        lg.addHandler(h)
+        try:
+            spy.log("something happened", level="WARNING", caller="preprocessing")
+        finally:
+            lg.removeHandler(h)
+        assert any("<preprocessing>" in m and "something happened" in m
+                   for m in records)
+
+    def test_get_dir_size_invalid_unit(self, tmp_path):
+        with pytest.raises(spy.SPYValueError, match="unit"):
+            spy.get_dir_size(str(tmp_path), unit="MiB")
