@@ -17,8 +17,9 @@ import jax  # noqa: E402
 # sitecustomize may have imported jax already with another platform pinned;
 # jax.config wins over the (possibly stale) env snapshot
 jax.config.update("jax_platforms", "cpu")
-# double precision for numerical-parity tests (Wilson factorization etc.)
-jax.config.update("jax_enable_x64", True)
+# double precision for numerical-parity tests (Wilson factorization etc.);
+# SPY_TEST_NO_X64=1 runs the suite f32-only like the real TPU runtime
+jax.config.update("jax_enable_x64", os.environ.get("SPY_TEST_NO_X64") != "1")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
