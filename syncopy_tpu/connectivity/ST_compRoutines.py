@@ -94,7 +94,7 @@ class CrossSpectra(_CrossRoutine):
         materializing per-trial (nFreq, N, N) matrices — the engine's
         `keeptrials=False` fast path.
         """
-        from ..ops.spectral import detrend, mtmfft
+        from ..ops.spectral import detrend
         from ..ops.windows import make_tapers
 
         nfft = cfg["nSamples"] or batch.shape[1]

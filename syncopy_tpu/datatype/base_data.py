@@ -13,7 +13,6 @@
 import getpass
 import os
 import socket
-import time
 from abc import ABC
 from datetime import datetime
 

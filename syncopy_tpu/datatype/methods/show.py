@@ -17,8 +17,6 @@ def show(data, squeeze=True, **kwargs):
     a transient in-place selection; an existing in-place selection is
     honored when no kwargs are given.
     """
-    from ..selector import Selector
-
     if data.data is None:
         return None
 

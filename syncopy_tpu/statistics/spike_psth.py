@@ -86,8 +86,6 @@ def spike_psth(
             # through the selection (whose latency semantics require full
             # containment); uncovered bins are NaN-masked below
             if data.selection is None:
-                from ..datatype.selector import Selector
-
                 data.selection = {}
         sel = data.selection
 
