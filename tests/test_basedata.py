@@ -176,6 +176,36 @@ class TestConcat:
         assert out.data.shape == (100, 5)
         assert len(out.channel) == 5
 
+    def test_nonstandard_dimord_concat(self):
+        """Concat respects permuted dimords (reference test_concat.py:43-70
+        concats channel-second SpectralData)."""
+        nS, nT, nF = 10, 2, 4
+        a = spy.SpectralData(
+            data=[np.zeros((nS, 2, nT, nF), "f4") for _ in range(3)],
+            samplerate=10, dimord=["time", "channel", "taper", "freq"],
+        )
+        b = spy.SpectralData(
+            data=[np.zeros((nS, 3, nT, nF), "f4") for _ in range(3)],
+            samplerate=10, dimord=["time", "channel", "taper", "freq"],
+        )
+        res = spy.concat(a, b, dim="channel")
+        assert len(res.trials) == 3
+        assert len(res.channel) == 5
+        assert res.data.size == a.data.size + b.data.size
+
+    def test_concat_exceptions(self):
+        a = spy.AnalogData(data=np.zeros((10, 2), "f4"), samplerate=2)
+        s = spy.SpectralData(data=np.zeros((10, 1, 2, 2), "f4"), samplerate=2)
+        with pytest.raises(spy.SPYValueError):
+            spy.concat(a, s)  # class mismatch
+        with pytest.raises(spy.SPYValueError, match="dim"):
+            spy.concat(a, a, dim="sth")
+        with pytest.raises(spy.SPYValueError, match="non-stacking"):
+            spy.concat(a, a, dim="time")
+        a3 = spy.AnalogData(data=np.zeros((12, 2), "f4"), samplerate=3)
+        with pytest.raises(spy.SPYValueError):
+            spy.concat(a, a3, dim="channel")  # off-axis shape mismatch
+
 
 class TestSaveLoad:
     def test_roundtrip(self, tmp_path, adata_equal):
