@@ -143,6 +143,10 @@ class GrangerCausality(_AVRoutine):
 
     metadata_keys = ("converged", "max rel. err", "reg. factor", "initial cond. num")
 
+    # one diagnostic per factorized input row (trial-average or jackknife
+    # replicate) — declared so the engine never has to guess from shapes
+    aux_per_trial = frozenset(metadata_keys)
+
     def __init__(self, rtol=5e-6, nIter=100, cond_max=1e4):
         super().__init__(rtol=float(rtol), nIter=int(nIter), cond_max=float(cond_max))
 

@@ -167,6 +167,26 @@ def connectivityanalysis(
                     raise NotImplementedError(
                         "Time resolved Granger causality from tf-spectra not available atm"
                     )
+                # accuracy trap: a CSD accumulated from plain-f32 FFT spectra
+                # is not exactly factorizable — Wilson floors at ~1e-4 and
+                # reports converged=False. The compensated double-f32 DFT
+                # only applies when the spectra are computed HERE (from
+                # AnalogData) or upstream with exact_fft=True; detect the
+                # lossy producer via the attached provenance and warn
+                # actionably (reference pre_check contract,
+                # AV_compRoutines.py:292-380).
+                fa_cfg = data.cfg.get("freqanalysis", None)
+                if fa_cfg is not None and not fa_cfg.get("exact_fft", False):
+                    SPYWarning(
+                        "Granger from precomputed float32 'fourier' spectra is "
+                        "numerically degraded: the Wilson factorization error "
+                        "floors at ~1e-4 and will likely report "
+                        "converged=False. Recompute the spectra with "
+                        "spy.freqanalysis(..., exact_fft=True), or run "
+                        "connectivityanalysis(method='granger') directly on "
+                        "the raw AnalogData (the compensated DFT then applies "
+                        "automatically)."
+                    )
             check_effective_parameters(
                 SpectralDyadicProduct, defaults, lcls, besides=["jackknife", "channelcmb"]
             )
@@ -284,6 +304,18 @@ def connectivityanalysis(
     if send_idx is not None and method == "coh":
         out = out.selectdata(channel_i=[str(c) for c in np.asarray(data.channel)[send_idx]])
         out = out.selectdata(channel_j=[str(c) for c in np.asarray(data.channel)[rec_idx]])
+
+    # non-convergence is a RESULT-QUALITY problem, not a diagnostic detail:
+    # surface it as a warning rather than leaving it buried in out.info
+    if method == "granger" and out.info.get("converged") is False:
+        SPYWarning(
+            "Wilson factorization did NOT converge (max rel. err {:.2e}); "
+            "the Granger estimates are unreliable. Typical cause: input "
+            "spectra from a plain float32 FFT (see the exact_fft note "
+            "above); otherwise raise nIter or loosen rtol.".format(
+                float(out.info.get("max rel. err", float("nan")))
+            )
+        )
 
     out.cfg.update(data.cfg)
     new_cfg.update({"output": output})

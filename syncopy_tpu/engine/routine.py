@@ -176,7 +176,24 @@ def _allocate_host_output(shape, dtype, owner):
     if nbytes > DEFAULT_HOST_BUDGET and owner is not None:
         import h5py
 
-        f = h5py.File(owner.filename, "w")
+        from ..datatype.util import gen_session_filename
+
+        fname = owner.filename
+        # never truncate a file that already holds data (a reused output
+        # object, or a payload another dataset handle still points into):
+        # spill to a fresh session temp file and re-point the object
+        holds_data = (
+            owner._hdfFile is not None
+            or isinstance(getattr(owner, "_data", None), h5py.Dataset)
+            or (os.path.exists(fname) and os.path.getsize(fname) > 0)
+        )
+        if holds_data:
+            # the current payload (and any open handle on it) stays intact
+            # until the new result replaces it after the compute succeeds
+            ext = os.path.splitext(fname)[1] or ".dat"
+            fname = gen_session_filename(ext)
+            owner._filename = fname
+        f = h5py.File(fname, "w")
         dset = f.create_dataset("data", shape=shape, dtype=dtype)
         owner._hdfFile = f
         owner._is_temp_file = True
@@ -295,6 +312,15 @@ class ComputationalRoutine:
     # computed by initialize()
     outputShape = None
     dtype = None
+
+    #: declarative aux-info semantics: a frozenset of aux keys that are
+    #: per-trial (leading axis = chunk batch; padding rows dropped, values
+    #: keyed by selected-trial position). Keys NOT in the set are per-chunk.
+    #: None (default) falls back to the leading-axis heuristic with the
+    #: ``chunk_`` key-prefix escape — subclasses emitting aux info should
+    #: declare this explicitly (a fused reduction whose aux leading dim
+    #: coincidentally equals the chunk size would otherwise misclassify).
+    aux_per_trial = None
 
     def __init__(self, **cfg):
         self.cfg = dict(cfg)
@@ -612,16 +638,30 @@ class ComputationalRoutine:
         return not denied
 
     def _accumulate_aux(self, aux_info, chunk_pos, n_valid, chunk_size):
-        """Collect one chunk's aux-info dict. Entries whose leading axis is
-        the chunk batch are per-trial: padding rows are dropped and values
-        recorded under their selected-trial position. Anything else (scalar
-        diagnostics of a fused batch reduction) is kept per chunk; prefix a
-        key with ``chunk_`` to force per-chunk handling even when its
-        leading axis coincidentally equals the chunk size."""
+        """Collect one chunk's aux-info dict. Classification is declarative
+        when the CR sets :attr:`aux_per_trial`: keys in the set are
+        per-trial (padding rows dropped, values recorded under their
+        selected-trial position), all others per-chunk. Without a
+        declaration, entries whose leading axis is the chunk batch are
+        treated as per-trial, with a ``chunk_`` key-prefix escape forcing
+        per-chunk handling."""
+        declared = self.aux_per_trial
         for k, v in aux_info.items():
             arr = np.asarray(jax.device_get(v))
-            if (arr.ndim >= 1 and arr.shape[0] == chunk_size
-                    and not k.startswith("chunk_")):
+            if declared is not None:
+                is_per_trial = k in declared
+                if is_per_trial and (arr.ndim < 1 or arr.shape[0] != chunk_size):
+                    raise SPYError(
+                        "{}: aux key '{}' is declared per-trial but its "
+                        "leading axis is {} (chunk size {})".format(
+                            self.__class__.__name__, k,
+                            arr.shape[:1] or "scalar", chunk_size,
+                        )
+                    )
+            else:
+                is_per_trial = (arr.ndim >= 1 and arr.shape[0] == chunk_size
+                                and not k.startswith("chunk_"))
+            if is_per_trial:
                 per_trial = self._aux_per_trial.setdefault(k, {})
                 for i, pos in enumerate(chunk_pos[: int(n_valid)]):
                     per_trial[pos] = arr[i]

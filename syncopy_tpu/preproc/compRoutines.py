@@ -41,6 +41,8 @@ class _PreprocRoutine(ComputationalRoutine):
     718 collects the same metadata per worker); the frontend exposes it as
     ``out.info['nan_trials']``."""
 
+    aux_per_trial = frozenset({"has_nan"})
+
     @staticmethod
     def _nan_info(trial):
         return {"has_nan": jnp.any(jnp.isnan(trial))}

@@ -508,6 +508,38 @@ class TestGrangerFromSpectra:
         g = spy.connectivityanalysis(spec, method="granger")
         assert g.info["converged"], g.info["max rel. err"]
 
+    def test_plain_f32_spectra_warn_actionably(self):
+        """The accuracy trap is guarded: Granger consuming SpectralData
+        whose provenance shows a plain-f32 FFT warns at call time."""
+        d = spy.synthdata.white_noise(nTrials=20, nSamples=256, nChannels=3, seed=7)
+        spec = spy.freqanalysis(d, method="mtmfft", output="fourier",
+                                keeptrials=True, demean_taper=True)
+        with pytest.warns(RuntimeWarning, match="exact_fft"):
+            spy.connectivityanalysis(spec, method="granger")
+
+    def test_exact_fft_spectra_no_trap_warning(self, recwarn):
+        d = spy.synthdata.white_noise(nTrials=20, nSamples=256, nChannels=3, seed=7)
+        spec = spy.freqanalysis(d, method="mtmfft", output="fourier",
+                                keeptrials=True, demean_taper=True,
+                                exact_fft=True)
+        spy.connectivityanalysis(spec, method="granger")
+        assert not any("exact_fft" in str(w.message) for w in recwarn.list)
+
+    def test_nonconvergence_surfaces_as_warning(self, monkeypatch):
+        """converged=False must raise a RuntimeWarning, not just sit in
+        out.info (forced here via an unattainable rtol)."""
+        from syncopy_tpu.connectivity import AV_compRoutines as av
+
+        orig = av.GrangerCausality.__init__
+
+        def unattainable(self, rtol=5e-6, nIter=100, cond_max=1e4):
+            orig(self, rtol=1e-300, nIter=2, cond_max=cond_max)
+
+        monkeypatch.setattr(av.GrangerCausality, "__init__", unattainable)
+        d = spy.synthdata.white_noise(nTrials=10, nSamples=128, nChannels=2, seed=5)
+        with pytest.warns(RuntimeWarning, match="did NOT converge"):
+            spy.connectivityanalysis(d, method="granger", tapsmofrq=2)
+
     def test_exact_fft_matches_plain(self):
         d = spy.synthdata.white_noise(nTrials=4, nSamples=300, nChannels=3, seed=4)
         plain = spy.freqanalysis(d, method="mtmfft", output="fourier")

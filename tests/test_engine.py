@@ -285,6 +285,94 @@ class TestAuxInfoAccumulation:
         assert np.allclose(cr.aux_info["tmax"], [t.max() for t in trials], atol=1e-6)
 
 
+class TestDeclarativeAux:
+    """CRs can declare aux semantics explicitly via ``aux_per_trial``; a
+    fused reduction emitting a per-chunk diagnostic whose leading dim
+    happens to equal the chunk size must NOT be misclassified."""
+
+    class FusedWithChunkAux(ComputationalRoutine):
+        aux_per_trial = frozenset()  # everything is a per-chunk diagnostic
+
+        def process_single_trial(self, trial, **cfg):
+            return jnp.sum(trial, axis=0, keepdims=True)
+
+        def process_batch_sum(self, batch, n_valid, **cfg):
+            s = jnp.sum(batch, axis=1)  # per-trial sums, (chunkN, nChan)
+            mask = (jnp.arange(batch.shape[0]) < n_valid)[:, None]
+            total = jnp.sum(jnp.where(mask, s, 0.0), axis=0, keepdims=True)
+            # diagnostic with leading dim == chunkN: the old heuristic
+            # would have treated this as per-trial and dropped the padding
+            return total, {"row_energy": jnp.sum(s**2, axis=1)}
+
+        def process_metadata(self, data, out):
+            out.trialdefinition = np.array([[0, 1, 0]])
+            out.samplerate = data.samplerate
+
+    class PerTrialMismatch(ComputationalRoutine):
+        aux_per_trial = frozenset({"tmax"})
+
+        def process_batch(self, batch, *aux, **cfg):
+            # batch-level aux that ignores the declared per-trial contract
+            return batch * 2.0, {"tmax": jnp.max(batch)}
+
+        def process_single_trial(self, trial, **cfg):
+            return trial * 2.0
+
+        def process_metadata(self, data, out):
+            out.trialdefinition = np.array(self.selector.trialdefinition)
+            out.samplerate = data.samplerate
+
+    def test_chunk_sized_aux_stays_per_chunk(self, adata_equal):
+        cr = self.FusedWithChunkAux()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        cr.initialize(adata_equal, out._stackingDim, keeptrials=False)
+        cr._chunk_budget = 2**30  # one chunk regardless of env stress knobs
+        cr.compute(adata_equal, out)
+        n_trials = len(adata_equal.trials)
+        chunkN = 1 << (n_trials - 1).bit_length()  # padded batch size
+        # per-chunk: the full padded diagnostic is kept, nothing dropped
+        assert cr.aux_info["row_energy"].shape[0] == chunkN
+        assert chunkN != n_trials  # the trap this test guards against
+
+    def test_declared_per_trial_shape_mismatch_raises(self, adata_equal):
+        from syncopy_tpu.shared.errors import SPYError
+
+        cr = self.PerTrialMismatch()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        cr.initialize(adata_equal, out._stackingDim, keeptrials=True)
+        with pytest.raises(SPYError, match="declared per-trial"):
+            cr.compute(adata_equal, out)
+
+
+class TestSpillGuard:
+    """_allocate_host_output must never truncate a payload file that
+    already holds data (a reused output object)."""
+
+    def test_reused_output_not_truncated(self, adata_equal, monkeypatch):
+        import os
+
+        import h5py
+
+        from syncopy_tpu.engine import routine as eng
+
+        monkeypatch.setattr(eng, "DEFAULT_HOST_BUDGET", 1)
+        cr = TimesTwo()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        cr.initialize(adata_equal, out._stackingDim, keeptrials=True)
+        cr.compute(adata_equal, out, device_resident=False)
+        first_file = out.filename
+        assert isinstance(out.data, h5py.Dataset)
+        first = np.asarray(out.data[...]).copy()
+
+        # second compute into the SAME object: spills to a fresh file,
+        # leaving the existing payload intact until the result replaces it
+        cr.compute(adata_equal, out, device_resident=False)
+        assert out.filename != first_file
+        assert np.allclose(np.asarray(out.data[...]), first)
+        assert os.path.exists(first_file)
+        assert os.path.getsize(first_file) > 0
+
+
 class TestComputeIdempotent:
     """A second compute() on the same initialized CR must not double-apply
     the fused post-transform shape overlay (engine re-entrancy)."""
