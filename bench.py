@@ -14,6 +14,7 @@
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -72,8 +73,21 @@ def numpy_baseline_rate(n_probe=20):
     return n_probe / (t1 - t0)
 
 
+def device_only_metrics():
+    """Device-bound kernel throughput + utilization: inputs generated on
+    device, outputs resident — isolates chip speed from tunnel weather
+    (see benchmarks/device_bench.py)."""
+    from benchmarks.device_bench import run_device_bench
+
+    return run_device_bench()
+
+
 def main():
     import syncopy_tpu as spy
+
+    if "--device-only" in sys.argv:
+        print(json.dumps(device_only_metrics()))
+        return
 
     ad = make_data(NTRIALS)
 
@@ -100,6 +114,13 @@ def main():
         "unit": "trials/sec",
         "vs_baseline": round(tpu_rate / base_rate, 2),
     }
+    # device-bound companion metrics (same chip, no tunnel in the loop);
+    # never let them break the primary line
+    if os.environ.get("SPY_BENCH_SKIP_DEVICE", "") != "1":
+        try:
+            result["device"] = device_only_metrics()
+        except Exception as exc:  # degraded tunnel / compile-service flake
+            result["device"] = {"error": str(exc).splitlines()[0][:200]}
     print(json.dumps(result))
     return result
 

@@ -1,0 +1,228 @@
+# -*- coding: utf-8 -*-
+#
+# Device-bound benchmarks: isolate TPU KERNEL throughput from tunnel
+# weather (VERDICT r2 action #1).
+#
+# Every recorded tunnel-bound number folds in a ~25 MB/s host<->device
+# link whose bandwidth varies >10x run to run. The workloads here
+# eliminate that confound entirely:
+#   - inputs are GENERATED ON DEVICE (synthdata.ar2_network_device /
+#     jax.random), never uploaded;
+#   - outputs stay RESIDENT (timings use jax.block_until_ready, results
+#     are never fetched);
+#   - the compute programs are the PRODUCTION kernels (the engine's
+#     CrossSpectra.process_batch_sum fused CSD, ops.wavelet.cwt,
+#     ops.connectivity regularize+wilson_sf+granger), jitted exactly as
+#     the engine jits them.
+#
+# Reported per workload:
+#   trials_per_s  — steady-state best-of-N wall-clock on the chip
+#   flops         — XLA's own cost-model count for one timed call
+#                   (compiled.cost_analysis(); analytic fallback)
+#   util_vs_peak  — flops/s divided by the assumed chip peak
+#                   (SPY_TPU_PEAK_FLOPS, default 1.97e14 = v5e bf16 peak;
+#                   FFT-dominated work runs mostly on the VPU, so single-
+#                   digit fractions of MXU peak are expected and honest)
+#
+# Scenario shapes mirror BASELINE.json: headline mtmfft+coherence
+# (1000 trials x 64 ch x 1 s @ 1 kHz), wavelet TFR (config #2), device
+# Granger (config #4 core).
+
+import json
+import os
+import time
+
+import numpy as np
+
+PEAK_FLOPS = float(os.environ.get("SPY_TPU_PEAK_FLOPS", 1.97e14))
+
+
+def _cost_flops(jitted, *args):
+    """XLA cost-model flop count for one call; None when unavailable."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        f = float(cost.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _time_best(fn, args, repeats=3):
+    """Best-of-N steady-state wall-clock (first call outside: compiled)."""
+    import jax
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = fn(*args)
+        jax.block_until_ready(res)
+        times.append(time.perf_counter() - t0)
+        del res
+    return min(times)
+
+
+def _coherence_program(n_trials, n_samples, n_chan, samplerate=1000.0, tapsmofrq=2):
+    """The headline kernel chain: fused multitaper CSD trial-sum (the
+    engine's keeptrials=False fast path) + coherence normalization —
+    identical math to connectivityanalysis(method='coh', tapsmofrq=2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncopy_tpu.connectivity.ST_compRoutines import CrossSpectra
+    from syncopy_tpu.ops.connectivity import normalize_csd
+    from syncopy_tpu.shared.input_processors import process_taper
+
+    taper, taper_opt = process_taper(
+        "hann", None, tapsmofrq, None, keeptapers=False,
+        foimax=samplerate / 2, samplerate=samplerate, nSamples=n_samples,
+        output="pow",
+    )
+    cr = CrossSpectra(samplerate=samplerate, nSamples=n_samples, taper=taper,
+                      taper_opt=taper_opt, demean_taper=False, polyremoval=0)
+
+    def step(x):
+        n = jnp.asarray(x.shape[0], dtype=jnp.int32)
+        cs_sum = cr.process_batch_sum(x, n, **cr.cfg)[0]
+        return normalize_csd(cs_sum / x.shape[0], "abs")
+
+    return jax.jit(step)
+
+
+def _wavelet_program(scales, dt):
+    """Morlet TFR power for a trial batch (production ops.wavelet.cwt)."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncopy_tpu.ops.wavelet import Morlet, cwt
+
+    wav = Morlet(6)
+
+    def step(x):  # (b, T, C) -> (b, S, T, C) float32 power, stays resident
+        return jax.vmap(lambda t: jnp.abs(cwt(t, wav, scales, dt)) ** 2)(x)
+
+    return jax.jit(step)
+
+
+def _granger_program(n_trials, n_samples, n_chan, samplerate=1000.0):
+    """All-device Granger: compensated double-f32 DFT + Gram CSD ->
+    regularization -> f32 Wilson + compensated Newton -> Granger
+    (identical math to connectivityanalysis(method='granger'))."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncopy_tpu.connectivity.ST_compRoutines import CrossSpectra
+    from syncopy_tpu.ops.connectivity import granger, regularize_csd, wilson_sf
+
+    cr = CrossSpectra(samplerate=samplerate, nSamples=n_samples, taper="hann",
+                      taper_opt=None, demean_taper=True, polyremoval=0,
+                      exact_fft=True)
+
+    def step(x):
+        n = jnp.asarray(x.shape[0], dtype=jnp.int32)
+        csd_avg = cr.process_batch_sum(x, n, **cr.cfg)[0] / x.shape[0]
+        CSDreg, _, _ = regularize_csd(csd_avg.astype(jnp.complex64),
+                                      cond_max=1e4, eps_max=1e-1)
+        H, Sigma, conv, err = wilson_sf(CSDreg, nIter=100, rtol=5e-6)
+        return granger(CSDreg, H, Sigma), conv, err
+
+    return jax.jit(step)
+
+
+def _flops_fft(batch_rows, n):
+    """Analytic rfft flop estimate: 2.5 * n * log2(n) per row."""
+    return 2.5 * batch_rows * n * np.log2(max(n, 2))
+
+
+def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
+                     wavelet_trials=512, wavelet_batch=64, n_scales=30):
+    """Run the three device-bound workloads; returns {name: metrics}."""
+    import jax
+
+    from syncopy_tpu.ops.wavelet import Morlet
+    from syncopy_tpu.synthdata import ar2_network_device
+
+    fs = 1000.0
+    results = {}
+
+    adj = np.zeros((n_chan, n_chan), dtype=np.float32)
+    adj[1, 0] = 0.25
+    x = ar2_network_device(n_trials, AdjMat=adj, nSamples=n_samples, seed=7)
+    jax.block_until_ready(x)
+
+    # -- headline: multitaper CSD + coherence -------------------------- #
+    coh = _coherence_program(n_trials, n_samples, n_chan, samplerate=fs)
+    jax.block_until_ready(coh(x))  # compile
+    dt_best = _time_best(coh, (x,), repeats)
+    flops = _cost_flops(coh, x)
+    if flops is None:
+        K, F = 3, n_samples // 2 + 1
+        flops = (_flops_fft(n_trials * K * n_chan, n_samples)
+                 + 8.0 * n_trials * K * F * n_chan * n_chan)
+    results["coh_device"] = {
+        "trials_per_s": round(n_trials / dt_best, 1),
+        "wall_s": round(dt_best, 4),
+        "flops": flops,
+        "util_vs_peak": round(flops / dt_best / PEAK_FLOPS, 4),
+    }
+
+    # -- wavelet TFR (config #2 core), batched ------------------------- #
+    foi = np.linspace(10.0, 150.0, n_scales)
+    scales = Morlet(6).scale_from_period(1.0 / foi)
+    wav = _wavelet_program(np.asarray(scales), 1.0 / fs)
+    xb = x[:wavelet_batch]
+    jax.block_until_ready(wav(xb))  # compile
+    n_batches = max(wavelet_trials // wavelet_batch, 1)
+
+    def tfr_sweep(xb):
+        last = None
+        for _ in range(n_batches):
+            last = wav(xb)
+        return last
+
+    dt_best = _time_best(tfr_sweep, (xb,), repeats)
+    per_call = _cost_flops(wav, xb)
+    if per_call is None:
+        L = 2048  # next_fast_len(2 * n_samples) conv length
+        per_call = (_flops_fft(wavelet_batch * n_chan, L)
+                    + _flops_fft(wavelet_batch * n_chan * n_scales, L) * 2
+                    + 6.0 * wavelet_batch * n_scales * L * n_chan)
+    flops = per_call * n_batches
+    results["wavelet_tfr_device"] = {
+        "trials_per_s": round(n_batches * wavelet_batch / dt_best, 1),
+        "wall_s": round(dt_best, 4),
+        "flops": flops,
+        "util_vs_peak": round(flops / dt_best / PEAK_FLOPS, 4),
+    }
+
+    # -- Granger (config #4 core): CSD + Wilson + Granger --------------- #
+    gr = _granger_program(n_trials, n_samples, n_chan, samplerate=fs)
+    G, conv, err = gr(x)
+    jax.block_until_ready(G)  # compile
+    dt_best = _time_best(lambda x: gr(x)[0], (x,), repeats)
+    flops = _cost_flops(gr, x)
+    if flops is None:
+        F = n_samples // 2 + 1
+        # dominated by the sliced exact Gram (~9x a plain f32 einsum)
+        flops = 9.0 * 8.0 * n_trials * F * n_chan * n_chan
+    results["granger_device"] = {
+        "trials_per_s": round(n_trials / dt_best, 1),
+        "wall_s": round(dt_best, 4),
+        "flops": flops,
+        "util_vs_peak": round(flops / dt_best / PEAK_FLOPS, 4),
+        "converged": bool(np.asarray(conv)),
+        "max_rel_err": float(np.asarray(err)),
+    }
+
+    return results
+
+
+def main():
+    res = run_device_bench()
+    print(json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    main()

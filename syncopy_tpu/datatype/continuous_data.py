@@ -83,8 +83,45 @@ class ContinuousData(BaseData):
         self._samplerate = float(sr)
 
     @property
+    def irregular_time(self):
+        """Explicit time points (seconds, trigger-relative) for outputs
+        whose time axis is NOT uniformly sampled — e.g. ``mtmconvol`` /
+        ``wavelet`` spectra at unevenly spaced ``toi`` (the reference
+        falls back to a misrepresenting 1 Hz axis there, reference
+        specest/compRoutines.py:864-874; this rebuild keeps the exact
+        request). ``None`` for regular axes. Stored as an attached
+        dataset, so it survives ``spy.save``/``spy.load`` and participates
+        in ``__eq__``. Such outputs are time-locked by construction: one
+        array serves every trial."""
+        val = self._extra_datasets.get("irregular_time")
+        return None if val is None else np.asarray(val)
+
+    @irregular_time.setter
+    def irregular_time(self, arr):
+        if arr is None:
+            self._register_dataset("irregular_time", None)
+            return
+        arr = np.asarray(arr, dtype=float).ravel()
+        if self.sampleinfo is not None:
+            lens = np.unique(self.sampleinfo[:, 1] - self.sampleinfo[:, 0])
+            if lens.size != 1 or int(lens[0]) != arr.size:
+                raise SPYValueError(
+                    legal="one time point per sample of equal-length trials "
+                    "({} samples)".format(lens.tolist()),
+                    varname="irregular_time", actual="{} points".format(arr.size),
+                )
+        self._register_dataset("irregular_time", arr)
+
+    @property
     def time(self):
         """Per-trial time axes in seconds"""
+        if self.sampleinfo is not None:
+            irr = self.irregular_time
+            if irr is not None:
+                return TimeIndexer(
+                    self.trialdefinition, self.samplerate,
+                    list(range(self.sampleinfo.shape[0])), points=irr,
+                )
         if self.samplerate is not None and self.sampleinfo is not None:
             return TimeIndexer(
                 self.trialdefinition, self.samplerate, list(range(self.sampleinfo.shape[0]))

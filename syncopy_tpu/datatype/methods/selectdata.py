@@ -137,6 +137,13 @@ def _apply_selection(data, sel):
     if hasattr(data, "_unit") and getattr(data, "_unit", None) is not None:
         out._unit = np.asarray(data._unit)
 
+    # irregular (unevenly spaced) time axes: carry the exact points through,
+    # subset by the (time-locked) per-trial latency indexer
+    irr = getattr(data, "irregular_time", None)
+    if irr is not None and "time" in data.dimord:
+        tsel = sel.time[0] if getattr(sel, "time", None) else slice(None)
+        out.irregular_time = np.asarray(irr)[tsel]
+
     out._cfg = data.cfg.copy()
     out._log = str(data._log)
     return out

@@ -249,7 +249,12 @@ class Selector:
                 raise SPYValueError(
                     legal="'all' or [begin, end] in seconds", varname="latency", actual=str(lat)
                 )
-            tvec = (np.arange(n_samp) + data._t0[tid]) / data.samplerate
+            irr = getattr(data, "irregular_time", None)
+            if irr is not None:
+                # explicit (possibly unevenly spaced) time points
+                tvec = np.asarray(irr, dtype=float)[:n_samp]
+            else:
+                tvec = (np.arange(n_samp) + data._t0[tid]) / data.samplerate
             idx = np.where((tvec >= lat_arr[0]) & (tvec <= lat_arr[1]))[0]
             self.time.append(_as_slice_if_possible(idx, n_samp))
         _require_latency_coverage(data, self.trial_ids, lat)

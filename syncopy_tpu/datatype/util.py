@@ -112,15 +112,23 @@ class TimeIndexer:
     """
     Lazy access to per-trial time axes: ``data.time[i]`` returns the time
     array (seconds) of trial `i` (reference datatype/util.py:61).
+
+    `points` (optional) overrides the uniform reconstruction with explicit
+    per-trial time points — used for outputs whose time axis is NOT
+    uniformly sampled (e.g. mtmconvol at unevenly spaced `toi`); such
+    outputs are time-locked, so one array serves every trial.
     """
 
-    def __init__(self, trialdefinition, samplerate, idx_list):
+    def __init__(self, trialdefinition, samplerate, idx_list, points=None):
         self.trialdefinition = trialdefinition
         self.samplerate = samplerate
         self.idx_list = list(idx_list)
         self._len = len(self.idx_list)
+        self.points = None if points is None else np.asarray(points, dtype=float)
 
     def construct_time_array(self, trialno):
+        if self.points is not None:
+            return self.points.copy()
         start, stop, offset = self.trialdefinition[trialno, :3]
         return (np.arange(0, stop - start) + offset) / self.samplerate
 

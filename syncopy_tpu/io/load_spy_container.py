@@ -110,8 +110,11 @@ def _load(fpath, checksum, mode):
         nsamp = obj.data.shape[obj._stackingDim] if "sample" not in obj.dimord else None
         if nsamp is not None:
             obj._trialdefinition = np.array([[0, nsamp, 0]], dtype=float)
-    for name in obj._hdfFileDatasetProperties:
-        if name != "data" and name in f:
+    # restore ALL attached datasets (class-declared like TimeLockData's
+    # avg/var/cov AND dynamically registered ones — jack_var, jack_bias,
+    # irregular_time, ...): anything saved beside the payload
+    for name in f:
+        if name not in ("data", "trialdefinition"):
             obj._extra_datasets[name] = f[name]
 
     attrs = f.attrs

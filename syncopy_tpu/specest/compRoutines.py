@@ -13,7 +13,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..engine.routine import ComputationalRoutine
-from ..shared.errors import SPYWarning
 from ..ops.spectral import detrend, mtmfft, mtmfft_exact, spectral_convert
 from ..ops.stft import mtmconvol
 from ..ops.wavelet import cwt, superlet
@@ -169,15 +168,12 @@ class _TimeFreqRoutine(ComputationalRoutine):
             if steps.size and np.allclose(steps, steps[0]):
                 new_rate = 1.0 / steps[0]
             else:
-                if steps.size:
-                    # SpectralData's time axis is uniformly sampled — uneven
-                    # toi points cannot be represented faithfully (reference
-                    # compRoutines.py:864-874 warns and falls back to 1 Hz);
-                    # a SINGLE toi point has no spacing to misrepresent
-                    SPYWarning(
-                        "`SpectralData`'s `time` property does not support "
-                        "unevenly spaced `toi` selections!", caller="freqanalysis",
-                    )
+                # unevenly spaced toi: the trialdefinition keeps a nominal
+                # 1 Hz bookkeeping rate, and the EXACT requested points are
+                # attached as the output's irregular time axis in
+                # process_metadata (out.time then equals the request — the
+                # reference instead warns and misrepresents the axis,
+                # reference compRoutines.py:864-874)
                 new_rate = 1.0
             offsets = np.full(sel_trl.shape[0], toi[0] * new_rate)
         elif isinstance(toi, str):  # 'all'
@@ -209,6 +205,13 @@ class _TimeFreqRoutine(ComputationalRoutine):
         out.samplerate = new_rate
         out.freq = self.cfg["foi"]
         self._set_taper_labels(out)
+        toi = self.cfg["toi"]
+        if isinstance(toi, np.ndarray) and not self.cfg.get("time_average"):
+            steps = np.diff(toi)
+            if steps.size and not np.allclose(steps, steps[0]):
+                # uneven toi: attach the exact requested time points so
+                # out.time returns the request verbatim
+                out.irregular_time = toi
 
     def _set_taper_labels(self, out):
         n_taper = out.data.shape[out.dimord.index("taper")]

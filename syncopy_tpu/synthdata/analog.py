@@ -133,11 +133,12 @@ def mk_RandomAdjMat(nChannels=3, conn_thresh=0.25, max_coupling=0.25, seed=None)
     return AdjMat.astype(np.float32)
 
 
-def ar2_network_batched(nTrials, AdjMat=None, nSamples=1000, alphas=(0.55, -0.8), seed=42):
+def ar2_network_device(nTrials, AdjMat=None, nSamples=1000, alphas=(0.55, -0.8), seed=42):
     """
-    Device-batched AR(2) network generator (all trials at once via
-    ``lax.scan`` over time, vmapped over trials) — the fast path used by
-    benchmarks; statistically identical to :func:`ar2_network`.
+    Device-resident AR(2) network generator: all trials at once via
+    ``lax.scan`` over time, vmapped over trials; returns the ``jax.Array``
+    WITHOUT a host readback (used by the device-bound benchmarks, where
+    inputs must never cross the host<->device tunnel).
     """
     import jax
     import jax.numpy as jnp
@@ -163,5 +164,16 @@ def ar2_network_batched(nTrials, AdjMat=None, nSamples=1000, alphas=(0.55, -0.8)
         _, out = jax.lax.scan(step, init, trial_noise[2:])
         return jnp.concatenate([trial_noise[:2], out], axis=0)
 
-    sigs = jax.jit(jax.vmap(run))(noise)
-    return np.asarray(sigs)
+    return jax.jit(jax.vmap(run))(noise)
+
+
+def ar2_network_batched(nTrials, AdjMat=None, nSamples=1000, alphas=(0.55, -0.8), seed=42):
+    """
+    Device-batched AR(2) network generator (all trials at once via
+    ``lax.scan`` over time, vmapped over trials) — the fast path used by
+    benchmarks; statistically identical to :func:`ar2_network`.
+    """
+    return np.asarray(
+        ar2_network_device(nTrials, AdjMat=AdjMat, nSamples=nSamples,
+                           alphas=alphas, seed=seed)
+    )

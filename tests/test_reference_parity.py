@@ -36,6 +36,13 @@ def ref_mtmfft():
 
 
 @pytest.fixture(scope="module")
+def ref_mtmconvol():
+    _load("refspy.specest._norm_spec", "specest/_norm_spec.py", pkg="refspy.specest")
+    _load("refspy.specest.stft", "specest/stft.py", pkg="refspy.specest")
+    return _load("refspy.specest.mtmconvol", "specest/mtmconvol.py", pkg="refspy.specest")
+
+
+@pytest.fixture(scope="module")
 def ref_superlet():
     return _load("refspy.specest.superlet", "specest/superlet.py", pkg="refspy.specest")
 
@@ -111,6 +118,45 @@ class TestMtmfftParity:
         got = np.asarray(jmtmfft(padded.astype("f4"), tapers, nfft))
         scale = np.abs(ref).max()
         assert np.abs(got - ref).max() / scale < 2e-6
+
+
+class TestMtmconvolIrregularToiParity:
+    """Non-equidistant toi spectrograms match the reference oracle: the
+    reference covers every sample (noverlap=nperseg-1, boundary='zeros',
+    reference mtmconvol.py:114-190) and postselects the requested toi
+    samples (reference compRoutines.py:359-390); our kernel gathers frames
+    at exactly those centers."""
+
+    @pytest.mark.parametrize("taper,topt", [("hann", None), ("dpss", {"Kmax": 3, "NW": 2})])
+    def test_irregular_toi_matches_reference(self, ref_mtmconvol, taper, topt):
+        rng = np.random.default_rng(21)
+        fs, nperseg = 1000.0, 128
+        dat = rng.normal(size=(512, 3))
+        ftr, _ = ref_mtmconvol.mtmconvol(
+            dat.copy(), fs, nperseg, noverlap=nperseg - 1, taper=taper,
+            taper_opt=None if topt is None else dict(topt),
+            boundary="zeros", padded=True,
+        )
+        toi = np.array([0.051, 0.062, 0.2, 0.333, 0.334, 0.45])
+        samples = np.round(toi * fs).astype(int)
+        ref_sel = ftr[samples]  # (nToi, nTaper, nFreq, nChan)
+
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.stft import mtmconvol as jmtmconvol
+        from syncopy_tpu.ops.windows import make_tapers
+
+        topt2 = dict(topt) if topt else None
+        if taper == "dpss":
+            topt2["sym"] = False  # reference hardcodes sym=False for slepians
+        tapers = make_tapers(taper, topt2, nperseg, nperseg, fs)
+        got = np.asarray(jmtmconvol(
+            jnp.asarray(dat, dtype=jnp.float32), jnp.asarray(tapers),
+            jnp.asarray(samples), nperseg, output="fourier", keeptapers=True,
+        ))
+        assert got.shape == ref_sel.shape
+        scale = np.abs(ref_sel).max()
+        assert np.abs(got - ref_sel).max() / scale < 2e-6
 
 
 class TestSuperletParity:

@@ -414,26 +414,81 @@ class TestCfgReplayMatrix:
 
 
 class TestUnevenToi:
-    def test_uneven_toi_warns_and_falls_back(self):
-        """Unevenly spaced toi arrays compute fine but cannot be represented
-        on SpectralData's uniform time axis: warn + 1 Hz fallback (reference
-        compRoutines.py:864-874)."""
+    """True non-equidistant `toi`: spectra are computed at the EXACT
+    requested window centers and the output's time axis equals the request
+    (the reference warns and falls back to a misrepresenting 1 Hz axis,
+    reference compRoutines.py:864-874)."""
+
+    def _make(self, nTrials=2):
+        return spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=nTrials,
+                                      nSamples=1000, nChannels=2)
+
+    def test_uneven_toi_time_axis_equals_request(self):
         import warnings
 
-        d = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=2,
-                                   nSamples=1000, nChannels=2)
+        d = self._make()
         toi = np.array([0.3, 0.35, 0.9, 1.5])
         with warnings.catch_warnings(record=True) as rec:
             warnings.simplefilter("always")
             tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
                                   toi=toi, taper="hann")
-        assert any("unevenly spaced" in str(w.message) for w in rec)
-        assert tf.samplerate == 1.0
+        assert not any("unevenly spaced" in str(w.message) for w in rec)
         assert tf.data.shape[0] == 2 * toi.size
         arr = np.asarray(tf.data)
         assert np.isfinite(arr).all()
-        # the spectral content is still correct per window
+        # the time axis IS the request, for every trial
+        for k in range(len(tf.trials)):
+            assert np.array_equal(tf.time[k], toi)
+        assert np.array_equal(tf.irregular_time, toi)
+        # the spectral content is correct per window
         assert tf.freq[np.argmax(arr[0, 0, :, 0])] == pytest.approx(30, abs=3)
+
+    def test_uneven_toi_values_match_dense_grid(self):
+        """The spectrum at an uneven toi point equals the same window of a
+        toi='all' run (same centers, same geometry)."""
+        d = self._make(nTrials=1)
+        toi = np.array([0.3, 0.35, 0.9, 1.5])
+        tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
+                              toi=toi, taper="hann", output="fourier")
+        dense = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
+                                 toi="all", taper="hann", output="fourier")
+        samples = np.round(toi * 500.0).astype(int)
+        got = np.asarray(tf.data)
+        ref = np.asarray(dense.data)[samples]
+        assert np.allclose(got, ref, atol=1e-6)
+
+    def test_uneven_toi_saveload_roundtrip(self, tmp_path):
+        d = self._make()
+        toi = np.array([0.3, 0.35, 0.9])
+        tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
+                              toi=toi, taper="hann")
+        container = str(tmp_path / "uneven")
+        spy.save(tf, container=container)
+        loaded = spy.load(container + ".spy")
+        assert np.array_equal(loaded.irregular_time, toi)
+        assert np.array_equal(loaded.time[0], toi)
+        assert loaded == tf
+
+    def test_uneven_toi_latency_selection(self):
+        """latency selections on an irregular axis use the EXACT points."""
+        d = self._make()
+        toi = np.array([0.3, 0.35, 0.9, 1.5])
+        tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
+                              toi=toi, taper="hann")
+        sub = tf.selectdata(latency=[0.34, 1.0])
+        assert np.array_equal(sub.irregular_time, np.array([0.35, 0.9]))
+        assert np.array_equal(sub.time[0], np.array([0.35, 0.9]))
+        assert sub.data.shape[0] == 2 * 2
+        full = np.asarray(tf.data).reshape(2, toi.size, *tf.data.shape[1:])
+        got = np.asarray(sub.data).reshape(2, 2, *sub.data.shape[1:])
+        assert np.allclose(got, full[:, 1:3], atol=0)
+
+    def test_uneven_toi_wavelet(self):
+        d = self._make(nTrials=1)
+        toi = np.array([0.25, 0.3, 1.1])
+        tf = spy.freqanalysis(d, method="wavelet", toi=toi,
+                              foi=np.arange(10, 60, 10.0))
+        assert np.array_equal(tf.time[0], toi)
 
     def test_even_toi_sets_rate(self):
         d = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=1,
@@ -443,15 +498,12 @@ class TestUnevenToi:
                               toi=toi, taper="hann")
         assert tf.samplerate == pytest.approx(5.0)
         assert np.allclose(tf.time[0], toi)
+        assert tf.irregular_time is None  # uniform axes stay uniform
 
-    def test_single_toi_point_no_warning(self):
-        import warnings
-
+    def test_single_toi_point(self):
         d = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=1,
                                    nSamples=1000, nChannels=1)
-        with warnings.catch_warnings(record=True) as rec:
-            warnings.simplefilter("always")
-            tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
-                                  toi=np.array([0.5]), taper="hann")
-        assert not any("unevenly spaced" in str(w.message) for w in rec)
+        tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
+                              toi=np.array([0.5]), taper="hann")
         assert tf.data.shape[0] == 1
+        assert tf.irregular_time is None
