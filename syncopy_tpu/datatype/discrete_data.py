@@ -268,10 +268,12 @@ class SpikeData(DiscreteData):
             )
         self._extra_datasets["waveform"] = wf
 
-    def save_nwb(self, outpath, with_trialdefinition=True):
+    def save_nwb(self, outpath, with_trialdefinition=True, unit_info=None):
         from ..io.nwb import _spike_to_nwb
 
-        return _spike_to_nwb(self, outpath, with_trialdefinition=with_trialdefinition)
+        return _spike_to_nwb(self, outpath,
+                             with_trialdefinition=with_trialdefinition,
+                             unit_info=unit_info)
 
 
 class EventData(DiscreteData):

@@ -184,7 +184,12 @@ def load_nwb(filename, memuse=3000, default_spike_data_samplerate=None):
         if "units" in f and "spike_times" in f["units"]:
             st = np.asarray(f["units"]["spike_times"])
             idx = np.asarray(f["units"]["spike_times_index"])
-            sr = default_spike_data_samplerate or (max(rates) if rates else 1000.0)
+            if "samplerate" in f["units"]:
+                # syncopy extension column: exact spike-sample restoration
+                # (reference load_nwb.py:385-393 reads the same column)
+                sr = float(np.asarray(f["units"]["samplerate"]).ravel()[0])
+            else:
+                sr = default_spike_data_samplerate or (max(rates) if rates else 1000.0)
             rows = []
             prev = 0
             for unit_id, stop in enumerate(idx):

@@ -487,3 +487,125 @@ class TestSaveOverwrite:
         filt = spy.load(str(tmp_path / "c.spy"), tag="filtered")
         assert np.allclose(np.asarray(raw.data), 1.0)
         assert np.allclose(np.asarray(filt.data), 3.0)
+
+
+class TestNWBExportRoundtrip:
+    """Export -> import roundtrips through the dependency-free NWB writer
+    (reference io/nwb.py:40-329 metadata depth: device + electrode group/
+    location tables, processing-module placement for derived data, units
+    with location/group/samplerate and waveform means)."""
+
+    def _analog(self, T=200, C=3, fs=500.0):
+        rng = np.random.default_rng(5)
+        ad = spy.AnalogData(data=rng.normal(size=(T, C)).astype("f4"),
+                            samplerate=fs, channel=["chA", "chB", "chC"])
+        trl = np.array([[0, 100, -10], [100, 200, -10]], dtype=float)
+        ad.trialdefinition = trl
+        return ad
+
+    def test_analog_roundtrip(self, tmp_path):
+        ad = self._analog()
+        fname = str(tmp_path / "analog.nwb")
+        ad.save_nwb(fname)
+        back = spy.load_nwb(fname)
+        assert np.allclose(np.asarray(back.data), np.asarray(ad.data), atol=1e-7)
+        assert back.samplerate == ad.samplerate
+        assert list(back.channel) == ["chA", "chB", "chC"]
+        assert np.allclose(back.trialdefinition, ad.trialdefinition)
+
+    def test_schema_depth(self, tmp_path):
+        """The on-disk layout carries the reference's metadata: device,
+        electrode group with location, full electrode table columns."""
+        import h5py
+
+        ad = self._analog()
+        fname = str(tmp_path / "schema.nwb")
+        ad.save_nwb(fname)
+        with h5py.File(fname, "r") as f:
+            assert f.attrs["neurodata_type"] == "NWBFile"
+            dev = f["general/devices/array"]
+            assert dev.attrs["neurodata_type"] == "Device"
+            shank = f["general/extracellular_ephys/shank0"]
+            assert shank.attrs["neurodata_type"] == "ElectrodeGroup"
+            assert "location" in shank.attrs
+            assert f[shank["device"].name] is not None  # device hard link
+            tbl = f["general/extracellular_ephys/electrodes"]
+            for col in ("x", "y", "z", "imp", "filtering", "location",
+                        "label", "group_name", "group", "id"):
+                assert col in tbl, col
+            series = f["acquisition/ElectricalSeries"]
+            assert series["starting_time"].attrs["rate"] == 500.0
+            # the electrodes region points back at the table
+            ref = series["electrodes"].attrs["table"]
+            assert f[ref].name == tbl.name
+            # trials AND epochs intervals, with the offset column
+            assert "offset" in f["intervals/trials"]
+            assert "tags" in f["intervals/epochs"]
+
+    def test_derived_data_lands_in_processing_module(self, tmp_path):
+        import h5py
+
+        ad = self._analog()
+        fname = str(tmp_path / "derived.nwb")
+        ad.save_nwb(fname, is_raw=False)
+        with h5py.File(fname, "r") as f:
+            assert "acquisition/ElectricalSeries" not in f
+            mod = f["processing/ecephys"]
+            assert mod.attrs["neurodata_type"] == "ProcessingModule"
+            lfp = mod["LFP"]
+            assert lfp.attrs["neurodata_type"] == "LFP"
+            assert "ElectricalSeries" in lfp
+        back = spy.load_nwb(fname)
+        assert np.allclose(np.asarray(back.data), np.asarray(ad.data), atol=1e-7)
+
+    def test_spike_roundtrip_with_waveforms(self, tmp_path):
+        rng = np.random.default_rng(6)
+        n_spikes, fs = 60, 1000.0
+        samples = np.sort(rng.integers(0, 5000, size=n_spikes))
+        units = rng.integers(0, 3, size=n_spikes)
+        chans = np.zeros(n_spikes, dtype=int)
+        sd = spy.SpikeData(
+            data=np.column_stack([samples, chans, units]).astype(np.int64),
+            samplerate=fs,
+        )
+        sd.trialdefinition = np.array([[0, 2500, 0], [2500, 5000, 0]], dtype=float)
+        sd.waveform = rng.normal(size=(n_spikes, 32)).astype("f4")
+        fname = str(tmp_path / "spikes.nwb")
+        sd.save_nwb(fname, unit_info={"location": {0: "V1"}, "group": {0: "good"}})
+
+        import h5py
+
+        with h5py.File(fname, "r") as f:
+            u = f["units"]
+            for col in ("spike_times", "spike_times_index", "location",
+                        "group", "samplerate", "waveform_mean", "id"):
+                assert col in u, col
+            assert u["location"][0].decode() == "V1"
+            assert u["waveform_mean"].shape == (3, 32)
+            # per-unit mean waveform is the mean over that unit's spikes
+            wf0 = np.asarray(sd.waveform)[units == u["id"][0]].mean(axis=0)
+            assert np.allclose(u["waveform_mean"][0], wf0, atol=1e-6)
+
+        back = spy.load_nwb(fname)
+        # exact sample restoration via the samplerate column
+        assert back.samplerate == fs
+        got = np.asarray(back.data)
+        want = np.asarray(sd.data)[np.lexsort((units, samples))]
+        assert np.array_equal(np.sort(got[:, 0]), np.sort(want[:, 0]))
+        for uid in range(3):
+            assert np.array_equal(
+                np.sort(got[got[:, 2] == uid, 0]),
+                np.sort(want[want[:, 2] == uid, 0]),
+            )
+
+    def test_timelock_export(self, tmp_path):
+        from syncopy_tpu.datatype.continuous_data import TimeLockData
+
+        tl = spy.timelockanalysis(
+            spy.synthdata.white_noise(nTrials=4, nSamples=100, nChannels=2, seed=8)
+        )
+        assert isinstance(tl, TimeLockData)
+        fname = str(tmp_path / "tl.nwb")
+        tl.save_nwb(fname)
+        back = spy.load_nwb(fname)
+        assert np.asarray(back.data).shape == np.asarray(tl.data).shape
