@@ -174,6 +174,81 @@ class DeviceResident:
             self.materialize()
         self.records = None
 
+    def fetch_trial_view(self, pos, max_time=1024, magnitude=True):
+        """
+        Plot-resolution readback of ONE trial: slice the trial out of its
+        HBM record, box-average the leading (time) axis down to
+        ``<= max_time`` rows and reduce complex values to magnitude — all
+        ON DEVICE — then read back only the small view. This is the
+        first-plot fast path: a full-resolution resident TFR readback is
+        tunnel-bound (~16-52 trials/s), while a <=1024-column image is all
+        a screen can show anyway.
+
+        Returns ``(array, factor)`` where `factor` is the decimation
+        stride (time axis ``t' = (t*factor + (factor-1)/2) / samplerate``).
+        Falls back to host slicing when the device buffers are gone.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        n_rows = int(self.offsets[pos + 1] - self.offsets[pos])
+        factor = max(1, int(np.ceil(n_rows / max_time)))
+        t_out = n_rows // factor
+
+        if self._real is not None or self.records is None:
+            arr = self.materialize()
+            sl = [slice(None)] * arr.ndim
+            sl[self.stackingdim] = slice(int(self.offsets[pos]), int(self.offsets[pos + 1]))
+            t = np.asarray(arr[tuple(sl)])
+            if magnitude and np.iscomplexobj(t):
+                t = np.abs(t)
+            if factor > 1:
+                t = t[: t_out * factor].reshape((t_out, factor) + t.shape[1:]).mean(axis=1)
+            return t, factor
+
+        rec = next(r for r in self.records if pos in r.positions)
+        i = rec.positions.index(pos)
+
+        from .routine import _GLOBAL_JIT_CACHE, _dispatch_with_recovery
+        from ..parallel.device_io import decode_in_jit
+
+        was_complex = self.was_complex
+        key = ("resident_trial_view", rec.enc_shape, str(rec.dev.dtype),
+               was_complex, bool(magnitude), factor, t_out)
+        if key not in _GLOBAL_JIT_CACHE:
+            n = int(np.prod(rec.enc_shape))
+            enc_shape = rec.enc_shape
+
+            def view(dev, idx):
+                x = dev.astype(jnp.float32) if dev.dtype == jnp.float16 else dev
+                x = x.reshape(-1)[:n].reshape(enc_shape)
+                t = jax.lax.dynamic_index_in_dim(x, idx, axis=0, keepdims=False)
+                if was_complex:
+                    # pair axis 0; complex values cannot cross the device
+                    # boundary, so reduce to magnitude on device (plots
+                    # show magnitude) or keep the encoded pair
+                    if magnitude:
+                        t = jnp.abs(decode_in_jit(t, True, axis=0))
+                    dec_axis = 0 if magnitude else 1
+                else:
+                    dec_axis = 0
+                if factor > 1:
+                    lead = t.shape[:dec_axis]
+                    t = jnp.moveaxis(t, dec_axis, 0)[: t_out * factor]
+                    t = t.reshape((t_out, factor) + t.shape[1:]).mean(axis=1)
+                    t = jnp.moveaxis(t, 0, dec_axis) if lead else t
+                return t
+
+            _GLOBAL_JIT_CACHE[key] = jax.jit(view)
+        fn = _GLOBAL_JIT_CACHE[key]
+        out = _dispatch_with_recovery(
+            lambda: np.asarray(jax.device_get(fn(rec.dev, jnp.asarray(i, jnp.int32)))),
+            what="plot-view readback",
+        )
+        if was_complex and not magnitude:
+            out = out[0] + 1j * out[1]
+        return out, factor
+
 
 class DeferredArray:
     """Lazy ndarray stand-in: free shape/dtype introspection, readback on

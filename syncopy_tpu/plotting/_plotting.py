@@ -5,20 +5,7 @@
 import numpy as np
 
 from ..shared.errors import SPYError
-
-pltConfig = {
-    "sTitleSize": 10,
-    "sLabelSize": 8,
-    "sTickSize": 8,
-    "sLegendSize": 8,
-    "mTitleSize": 12,
-    "mLabelSize": 10,
-    "mTickSize": 9,
-    "mLegendSize": 9,
-    "mXSize": 3.2,
-    "mYSize": 2.4,
-    "cmap": "magma",
-}
+from .config import apply_style, pltConfig  # noqa: F401  (pltConfig re-export)
 
 
 def _import_plt():
@@ -26,6 +13,7 @@ def _import_plt():
         import matplotlib
 
         matplotlib.use("Agg", force=False)
+        apply_style(matplotlib)
         import matplotlib.pyplot as plt
 
         return plt
@@ -35,7 +23,7 @@ def _import_plt():
 
 def mk_line_figax(xlabel="time (s)", ylabel="signal (a.u.)"):
     plt = _import_plt()
-    fig, ax = plt.subplots(1, 1)
+    fig, ax = plt.subplots(1, 1, figsize=pltConfig["sFigSize"])
     ax.tick_params(axis="both", which="major", labelsize=pltConfig["sTickSize"])
     ax.spines["top"].set_visible(False)
     ax.spines["right"].set_visible(False)
@@ -71,7 +59,7 @@ def plot_lines(ax, data_x, data_y, shifted=False, **pkwargs):
 
 def mk_img_figax(xlabel="time (s)", ylabel="frequency (Hz)"):
     plt = _import_plt()
-    fig, ax = plt.subplots(1, 1)
+    fig, ax = plt.subplots(1, 1, figsize=pltConfig["sFigSize"])
     ax.tick_params(axis="both", which="major", labelsize=pltConfig["sTickSize"])
     ax.set_xlabel(xlabel, fontsize=pltConfig["sLabelSize"])
     ax.set_ylabel(ylabel, fontsize=pltConfig["sLabelSize"])

@@ -103,12 +103,51 @@ def _is_time_freq(data):
     return data.data.shape[data.dimord.index("time")] > len(data.trials)
 
 
+def _tf_fetch(data, show_kwargs, max_time=None):
+    """TF image array for plotting. Fast path: a device-resident TFR is
+    sliced + box-averaged down to the plot resolution (``max_time``
+    columns) ON DEVICE before the readback — full-resolution resident TFR
+    materialization is tunnel-bound, while the screen can only show ~1e3
+    columns anyway. Returns ``(array, decimation_factor)``."""
+    if max_time is None:
+        max_time = _plt.pltConfig.get("maxPlotTime", 1024)
+    trials = show_kwargs.pop("trials", None)
+    if trials is None and len(data.trials) > 1:
+        SPYWarning("Plotting only the first trial; use `trials=` to select")
+        trials = 0
+    res = getattr(data, "_device_resident", None)
+    if (res is not None and res.consumable_by(data) and data.selection is None
+            and not show_kwargs and max_time):
+        pos = 0 if trials is None else int(trials)
+        if 0 <= pos < len(data.trials):
+            return res.fetch_trial_view(pos, max_time=max_time)
+    arr = data.show(squeeze=False, trials=trials, **show_kwargs)
+    if isinstance(arr, list):
+        arr = arr[0]
+    if np.iscomplexobj(arr):
+        arr = np.abs(arr)
+    return arr, 1
+
+
+def _tf_time_axis(data, n_rows, factor):
+    """Plot time axis honoring decimation and irregular (uneven toi) axes."""
+    irr = getattr(data, "irregular_time", None)
+    if irr is not None:
+        pts = np.asarray(irr, dtype=float)
+        if factor > 1:
+            t_out = len(pts) // factor
+            pts = pts[: t_out * factor].reshape(t_out, factor).mean(axis=1)
+        return pts[:n_rows]
+    return (np.arange(n_rows) * factor + (factor - 1) / 2.0) / data.samplerate
+
+
 def plot_spectral_single(data, logscale=True, ax=None, **show_kwargs):
     if _is_time_freq(data):
-        arr = _select_show(data, dict(show_kwargs))
+        kwargs = dict(show_kwargs)
+        arr, factor = _tf_fetch(data, kwargs)
         arr = arr.mean(axis=1) if arr.ndim == 4 else arr  # average tapers
         fig, ax = _reuse_or_new(ax, _plt.mk_img_figax)
-        time = np.arange(arr.shape[0]) / data.samplerate
+        time = _tf_time_axis(data, arr.shape[0], factor)
         spec = arr.reshape(arr.shape[0], len(data.freq), -1)[:, :, 0]
         _plt.plot_tfreq(ax, spec.T, time, data.freq)
         labels = _channel_labels(data, show_kwargs.get("channel"))
@@ -134,13 +173,13 @@ def plot_spectral_multi(data, logscale=True, **show_kwargs):
     if _is_time_freq(data):
         # one time-frequency image per channel, shared color scale
         # (reference mp_plotting.py:90-152)
-        arr = _select_show(data, dict(show_kwargs))
+        arr, factor = _tf_fetch(data, dict(show_kwargs))
         arr = arr.mean(axis=1) if arr.ndim == 4 else arr  # average tapers
         arr = arr.reshape(arr.shape[0], len(data.freq), -1)  # (T, F, C)
         n_chan = arr.shape[-1]
         nrows, ncols = _calc_layout(n_chan)
         fig, axs = _plt.mk_multi_img_figax(nrows, ncols)
-        time = np.arange(arr.shape[0]) / data.samplerate
+        time = _tf_time_axis(data, arr.shape[0], factor)
         vmax = float(np.abs(arr).max())
         for k, ax in enumerate(axs.flatten()):
             if k < n_chan:

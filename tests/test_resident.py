@@ -321,3 +321,53 @@ class TestResidentSubChunking:
                                 output="pow", keeptrials=True)
         assert np.allclose(np.asarray(spec.data), np.asarray(spec2.data),
                            atol=1e-6)
+
+
+@pytest.mark.skipif(os.environ.get("SPY_TPU_DEVICE_RESIDENT", "1") == "0",
+                    reason="device residency disabled")
+class TestPlotResolutionView:
+    """fetch_trial_view: plot-resolution readback of one resident trial,
+    decimated + magnitude-reduced on device (VERDICT r2 #9)."""
+
+    def _tfr(self, output="pow"):
+        d = spy.synthdata.harmonic(freq=40, samplerate=500, nTrials=3,
+                                   nSamples=1000, nChannels=2)
+        return spy.freqanalysis(d, method="wavelet", output=output,
+                                foi=np.arange(10, 60, 10.0), keeptrials=True)
+
+    def test_view_matches_host_decimation(self):
+        tf = self._tfr()
+        res = tf._device_resident
+        assert res is not None and res.consumable_by(tf)
+        view, factor = res.fetch_trial_view(1, max_time=100)
+        assert factor == 10 and view.shape[0] == 100
+        full = np.asarray(tf.data)[1000:2000]  # trial 1 rows
+        want = full[:1000].reshape(100, 10, *full.shape[1:]).mean(axis=1)
+        assert np.allclose(view, want, atol=1e-5)
+
+    def test_view_magnitude_for_complex(self):
+        tf = self._tfr(output="fourier")
+        res = tf._device_resident
+        view, factor = res.fetch_trial_view(0, max_time=250)
+        assert not np.iscomplexobj(view)
+        full = np.abs(np.asarray(tf.data)[:1000])
+        want = full.reshape(250, 4, *full.shape[1:]).mean(axis=1)
+        assert np.allclose(view, want, atol=1e-4)
+
+    def test_view_after_materialization(self):
+        tf = self._tfr()
+        res = tf._device_resident
+        _ = np.asarray(tf.data)  # force readback
+        view, factor = res.fetch_trial_view(2, max_time=100)
+        assert view.shape[0] == 100 and factor == 10
+
+    def test_plot_uses_decimated_view(self):
+        pytest.importorskip("matplotlib")
+        tf = self._tfr()
+        fig, ax = spy.singlepanelplot(tf, trials=0)
+        img = ax.get_images()[0]
+        # the plotted image is at plot resolution, not the full 1000 cols
+        assert img.get_array().shape[1] <= 1024
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
