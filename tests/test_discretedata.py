@@ -235,3 +235,214 @@ class TestEventTrialSettingMatrix:
         evt, _ = self._evt()
         with pytest.raises(spy.shared.errors.SPYValueError, match="equally long"):
             spy.definetrial(evt, start=[0, 1], stop=[1])
+
+
+# ---------------------------------------------------------------------- #
+# Round-3 semantics sweep (reference tests/test_discretedata.py:24-660)
+# ---------------------------------------------------------------------- #
+
+def _spikes(n=40, n_chan=3, n_unit=4, n_samp=200, seed=0):
+    rng = np.random.default_rng(seed)
+    samples = np.sort(rng.integers(0, n_samp, size=n))
+    chans = rng.integers(0, n_chan, size=n)
+    units = rng.integers(0, n_unit, size=n)
+    return np.column_stack([samples, chans, units]).astype(np.int64)
+
+
+class TestSpikeDataSemantics:
+    def test_empty(self):
+        sd = spy.SpikeData()
+        assert sd.data is None
+        assert sd.channel is None
+        assert sd.sample is None
+        assert sd.unit_idx is None
+
+    def test_sample_property(self):
+        arr = _spikes()
+        sd = spy.SpikeData(data=arr, samplerate=1000.0)
+        assert np.array_equal(sd.sample, arr[:, 0])
+
+    def test_unit_channel_idx_are_unique_present_ids(self):
+        arr = _spikes()
+        sd = spy.SpikeData(data=arr, samplerate=1000.0)
+        assert np.array_equal(sd.channel_idx, np.unique(arr[:, 1]))
+        assert np.array_equal(sd.unit_idx, np.unique(arr[:, 2]))
+
+    def test_default_labels_dense(self):
+        arr = np.array([[5, 0, 2], [9, 2, 2], [14, 2, 3]], dtype=np.int64)
+        sd = spy.SpikeData(data=arr, samplerate=1.0)
+        # dense labels span 0..max present id
+        assert len(sd.channel) == 3
+        assert len(sd.unit) == 4
+
+    def test_label_assignment_per_present_id(self):
+        arr = np.array([[5, 0, 0], [9, 2, 1]], dtype=np.int64)
+        sd = spy.SpikeData(data=arr, samplerate=1.0)
+        # two unique channels (0, 2): a 2-label list lands on those ids
+        sd.channel = ["front", "back"]
+        assert sd.channel[0] == "front"
+        assert sd.channel[2] == "back"
+        with pytest.raises(spy.SPYValueError):
+            sd.channel = ["a", "b", "c", "d"]
+
+    def test_label_assignment_without_data_rejected(self):
+        sd = spy.SpikeData()
+        with pytest.raises(spy.SPYValueError):
+            sd.channel = ["a"]
+        with pytest.raises(spy.SPYValueError):
+            sd.unit = ["u"]
+
+    def test_trialid_trialtime(self):
+        arr = np.array([[2, 0, 0], [7, 0, 0], [12, 0, 0], [30, 0, 0]],
+                       dtype=np.int64)
+        sd = spy.SpikeData(data=arr, samplerate=10.0)
+        sd.trialdefinition = np.array([[0, 10, -5], [10, 20, 0]], float)
+        assert np.array_equal(sd.trialid, [0, 0, 1, -1])
+        tt = sd.trialtime
+        assert tt[0] == pytest.approx((2 - 5) / 10.0)
+        assert tt[2] == pytest.approx((12 - 10) / 10.0)
+        assert np.isnan(tt[3])  # outside any trial
+
+    def test_trialretrieval(self):
+        arr = _spikes(seed=2)
+        sd = spy.SpikeData(data=arr, samplerate=1000.0)
+        sd.trialdefinition = np.array([[0, 100, 0], [100, 200, 0]], float)
+        t0 = np.asarray(sd._get_trial(0))
+        t1 = np.asarray(sd._get_trial(1))
+        assert np.array_equal(t0, arr[arr[:, 0] < 100])
+        assert np.array_equal(t1, arr[arr[:, 0] >= 100])
+        assert len(t0) + len(t1) == len(arr)
+
+    def test_selection_by_unit_label(self):
+        arr = _spikes(seed=3)
+        sd = spy.SpikeData(data=arr, samplerate=1000.0)
+        labels = [str(u) for u in np.asarray(sd.unit)]
+        sub = sd.selectdata(unit=[labels[1]])
+        got = np.asarray(sub.data)
+        assert np.all(got[:, 2] == 1)
+        assert len(got) == int((arr[:, 2] == 1).sum())
+
+    def test_selection_by_latency(self):
+        arr = _spikes(seed=4)
+        sd = spy.SpikeData(data=arr, samplerate=1000.0)
+        sd.trialdefinition = np.array([[0, 200, 0]], float)
+        sub = sd.selectdata(latency=[0.05, 0.1])
+        got = np.asarray(sub.data)
+        assert got.size == 0 or (got[:, 0].min() >= 50 and got[:, 0].max() <= 100)
+        mask = (arr[:, 0] >= 50) & (arr[:, 0] <= 100)
+        assert len(got) == int(mask.sum())
+
+    def test_str_repr_with_trials(self):
+        sd = spy.SpikeData(data=_spikes(), samplerate=1000.0)
+        sd.trialdefinition = np.array([[0, 100, 0], [100, 200, 0]], float)
+        rep = str(sd)
+        assert "SpikeData" in rep
+
+    def test_saveload_roundtrip(self, tmp_path):
+        sd = spy.SpikeData(data=_spikes(seed=5), samplerate=1000.0)
+        sd.trialdefinition = np.array([[0, 100, 0], [100, 200, 0]], float)
+        sd.channel = [str(c) for c in np.asarray(sd.channel)]
+        spy.save(sd, container=str(tmp_path / "sp"))
+        back = spy.load(str(tmp_path / "sp.spy"))
+        assert back == sd
+        assert np.array_equal(back.trialdefinition, sd.trialdefinition)
+        assert back.samplerate == sd.samplerate
+
+
+class TestWaveformDataset:
+    def _sd(self, n=25, seed=6):
+        sd = spy.SpikeData(data=_spikes(n=n, seed=seed), samplerate=1000.0)
+        return sd, n
+
+    def test_valid_set_and_roundtrip(self, tmp_path):
+        sd, n = self._sd()
+        wf = np.random.default_rng(1).normal(size=(n, 16)).astype("f4")
+        sd.waveform = wf
+        assert np.array_equal(np.asarray(sd.waveform), wf)
+        spy.save(sd, container=str(tmp_path / "wf"))
+        back = spy.load(str(tmp_path / "wf.spy"))
+        assert np.array_equal(np.asarray(back.waveform), wf)
+
+    def test_row_mismatch_rejected(self):
+        sd, n = self._sd()
+        with pytest.raises(spy.SPYValueError):
+            sd.waveform = np.zeros((n + 3, 16), "f4")
+
+    def test_none_detaches(self):
+        sd, n = self._sd()
+        sd.waveform = np.zeros((n, 8), "f4")
+        sd.waveform = None
+        assert sd.waveform is None
+
+    def test_constructor_kwarg(self):
+        arr = _spikes(n=10, seed=7)
+        wf = np.ones((10, 4), "f4")
+        sd = spy.SpikeData(data=arr, samplerate=1.0, waveform=wf)
+        assert np.array_equal(np.asarray(sd.waveform), wf)
+
+
+class TestEventDataSemantics:
+    def test_empty(self):
+        ev = spy.EventData()
+        assert ev.data is None and ev.eventid is None
+
+    def test_nparray(self):
+        arr = np.array([[10, 1], [20, 2], [30, 1]], dtype=np.int64)
+        ev = spy.EventData(data=arr, samplerate=100.0)
+        assert np.array_equal(ev.eventid, [1, 2])
+        assert np.array_equal(ev.sample, [10, 20, 30])
+
+    def test_custom_dimord_extra_columns(self):
+        arr = np.array([[10, 1, 5], [20, 2, 7]], dtype=np.int64)
+        ev = spy.EventData(data=arr, samplerate=100.0,
+                           dimord=["sample", "eventid", "duration"])
+        assert ev.dimord == ["sample", "eventid", "duration"]
+        assert np.array_equal(ev.eventid, [1, 2])
+
+    def test_custom_dimord_requires_sample(self):
+        with pytest.raises(spy.SPYValueError):
+            spy.EventData(data=np.zeros((3, 2), np.int64),
+                          dimord=["eventid", "duration"])
+
+    def test_swapped_dimord(self):
+        arr = np.array([[1, 10], [2, 20]], dtype=np.int64)
+        ev = spy.EventData(data=arr, samplerate=100.0,
+                           dimord=["eventid", "sample"])
+        assert np.array_equal(ev.sample, [10, 20])
+        assert np.array_equal(ev.eventid, [1, 2])
+
+    def test_trialretrieval(self):
+        arr = np.array([[10, 1], [110, 2], [150, 1]], dtype=np.int64)
+        ev = spy.EventData(data=arr, samplerate=100.0)
+        ev.trialdefinition = np.array([[0, 100, 0], [100, 200, 0]], float)
+        assert np.array_equal(np.asarray(ev._get_trial(0)), arr[:1])
+        assert np.array_equal(np.asarray(ev._get_trial(1)), arr[1:])
+
+    def test_selection_by_eventid(self):
+        # eventid selections are POSITIONS into the unique-code list
+        # (same convention as unit selections)
+        arr = np.array([[10, 1], [20, 2], [30, 1], [40, 3]], dtype=np.int64)
+        ev = spy.EventData(data=arr, samplerate=100.0)
+        sub = ev.selectdata(eventid=[0])  # first unique code == 1
+        got = np.asarray(sub.data)
+        assert np.all(got[:, 1] == 1) and len(got) == 2
+        sub2 = ev.selectdata(eventid=[1, 2])  # codes 2 and 3
+        assert np.array_equal(np.asarray(sub2.data)[:, 1], [2, 3])
+
+    def test_saveload_roundtrip(self, tmp_path):
+        arr = np.array([[10, 1], [110, 2]], dtype=np.int64)
+        ev = spy.EventData(data=arr, samplerate=100.0)
+        ev.trialdefinition = np.array([[0, 100, 0], [100, 200, 0]], float)
+        spy.save(ev, container=str(tmp_path / "ev"))
+        back = spy.load(str(tmp_path / "ev.spy"))
+        assert back == ev
+
+    def test_definetrial_from_events(self):
+        """EventData start/stop triggers define trials on AnalogData
+        (reference methods/definetrial.py:18)."""
+        ad = spy.AnalogData(data=np.zeros((1000, 2), "f4"), samplerate=1000.0)
+        evt = np.array([[100, 1], [300, 2], [500, 1], [700, 2]], np.int64)
+        ev = spy.EventData(data=evt, samplerate=1000.0)
+        spy.definetrial(ad, trialdefinition=ev, start=1, stop=2)
+        assert len(ad.trials) == 2
+        assert np.array_equal(ad.sampleinfo, [[100, 300], [500, 700]])

@@ -216,3 +216,199 @@ class TestPSTHMatrix:
         kwargs.setdefault("binsize", 0.1)
         with pytest.raises(spy.SPYValueError, match=msg):
             spy.spike_psth(spd, **kwargs)
+
+
+# ---------------------------------------------------------------------- #
+# Round-3 statistics sweep (reference tests/test_statistics.py:24-300,
+# test_spike_psth.py:256-360, test_timelockanalysis.py:41-205)
+# ---------------------------------------------------------------------- #
+
+from syncopy_tpu.datatype.continuous_data import (  # noqa: E402
+    CrossSpectralData,
+    SpectralData,
+)
+
+
+class TestSumStatisticsMatrix:
+    """mean/var/std/median over EVERY dim of every continuous class vs
+    numpy on lognormal data (reference TestSumStatistics)."""
+
+    rng = np.random.default_rng(42)
+    nTrials, nSamples, nChan, nFreq, nTaper = 4, 10, 3, 10, 2
+
+    @classmethod
+    def _analog(cls):
+        trials = [cls.rng.lognormal(2, 0.5, size=(cls.nSamples, cls.nChan))
+                  for _ in range(cls.nTrials)]
+        return spy.AnalogData(data=trials, samplerate=1.0)
+
+    @classmethod
+    def _spectral(cls):
+        trials = [cls.rng.lognormal(2, 0.5,
+                                    size=(cls.nSamples, cls.nTaper, cls.nFreq, cls.nChan))
+                  for _ in range(cls.nTrials)]
+        return SpectralData(data=trials, samplerate=1.0)
+
+    @classmethod
+    def _cross(cls):
+        trials = [cls.rng.lognormal(2, 0.5,
+                                    size=(cls.nSamples, cls.nFreq, cls.nChan, cls.nChan))
+                  for _ in range(cls.nTrials)]
+        return CrossSpectralData(data=trials, samplerate=1.0)
+
+    @pytest.mark.parametrize("op", ["mean", "var", "std", "median"])
+    def test_dim_statistics_all_classes(self, op):
+        for maker in (self._analog, self._spectral, self._cross):
+            obj = maker()
+            for dim in obj.dimord:
+                axis = obj.dimord.index(dim)
+                res = getattr(spy, op)(obj, dim=dim)
+                trial = np.asarray(obj.trials[1])
+                want = getattr(np, op)(trial, axis=axis, keepdims=True)
+                got = np.asarray(res.trials[1])
+                assert np.allclose(got, want, atol=1e-5), (op, dim, maker)
+
+    @pytest.mark.parametrize("op", ["mean", "var", "std"])
+    def test_trial_statistics_all_classes(self, op):
+        for maker in (self._analog, self._spectral, self._cross):
+            obj = maker()
+            stack = np.stack([np.asarray(t) for t in obj.trials])
+            res = getattr(spy, op)(obj, dim="trials")
+            # the reference normalizes by N (ddof=0): summary_stats.py:430-455
+            if op == "mean":
+                want = stack.mean(axis=0)
+            elif op == "var":
+                want = stack.var(axis=0, ddof=0)
+            else:
+                want = stack.std(axis=0, ddof=0)
+            assert np.allclose(np.asarray(res.data), want, atol=1e-4), (op, maker)
+            assert len(res.trials) == 1
+
+    def test_statistics_respect_selections(self):
+        obj = self._analog()
+        res = spy.mean(obj, dim="trials", select={"trials": [0, 2],
+                                                  "channel": [1, 2]})
+        stack = np.stack([np.asarray(obj.trials[0]), np.asarray(obj.trials[2])])
+        want = stack[:, :, [1, 2]].mean(axis=0)
+        assert np.allclose(np.asarray(res.data), want, atol=1e-5)
+
+    def test_invalid_dim_rejected(self):
+        obj = self._analog()
+        with pytest.raises(spy.SPYValueError, match="time"):
+            spy.mean(obj, dim="sth")
+
+    def test_unequal_trials_reject_trial_average(self):
+        obj = self._analog()
+        trl = np.array(obj.trialdefinition)
+        trl[2] = [21, 25, -1]
+        obj.trialdefinition = trl
+        with pytest.raises(spy.SPYValueError):
+            spy.mean(obj, dim="trials")
+
+    def test_median_not_defined_for_trials(self):
+        obj = self._analog()
+        with pytest.raises((spy.SPYValueError, spy.SPYError)):
+            spy.median(obj, dim="trials")
+
+
+class TestITCOracle:
+    def test_itc_matches_manual_resultant(self):
+        d = spy.synthdata.harmonic(freq=30, samplerate=200, nTrials=8,
+                                   nSamples=200, nChannels=2)
+        spec = spy.freqanalysis(d, method="mtmfft", taper="hann",
+                                output="fourier", keeptrials=True)
+        itc = spy.itc(spec)
+        arr = np.asarray(spec.data).reshape(8, 1, -1, 2)
+        manual = np.abs((arr / np.abs(arr)).mean(axis=0))
+        assert np.allclose(np.asarray(itc.data)[0], manual, atol=1e-5)
+        got = np.asarray(itc.data)
+        assert got.min() >= 0 and got.max() <= 1 + 1e-6
+        # the driven harmonic bin is phase-locked across trials
+        f_idx = np.argmin(np.abs(np.asarray(spec.freq) - 30))
+        assert got[0, 0, f_idx].min() > 0.99
+
+    def test_itc_requires_complex(self):
+        d = spy.synthdata.white_noise(nTrials=3, nSamples=100, nChannels=2,
+                                      seed=1)
+        pw = spy.freqanalysis(d, method="mtmfft", taper="hann", output="pow")
+        with pytest.raises(spy.SPYValueError):
+            spy.itc(pw)
+
+
+class TestPSTHExceptions:
+    @pytest.fixture()
+    def spd(self):
+        return spy.synthdata.poisson_noise(nTrials=5, nUnits=3,
+                                           nSpikes=500, samplerate=1000.0,
+                                           seed=9)
+
+    def test_output_validation(self, spd):
+        with pytest.raises(spy.SPYValueError):
+            spy.spike_psth(spd, output="counts")
+        with pytest.raises((spy.SPYValueError, spy.SPYTypeError)):
+            spy.spike_psth(spd, output=12)
+
+    def test_binsize_validation(self, spd):
+        with pytest.raises(spy.SPYValueError):
+            spy.spike_psth(spd, binsize=-0.2)
+        with pytest.raises(spy.SPYValueError):
+            spy.spike_psth(spd, binsize="sth")
+        # binsize larger than the latency window
+        with pytest.raises(spy.SPYValueError):
+            spy.spike_psth(spd, binsize=0.3, latency=[0, 0.2])
+
+    def test_latency_validation(self, spd):
+        with pytest.raises(spy.SPYValueError):
+            spy.spike_psth(spd, latency="sth")
+        with pytest.raises(spy.SPYValueError):
+            spy.spike_psth(spd, latency=[0.1, 0])
+        with pytest.raises(spy.SPYValueError):
+            spy.spike_psth(spd, latency=[-999, -99])
+
+    def test_chan_unit_mapping(self, spd):
+        """Output channels are (channelX_unitY) combinations covering every
+        present pair (reference test_psth_chan_unit_mapping)."""
+        counts = spy.spike_psth(spd, output="spikecount", vartriallen=True)
+        labels = list(counts.channel)
+        data = np.asarray(spd.data)
+        ucol = spd.dimord.index("unit")
+        ccol = spd.dimord.index("channel")
+        n_pairs = len({(c, u) for c, u in zip(data[:, ccol], data[:, ucol])})
+        assert len(labels) == n_pairs
+        # total spike count is preserved within the analysis window
+        total = np.nansum(np.asarray(counts.data))
+        assert total <= len(data)
+        assert total > 0
+
+
+class TestTimelockDepth:
+    @pytest.fixture()
+    def ad(self):
+        return spy.synthdata.white_noise(nTrials=6, nSamples=100,
+                                         nChannels=3, samplerate=500,
+                                         seed=13)
+
+    def test_latency_interval(self, ad):
+        tl = spy.timelockanalysis(ad, latency=[0.05, 0.15])
+        stack = np.stack([np.asarray(t) for t in ad.trials])
+        rows = slice(25, 76)  # 0.05..0.15 s at 500 Hz, offset 0
+        want = stack[:, rows].mean(axis=0)
+        assert np.allclose(np.asarray(tl.avg), want, atol=1e-5)
+
+    def test_trials_selection(self, ad):
+        tl = spy.timelockanalysis(ad, trials=[0, 2, 4])
+        stack = np.stack([np.asarray(ad.trials[k]) for k in (0, 2, 4)])
+        assert np.allclose(np.asarray(tl.avg), stack.mean(axis=0), atol=1e-5)
+
+    def test_covariance_oracle(self, ad):
+        tl = spy.timelockanalysis(ad, covariance=True)
+        stack = np.stack([np.asarray(t) for t in ad.trials])
+        covs = [np.cov(trial.T, ddof=1) for trial in stack]
+        assert np.allclose(np.asarray(tl.cov), np.mean(covs, axis=0), atol=1e-4)
+
+    def test_exceptions(self, ad):
+        with pytest.raises((spy.SPYValueError, spy.SPYTypeError)):
+            spy.timelockanalysis(ad, latency="sth")
+        spec = spy.freqanalysis(ad, method="mtmfft", taper="hann")
+        with pytest.raises((spy.SPYValueError, spy.SPYTypeError)):
+            spy.timelockanalysis(spec)
