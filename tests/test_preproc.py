@@ -360,3 +360,130 @@ class TestNaNMetadata:
         res = spy.preprocessing(self._nan_data(), filter_class="but",
                                 filter_type="lp", freq=20)
         assert res.info["nan_trials"] == [1, 4]
+
+
+class TestPreprocValidationMatrix:
+    """Frontend validation (reference test_preproc.py exception blocks)."""
+
+    @pytest.fixture(scope="class")
+    def d(self):
+        return spy.synthdata.white_noise(nTrials=2, nSamples=500,
+                                         samplerate=500, nChannels=2, seed=0)
+
+    @pytest.mark.parametrize("freq", [-10, 400])
+    def test_freq_outside_nyquist(self, d, freq):
+        with pytest.raises(spy.SPYValueError, match="freq"):
+            spy.preprocessing(d, filter_class="but", filter_type="lp",
+                              freq=freq)
+
+    def test_band_filters_need_two_freqs(self, d):
+        with pytest.raises((spy.SPYTypeError, spy.SPYValueError)):
+            spy.preprocessing(d, filter_class="but", filter_type="bp", freq=50)
+        with pytest.raises((spy.SPYTypeError, spy.SPYValueError)):
+            spy.preprocessing(d, filter_class="firws", filter_type="bs", freq=50)
+
+    def test_invalid_class_direction_order(self, d):
+        with pytest.raises(spy.SPYValueError, match="filter_class"):
+            spy.preprocessing(d, filter_class="cheby", filter_type="lp", freq=50)
+        with pytest.raises(spy.SPYValueError, match="direction"):
+            spy.preprocessing(d, filter_class="but", filter_type="lp", freq=50,
+                              direction="threepass")
+        with pytest.raises(spy.SPYValueError, match="order"):
+            spy.preprocessing(d, filter_class="firws", filter_type="lp",
+                              freq=50, order=-5)
+
+    def test_downsample_cannot_upsample(self, d):
+        with pytest.raises(spy.SPYValueError, match="resamplefs"):
+            spy.resampledata(d, method="downsample", resamplefs=700)
+
+
+class TestFilterAttenuationMatrix:
+    """Quantitative stop-band attenuation for every filter_type x
+    filter_class combination, measured on a two-tone signal (reference
+    test_preproc.py frequency-response sweeps)."""
+
+    FS = 1000.0
+
+    def _two_tone(self):
+        t = np.arange(4000) / self.FS
+        sig = (np.cos(2 * np.pi * 30 * t) + np.cos(2 * np.pi * 200 * t))
+        return spy.AnalogData(data=sig[:, None].astype("f4"),
+                              samplerate=self.FS)
+
+    def _band_power(self, filtered, f0):
+        spec = spy.freqanalysis(filtered, method="mtmfft", taper="hann")
+        arr = np.asarray(spec.data)[0, 0, :, 0]
+        freqs = np.asarray(spec.freq)
+        return arr[np.argmin(np.abs(freqs - f0))]
+
+    @pytest.mark.parametrize("fclass", ["but", "firws"])
+    def test_lowpass_kills_high_tone(self, fclass):
+        ad = self._two_tone()
+        flt = spy.preprocessing(ad, filter_class=fclass, filter_type="lp",
+                                freq=100)
+        assert self._band_power(flt, 30) > 100 * self._band_power(flt, 200)
+
+    @pytest.mark.parametrize("fclass", ["but", "firws"])
+    def test_highpass_kills_low_tone(self, fclass):
+        ad = self._two_tone()
+        flt = spy.preprocessing(ad, filter_class=fclass, filter_type="hp",
+                                freq=100)
+        assert self._band_power(flt, 200) > 100 * self._band_power(flt, 30)
+
+    @pytest.mark.parametrize("fclass", ["but", "firws"])
+    def test_bandpass_keeps_only_inside(self, fclass):
+        ad = self._two_tone()
+        flt = spy.preprocessing(ad, filter_class=fclass, filter_type="bp",
+                                freq=[150, 250])
+        assert self._band_power(flt, 200) > 100 * self._band_power(flt, 30)
+
+    @pytest.mark.parametrize("fclass", ["but", "firws"])
+    def test_bandstop_notches_inside(self, fclass):
+        ad = self._two_tone()
+        flt = spy.preprocessing(ad, filter_class=fclass, filter_type="bs",
+                                freq=[150, 250])
+        assert self._band_power(flt, 30) > 100 * self._band_power(flt, 200)
+
+    def test_twopass_is_zero_phase_for_iir(self):
+        """Butterworth twopass cancels the IIR phase shift; onepass keeps
+        it (the reference's filtfilt-vs-lfilter contract)."""
+        fs = 1000.0
+        t = np.arange(2000) / fs
+        tone = np.cos(2 * np.pi * 40 * t)[:, None].astype("f4")
+        ad = spy.AnalogData(data=tone, samplerate=fs)
+        two = spy.preprocessing(ad, filter_class="but", filter_type="lp",
+                                freq=60, direction="twopass", order=4)
+        one = spy.preprocessing(ad, filter_class="but", filter_type="lp",
+                                freq=60, direction="onepass", order=4)
+        mid = slice(500, 1500)
+        ref = tone[mid, 0]
+        err_two = np.abs(np.asarray(two.data)[mid, 0] - ref).max()
+        err_one = np.abs(np.asarray(one.data)[mid, 0] - ref).max()
+        assert err_two < 0.05
+        assert err_one > 5 * err_two  # phase-shifted near the cutoff
+
+    def test_firws_twopass_doubles_attenuation(self):
+        ad = self._two_tone()
+        one = spy.preprocessing(ad, filter_class="firws", filter_type="lp",
+                                freq=100, direction="onepass", order=100)
+        two = spy.preprocessing(ad, filter_class="firws", filter_type="lp",
+                                freq=100, direction="twopass", order=100)
+        stop_one = self._band_power(one, 200)
+        stop_two = self._band_power(two, 200)
+        assert stop_two < stop_one / 10  # squared response in the stop band
+
+    def test_minphase_kernel_properties(self):
+        """minphaserceps: same magnitude response, energy concentrated at
+        the kernel start (reference firws.py:168)."""
+        from syncopy_tpu.ops.filtering import design_wsinc, minphaserceps
+
+        lin = np.asarray(design_wsinc("hamming", 200, 0.1, "lp"))
+        mp = np.asarray(minphaserceps(lin))
+        H_lin = np.abs(np.fft.rfft(lin, n=1024))
+        H_mp = np.abs(np.fft.rfft(mp, n=1024))
+        assert np.allclose(H_lin, H_mp, atol=1e-3)
+        # front-loaded energy: first quarter holds nearly everything
+        q = len(mp) // 4
+        assert np.sum(mp[:q] ** 2) > 0.9 * np.sum(mp ** 2)
+        # the linear-phase original is centered instead
+        assert np.sum(lin[:q] ** 2) < 0.5 * np.sum(lin ** 2)

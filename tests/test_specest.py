@@ -390,3 +390,158 @@ class TestMethodOutputMatrix:
         assert arr.dtype == spectralDTypes[output], (method, output)
         assert np.isfinite(arr).all() if output != "angle" else True
         assert arr.shape[-1] == 2
+
+
+class TestFreqanalysisValidationMatrix:
+    """Frontend argument validation (reference test_specest.py:315-1560
+    exception blocks): every invalid setting raises a typed error with an
+    actionable message, never a crash downstream."""
+
+    @pytest.fixture(scope="class")
+    def d(self):
+        return spy.synthdata.white_noise(nTrials=2, nSamples=500,
+                                         samplerate=500, nChannels=2, seed=0)
+
+    @pytest.mark.parametrize("foi", [[-0.5, 100], [10, 500], [300, 400]])
+    def test_foi_outside_nyquist(self, d, foi):
+        with pytest.raises(spy.SPYValueError, match="foi"):
+            spy.freqanalysis(d, method="mtmfft", taper="hann", foi=foi)
+
+    def test_foi_and_foilim_conflict(self, d):
+        with pytest.raises(spy.SPYValueError):
+            spy.freqanalysis(d, method="mtmfft", taper="hann",
+                             foi=[10, 20], foilim=[5, 50])
+
+    def test_invalid_method(self, d):
+        with pytest.raises(spy.SPYValueError, match="method"):
+            spy.freqanalysis(d, method="spectrogram")
+
+    def test_invalid_output(self, d):
+        with pytest.raises(spy.SPYValueError, match="output"):
+            spy.freqanalysis(d, method="mtmfft", output="power")
+
+    @pytest.mark.parametrize("toi", [[0.3, -0.1, 0.2], [5.0, 6.0], [-2.0, 0.5]])
+    def test_bad_toi_arrays(self, d, toi):
+        with pytest.raises(spy.SPYValueError, match="toi"):
+            spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.1,
+                             toi=np.asarray(toi, dtype=float))
+
+    @pytest.mark.parametrize("t_ftimwin", [5.0, -0.1, 0.0])
+    def test_bad_window_lengths(self, d, t_ftimwin):
+        with pytest.raises(spy.SPYValueError, match="t_ftimwin"):
+            spy.freqanalysis(d, method="mtmconvol", t_ftimwin=t_ftimwin,
+                             toi=0.5)
+
+    def test_wavelet_toi_out_of_bounds(self, d):
+        with pytest.raises(spy.SPYValueError, match="toi"):
+            spy.freqanalysis(d, method="wavelet", foi=[10.0, 20.0],
+                             toi=np.array([5.0, 6.0]))
+
+    def test_invalid_taper_name(self, d):
+        with pytest.raises(spy.SPYValueError, match="taper"):
+            spy.freqanalysis(d, method="mtmfft", taper="rectangular")
+
+    def test_invalid_taper_opt_key(self, d):
+        with pytest.raises(spy.SPYValueError):
+            spy.freqanalysis(d, method="mtmfft", taper="kaiser",
+                             taper_opt={"bogus_key": 1.0})
+
+    def test_taper_opt_wrong_type(self, d):
+        with pytest.raises((spy.SPYValueError, spy.SPYTypeError)):
+            spy.freqanalysis(d, method="mtmfft", taper="kaiser",
+                             taper_opt="beta=5")
+
+    def test_tapsmofrq_too_small_adjusts(self, d):
+        """A sub-resolution tapsmofrq is clamped with a warning, not an
+        error (reference process_taper semantics)."""
+        import warnings
+
+        with warnings.catch_warnings(record=True):
+            warnings.simplefilter("always")
+            out = spy.freqanalysis(d, method="mtmfft", tapsmofrq=0.01)
+        assert np.isfinite(np.asarray(out.data)).all()
+
+    def test_negative_tapsmofrq_rejected(self, d):
+        with pytest.raises(spy.SPYValueError):
+            spy.freqanalysis(d, method="mtmfft", tapsmofrq=-2)
+
+    def test_pad_shorter_than_trial_rejected(self, d):
+        with pytest.raises(spy.SPYValueError, match="pad"):
+            spy.freqanalysis(d, method="mtmfft", taper="hann", pad=0.5)
+
+    def test_polyremoval_out_of_range(self, d):
+        with pytest.raises(spy.SPYValueError):
+            spy.freqanalysis(d, method="mtmfft", taper="hann", polyremoval=3)
+
+
+class TestSpectralPhysics:
+    """Physical correctness sweeps (reference test_specest.py harmonic /
+    resolution blocks)."""
+
+    def test_harmonic_amplitude_calibration(self):
+        """A unit harmonic peaks at A^2/2 = 0.5 power (the normalization
+        contract, reference _norm_spec.py)."""
+        fs, f0 = 1000.0, 100.0
+        t = np.arange(2000) / fs
+        sig = np.cos(2 * np.pi * f0 * t)[:, None].astype("f4")
+        ad = spy.AnalogData(data=np.tile(sig, (1, 1)), samplerate=fs)
+        spec = spy.freqanalysis(ad, method="mtmfft", taper=None)
+        arr = np.asarray(spec.data)[0, 0, :, 0]
+        f_idx = np.argmin(np.abs(np.asarray(spec.freq) - f0))
+        assert arr[f_idx] == pytest.approx(0.5, rel=1e-3)
+
+    def test_two_tones_resolved_by_enough_samples(self):
+        fs = 1000.0
+        t = np.arange(4000) / fs
+        sig = (np.cos(2 * np.pi * 98 * t) + np.cos(2 * np.pi * 102 * t))
+        ad = spy.AnalogData(data=sig[:, None].astype("f4"), samplerate=fs)
+        spec = spy.freqanalysis(ad, method="mtmfft", taper=None,
+                                foilim=[90, 110])
+        arr = np.asarray(spec.data)[0, 0, :, 0]
+        freqs = np.asarray(spec.freq)
+        # both tones present, valley between them
+        i98 = np.argmin(np.abs(freqs - 98))
+        i100 = np.argmin(np.abs(freqs - 100))
+        i102 = np.argmin(np.abs(freqs - 102))
+        assert arr[i98] > 10 * arr[i100]
+        assert arr[i102] > 10 * arr[i100]
+
+    def test_multitaper_trades_variance_for_bandwidth(self):
+        d = spy.synthdata.white_noise(nTrials=30, nSamples=1000,
+                                      samplerate=1000, nChannels=1, seed=4)
+        sharp = spy.freqanalysis(d, method="mtmfft", taper="hann")
+        smooth = spy.freqanalysis(d, method="mtmfft", tapsmofrq=5)
+        v_sharp = np.asarray(spy.var(sharp, dim="trials").data).mean()
+        v_smooth = np.asarray(spy.var(smooth, dim="trials").data).mean()
+        assert v_smooth < v_sharp / 2
+
+    def test_chirp_tracked_by_mtmconvol(self):
+        fs = 1000.0
+        t = np.arange(2000) / fs
+        f_inst = 50 + 50 * t  # 50 -> 150 Hz over 2 s
+        phase = 2 * np.pi * np.cumsum(f_inst) / fs
+        ad = spy.AnalogData(data=np.cos(phase)[:, None].astype("f4"),
+                            samplerate=fs)
+        tf = spy.freqanalysis(ad, method="mtmconvol", t_ftimwin=0.25,
+                              toi=np.arange(0.3, 1.8, 0.25), taper="hann")
+        arr = np.asarray(tf.data)[:, 0, :, 0]
+        freqs = np.asarray(tf.freq)
+        times = tf.time[0]
+        for k, tk in enumerate(times):
+            peak = freqs[np.argmax(arr[k])]
+            assert peak == pytest.approx(50 + 50 * tk, abs=8), (tk, peak)
+
+    def test_chirp_tracked_by_superlet(self):
+        fs = 500.0
+        t = np.arange(1500) / fs
+        f_inst = 30 + 20 * t
+        phase = 2 * np.pi * np.cumsum(f_inst) / fs
+        ad = spy.AnalogData(data=np.cos(phase)[:, None].astype("f4"),
+                            samplerate=fs)
+        foi = np.arange(20, 95, 2.0)
+        tf = spy.freqanalysis(ad, method="superlet", foi=foi, order_max=10)
+        arr = np.asarray(tf.data)[:, 0, :, 0]
+        times = (np.arange(arr.shape[0])) / fs
+        for k in range(200, 1300, 200):
+            peak = foi[np.argmax(arr[k])]
+            assert peak == pytest.approx(30 + 20 * times[k], abs=6)
