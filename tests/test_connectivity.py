@@ -547,3 +547,170 @@ class TestGrangerFromSpectra:
                                  exact_fft=True)
         a, b = np.asarray(plain.data), np.asarray(exact.data)
         assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
+
+
+class TestConnectivityValidationMatrix:
+    """Frontend validation (reference test_connectivity.py exception
+    blocks + connectivity_analysis.py:80-145 guards)."""
+
+    @pytest.fixture(scope="class")
+    def d(self):
+        return spy.synthdata.white_noise(nTrials=6, nSamples=256,
+                                         samplerate=500, nChannels=3, seed=0)
+
+    def test_invalid_method(self, d):
+        with pytest.raises(spy.SPYValueError, match="method"):
+            spy.connectivityanalysis(d, method="plv")
+
+    def test_single_trial_rejected(self, d):
+        solo = spy.AnalogData(data=np.asarray(d.trials[0]), samplerate=500)
+        with pytest.raises(spy.SPYValueError, match="trial"):
+            spy.connectivityanalysis(solo, method="coh", tapsmofrq=2)
+
+    @pytest.mark.parametrize("method", ["coh", "ppc", "granger"])
+    def test_keeptrials_rejected_for_averaged_methods(self, d, method):
+        with pytest.raises(spy.SPYValueError, match="keeptrials"):
+            spy.connectivityanalysis(d, method=method, keeptrials=True,
+                                     tapsmofrq=2)
+
+    def test_corr_rejects_padding(self, d):
+        with pytest.raises(spy.SPYValueError, match="pad"):
+            spy.connectivityanalysis(d, method="corr", pad=2.0)
+
+    def test_corr_rejects_spectral_input(self, d):
+        spec = spy.freqanalysis(d, method="mtmfft", output="fourier",
+                                keeptrials=True)
+        with pytest.raises(spy.SPYValueError):
+            spy.connectivityanalysis(spec, method="corr")
+
+    def test_granger_rejects_foi(self, d):
+        with pytest.raises(spy.SPYValueError, match="foi"):
+            spy.connectivityanalysis(d, method="granger", foilim=[10, 50])
+
+    def test_real_spectra_rejected(self, d):
+        pw = spy.freqanalysis(d, method="mtmfft", output="pow",
+                              keeptrials=True)
+        with pytest.raises(spy.SPYValueError, match="fourier"):
+            spy.connectivityanalysis(pw, method="coh")
+
+    def test_jackknife_only_for_coh_granger(self, d):
+        with pytest.warns(RuntimeWarning, match="[Jj]ackknife"):
+            spy.connectivityanalysis(d, method="csd", jackknife=True)
+
+    def test_channelcmb_validation(self, d):
+        spec = spy.freqanalysis(d, method="mtmfft", output="fourier",
+                                keeptrials=True)
+        with pytest.raises(spy.SPYValueError):
+            spy.connectivityanalysis(spec, method="csd",
+                                     channelcmb=[[0], [1], [2]])
+        with pytest.raises(spy.SPYValueError):
+            spy.connectivityanalysis(spec, method="csd",
+                                     channelcmb=[[0], [99]])
+        with pytest.raises(spy.SPYTypeError):
+            spy.connectivityanalysis(d, method="coh", tapsmofrq=2,
+                                     channelcmb=[[0], [1]])
+
+
+class TestConnectivityEstimatorProperties:
+    """Estimator-level physics (reference test_connectivity.py AR(2) and
+    phase-diffusion ground-truth blocks)."""
+
+    def test_coherence_of_common_drive(self):
+        """Two channels sharing a common harmonic + independent noise:
+        coherence at the drive frequency matches the analytic
+        signal-to-total ratio."""
+        rng = np.random.default_rng(3)
+        fs, n_samp, n_trials = 500.0, 500, 150
+        t = np.arange(n_samp) / fs
+        amp, nstd = 1.0, 1.0
+        sigs = []
+        for k in range(n_trials):
+            phase = rng.uniform(0, 2 * np.pi)
+            drive = amp * np.cos(2 * np.pi * 50 * t + phase)
+            ch1 = drive + nstd * rng.normal(size=n_samp)
+            ch2 = drive + nstd * rng.normal(size=n_samp)
+            sigs.append(np.column_stack([ch1, ch2]).astype("f4"))
+        ad = spy.AnalogData(data=sigs, samplerate=fs)
+        coh = spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
+        freqs = np.asarray(coh.freq)
+        arr = np.asarray(coh.data)[0]
+        f_idx = np.argmin(np.abs(freqs - 50))
+        # per-bin SNR: harmonic power A^2/4 (hann split) vs noise density;
+        # empirically the coherence plateaus near s/(s+n) — just require a
+        # strong, localized peak with the right magnitude ordering
+        assert arr[f_idx, 0, 1] > 0.55
+        off = np.r_[arr[5:f_idx - 10, 0, 1], arr[f_idx + 10:-5, 0, 1]]
+        assert off.mean() < 0.1
+        # diagonal exactly 1
+        assert np.allclose(arr[:, 0, 0], 1.0, atol=1e-5)
+        assert np.allclose(arr[:, 1, 1], 1.0, atol=1e-5)
+
+    def test_independent_channels_coherence_floor(self):
+        """Independent noise: coherence ~ sqrt(pi/4/nTrials) estimator
+        floor (reference test_coherence white-noise block)."""
+        d = spy.synthdata.white_noise(nTrials=200, nSamples=500,
+                                      samplerate=500, nChannels=2, seed=8)
+        coh = spy.connectivityanalysis(d, method="coh", taper="hann")
+        arr = np.asarray(coh.data)[0, :, 0, 1]
+        expected_floor = np.sqrt(np.pi / 4 / 200)
+        assert arr.mean() == pytest.approx(expected_floor, rel=0.25)
+        assert arr.max() < 6 * expected_floor
+
+    def test_crosscorr_known_lag(self):
+        """Channel 2 = channel 1 delayed by L samples: cross-correlation
+        peaks exactly at lag L."""
+        rng = np.random.default_rng(5)
+        fs, n_samp, lag = 1000.0, 1000, 20
+        sigs = []
+        for _ in range(30):
+            x = rng.normal(size=n_samp + lag).astype("f4")
+            sigs.append(np.column_stack([x[lag:], x[:-lag]]))
+        ad = spy.AnalogData(data=sigs, samplerate=fs)
+        cc = spy.connectivityanalysis(ad, method="corr")
+        arr = np.asarray(cc.data)  # (lags, 1, C, C)
+        # convention: CC[l, 0, i, j] = <x_i[m] x_j[m-l]> for i >= j
+        # (ops/connectivity.cross_covariance_trial) — channel 0 leading
+        # channel 1 by `lag` peaks in the [1, 0] entry at l = lag
+        peak = np.argmax(np.abs(arr[:, 0, 1, 0]))
+        assert peak == lag
+        assert arr[lag, 0, 1, 0] == pytest.approx(1.0, abs=0.02)
+        # zero-lag autocorrelation is exactly 1
+        assert arr[0, 0, 0, 0] == pytest.approx(1.0, abs=1e-4)
+
+    def test_ppc_matches_pair_loop(self):
+        """The streamed resultant identity equals the direct O(n^2) pair
+        average (reference PPC definition, ST_compRoutines.py:158-266)."""
+        d = spy.synthdata.phase_diffusion(freq=40, eps=0.05, samplerate=250,
+                                          nSamples=250, nChannels=2,
+                                          nTrials=12, seed=11)
+        spec = spy.freqanalysis(d, method="mtmfft", output="fourier",
+                                keeptrials=True, taper=None)
+        ppc = spy.connectivityanalysis(spec, method="ppc")
+        arr = np.asarray(spec.data).reshape(12, -1, 2)
+        csds = arr[:, :, 0] * np.conj(arr[:, :, 1])
+        units = csds / np.abs(csds)
+        n = 12
+        acc = np.zeros(units.shape[1])
+        for j in range(n):
+            for k in range(j + 1, n):
+                acc += np.cos(np.angle(units[j]) - np.angle(units[k]))
+        manual = acc / (n * (n - 1) / 2)
+        got = np.asarray(ppc.data)[0, :, 0, 1]
+        assert np.allclose(got, manual, atol=1e-4)
+
+    def test_granger_directionality_ground_truth(self):
+        """AR(2) network with 0->1 coupling: G(0->1) >> G(1->0) in the
+        resonance band and the reversed system flips it."""
+        Adj = np.zeros((2, 2), dtype=np.float32)
+        Adj[1, 0] = 0.3  # 0 drives 1 (column drives row? see synthdata)
+        ad = spy.synthdata.ar2_network(nTrials=80, AdjMat=Adj,
+                                       nSamples=500, seed=14)
+        g = spy.connectivityanalysis(ad, method="granger", tapsmofrq=3)
+        arr = np.asarray(g.data)[0]
+        band = slice(20, 120)
+        # index convention [i, j]: coupling AdjMat[1, 0] surfaces at [1, 0]
+        # (same as the Dhamala fixture in TestGranger above)
+        fwd = arr[band, 1, 0].mean()
+        rev = arr[band, 0, 1].mean()
+        assert fwd > 10 * rev
+        assert g.info["converged"]
