@@ -249,6 +249,12 @@ class BaseData(ABC):
     def _set_dataset_property_with_dataset(self, inData, propertyName, ndim=None):
         if not inData.id.valid:
             raise SPYValueError(legal="open HDF5 dataset", varname=propertyName, actual="closed dataset")
+        if ndim is None and propertyName == "data":
+            ref_dimord = self._dimord or self._defaultDimord
+            if ref_dimord is not None:
+                # discrete classes store [nEvents x nCols] 2-D payloads
+                # regardless of dimord length
+                ndim = 2 if "sample" in ref_dimord else len(ref_dimord)
         self._check_dataset_property_complies(inData, propertyName, ndim)
         if propertyName == "data":
             self._data = inData
@@ -300,6 +306,15 @@ class BaseData(ABC):
         arrs = [np.asarray(a) for a in inData]
         if not arrs:
             raise SPYValueError(legal="non-empty list", varname=propertyName)
+        # real/complex must not mix: np.concatenate would silently upcast
+        # (reference list-routine check, tests/test_basedata.py:155-158)
+        kinds = {np.issubdtype(a.dtype, np.complexfloating) for a in arrs}
+        if len(kinds) > 1:
+            raise SPYValueError(
+                legal="all trials of the same numeric type (real/complex)",
+                varname=propertyName,
+                actual=str(sorted({str(a.dtype) for a in arrs})),
+            )
         base_shape = list(arrs[0].shape)
         sdim = self._stackingDim
         for a in arrs:

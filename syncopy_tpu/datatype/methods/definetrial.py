@@ -65,14 +65,13 @@ def definetrial(obj, trialdefinition=None, pre=None, post=None, start=None,
 
     trl = np.atleast_2d(np.asarray(trialdefinition, dtype=float))
     if trl.shape[1] < 3:
-        if trl.shape[1] == 2:
-            trl = np.hstack([trl, np.zeros((trl.shape[0], 1))])
-        else:
-            raise SPYValueError(
-                legal="[nTrials x 3] array [start, stop, offset]",
-                varname="trialdefinition",
-                actual=str(trl.shape),
-            )
+        # the reference rejects <3 columns outright (definetrial.py:351-356)
+        # — a missing offset column is a user error, not an implied zero
+        raise SPYValueError(
+            legal="array of shape (no. of trials, 3+): [start, stop, offset]",
+            varname="trialdefinition",
+            actual="shape = {}".format(trl.shape),
+        )
     if np.any(trl[:, 1] < trl[:, 0]):
         raise SPYValueError(legal="stop >= start for all trials", varname="trialdefinition")
     if np.any(trl[:, 0] < 0):

@@ -433,3 +433,183 @@ class TestComplexEquality:
         c = spy.SpectralData(data=(np.ones((10, 1, 4, 2)) * (1 + 1j)).astype("c8"),
                              samplerate=10)
         assert a == c
+
+
+# ---------------------------------------------------------------------- #
+# Round-3 base-data depth (reference tests/test_basedata.py:35-300)
+# ---------------------------------------------------------------------- #
+
+import h5py  # noqa: E402
+
+from syncopy_tpu.datatype.continuous_data import SpectralData  # noqa: E402
+
+
+class TestDataAllocation:
+    """Payload allocation from every supported source for every class
+    (reference test_data_alloc)."""
+
+    shapes = {
+        "AnalogData": (20, 2),
+        "SpectralData": (4, 1, 5, 2),
+        "CrossSpectralData": (2, 5, 3, 3),
+        "SpikeData": (15, 3),
+        "EventData": (10, 2),
+    }
+
+    def _make_payload(self, dclass):
+        shp = self.shapes[dclass]
+        if dclass in ("SpikeData", "EventData"):
+            rng = np.random.default_rng(1)
+            arr = rng.integers(0, 10, size=shp).astype(np.int64)
+            arr[:, 0] = np.sort(arr[:, 0])
+            return arr
+        return np.arange(np.prod(shp), dtype="f4").reshape(shp)
+
+    @pytest.mark.parametrize("dclass", list(shapes))
+    def test_hdf5_dataset_allocation(self, dclass, tmp_path):
+        from syncopy_tpu import datatype as spd
+
+        arr = self._make_payload(dclass)
+        hname = str(tmp_path / (dclass + ".h5"))
+        with h5py.File(hname, "w") as f:
+            f.create_dataset("dummy", data=arr)
+        dset = h5py.File(hname, "r+")["dummy"]
+        dummy = getattr(spd, dclass)(data=dset)
+        assert np.array_equal(np.asarray(dummy.data), arr)
+        assert dummy.mode == "r+"
+        dummy._close_hdf()
+
+    @pytest.mark.parametrize("dclass", list(shapes))
+    def test_wrong_ndim_dataset_rejected(self, dclass, tmp_path):
+        from syncopy_tpu import datatype as spd
+
+        hname = str(tmp_path / (dclass + "_bad.h5"))
+        with h5py.File(hname, "w") as f:
+            f.create_dataset("bad", data=np.ones(7))
+        dset = h5py.File(hname, "r+")["bad"]
+        with pytest.raises(spy.SPYValueError):
+            getattr(spd, dclass)(data=dset)
+        dset.file.close()
+
+    def test_closed_dataset_rejected(self, tmp_path):
+        hname = str(tmp_path / "closed.h5")
+        with h5py.File(hname, "w") as f:
+            f.create_dataset("dummy", data=np.ones((20, 2), "f4"))
+        f2 = h5py.File(hname, "r")
+        dset = f2["dummy"]
+        f2.close()
+        with pytest.raises(spy.SPYValueError):
+            spy.AnalogData(data=dset)
+
+    def test_mixed_real_complex_list_rejected(self):
+        with pytest.raises(spy.SPYValueError, match="real/complex"):
+            spy.AnalogData(data=[np.ones((4, 2), "f4"),
+                                 np.ones((4, 2), "c8")])
+
+    def test_list_allocation_with_channel_labels(self):
+        arr = np.ones((8, 3), "f4")
+        dummy = spy.AnalogData(data=[arr, arr], channel=["a", "b", "c"],
+                               samplerate=10.0)
+        assert len(dummy.trials) == 2
+        assert list(dummy.channel) == ["a", "b", "c"]
+        assert dummy.samplerate == 10.0
+
+
+class TestModeSwitching:
+    def test_readonly_blocks_writes(self, tmp_path):
+        ad = spy.AnalogData(data=np.ones((20, 2), "f4"), samplerate=5.0)
+        spy.save(ad, container=str(tmp_path / "m"))
+        # release the writer's handle: HDF5 merges same-process file opens,
+        # so a lingering r+ handle would silently defeat the r reopen
+        ad._close_hdf()
+        obj = spy.load(str(tmp_path / "m.spy"))
+        obj.mode = "r"
+        assert not obj.is_writable
+        with pytest.raises((OSError, RuntimeError, ValueError, spy.SPYError)):
+            obj.data[0, 0] = 99.0
+        obj.mode = "r+"
+        assert obj.is_writable
+        obj.data[0, 0] = 99.0
+        assert float(obj.data[0, 0]) == 99.0
+
+
+class TestTrialdefinitionValidation:
+    def _obj(self):
+        return spy.AnalogData(data=np.ones((10, 2), "f4"), samplerate=5.0)
+
+    def test_stop_beyond_payload(self):
+        with pytest.raises(spy.SPYValueError):
+            self._obj().trialdefinition = np.array([[0, 50, 0]], float)
+
+    def test_start_after_stop(self):
+        with pytest.raises(spy.SPYValueError):
+            self._obj().trialdefinition = np.array([[5, 2, 0]], float)
+
+    def test_negative_start(self):
+        with pytest.raises(spy.SPYValueError):
+            self._obj().trialdefinition = np.array([[-3, 5, 0]], float)
+
+    def test_too_few_columns(self):
+        with pytest.raises((spy.SPYValueError, IndexError)):
+            self._obj().trialdefinition = np.array([[0, 5]], float)
+
+    def test_extra_columns_become_trialinfo(self):
+        obj = self._obj()
+        obj.trialdefinition = np.array([[0, 5, 0, 7, 8], [5, 10, 0, 9, 10]],
+                                       float)
+        assert np.array_equal(obj.trialinfo, [[7, 8], [9, 10]])
+
+
+class TestInfoAndLog:
+    def test_info_accepts_json_rejects_objects(self):
+        obj = spy.AnalogData(data=np.ones((4, 2), "f4"))
+        obj.info = {"nested": {"list": [1, 2, 3]}, "s": "x"}
+        assert obj.info["nested"]["list"] == [1, 2, 3]
+        with pytest.raises((spy.SPYTypeError, spy.SPYValueError, TypeError)):
+            obj.info = {"bad": object()}
+
+    def test_log_appends_with_timestamp(self):
+        obj = spy.AnalogData(data=np.ones((4, 2), "f4"))
+        obj.log = "first entry"
+        obj.log = "second entry"
+        assert "first entry" in obj._log
+        assert "second entry" in obj._log
+        assert obj._log.index("first entry") < obj._log.index("second entry")
+
+    def test_log_propagates_through_analysis(self):
+        d = spy.synthdata.white_noise(nTrials=2, nSamples=128, nChannels=2,
+                                      seed=0)
+        d.log = "my preprocessing note"
+        spec = spy.freqanalysis(d, method="mtmfft", taper="hann")
+        assert "my preprocessing note" in spec._log
+
+
+class TestEqualitySemantics:
+    def test_different_class_not_equal(self):
+        a = spy.AnalogData(data=np.ones((4, 1, 2, 2), "f4").reshape(4, 4))
+        s = SpectralData(data=np.ones((4, 1, 2, 2), "f4"))
+        assert a != s
+
+    def test_payload_difference_detected(self, adata_equal):
+        cp = adata_equal.copy()
+        assert cp == adata_equal
+        arr = np.asarray(cp.data)
+        arr[0, 0] += 1.0
+        cp.data = arr
+        assert cp != adata_equal
+
+    def test_trialdefinition_difference_detected(self, adata_equal):
+        cp = adata_equal.copy()
+        trl = np.array(cp.trialdefinition)
+        trl[0, 2] = -42
+        cp.trialdefinition = trl
+        assert cp != adata_equal
+
+    def test_extra_dataset_difference_detected(self, adata_equal):
+        cp = adata_equal.copy()
+        cp._register_dataset("extra", np.ones(3))
+        assert cp != adata_equal
+
+    def test_non_spy_comparison(self, adata_equal):
+        assert adata_equal != 42
+        assert not (adata_equal == "object")
