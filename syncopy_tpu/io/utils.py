@@ -90,7 +90,15 @@ def cleanup(older_than=24, interactive=False, only_current_session=False):
             continue
         if age_h < older_than:
             continue
-        if only_current_session and __sessionid__ not in entry:
+        if only_current_session:
+            if __sessionid__ not in entry:
+                continue
+        elif __sessionid__ in entry:
+            # never reap the LIVE session's files in a dead-session sweep
+            # (reference cleanup only targets sessions that are gone,
+            # io/utils.py:63-120) — a >24h-old object of a long-running
+            # analysis must survive; use only_current_session=True to
+            # target this session explicitly
             continue
         if interactive:
             from ..shared.queries import user_yesno

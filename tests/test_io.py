@@ -609,3 +609,80 @@ class TestNWBExportRoundtrip:
         tl.save_nwb(fname)
         back = spy.load_nwb(fname)
         assert np.asarray(back.data).shape == np.asarray(tl.data).shape
+
+
+class TestStorageHygiene:
+    """cleanup / clear / hash_file semantics (reference io/utils.py:49-270,
+    tests/test_packagesetup.py storage blocks)."""
+
+    def _plant(self, name, age_hours):
+        import time as _time
+
+        from syncopy_tpu.datatype.util import storage_dir
+
+        path = os.path.join(storage_dir(), name)
+        with open(path, "w") as f:
+            f.write("x")
+        old = _time.time() - age_hours * 3600
+        os.utime(path, (old, old))
+        return path
+
+    def test_cleanup_reaps_old_dead_session_files(self):
+        path = self._plant("spy_deadsession_test1.analog", age_hours=30)
+        removed = spy.cleanup(older_than=24)
+        assert path in removed
+        assert not os.path.exists(path)
+
+    def test_cleanup_keeps_young_files(self):
+        path = self._plant("spy_deadsession_test2.analog", age_hours=1)
+        removed = spy.cleanup(older_than=24)
+        assert path not in removed
+        assert os.path.exists(path)
+        os.unlink(path)
+
+    def test_cleanup_never_touches_live_session(self):
+        """Files of the CURRENT session survive a dead-session sweep no
+        matter their age — a >24h-old object of a long-running analysis
+        must not be reaped out from under the user."""
+        from syncopy_tpu.datatype.util import __sessionid__
+
+        path = self._plant("spy_{}_old.analog".format(__sessionid__),
+                           age_hours=48)
+        removed = spy.cleanup(older_than=24)
+        assert path not in removed
+        assert os.path.exists(path)
+        # explicit current-session sweep DOES remove it
+        removed = spy.cleanup(older_than=24, only_current_session=True)
+        assert path in removed
+
+    def test_cleanup_validates_older_than(self):
+        with pytest.raises(spy.SPYTypeError):
+            spy.cleanup(older_than="yesterday")
+
+    def test_hash_file_stable_and_sensitive(self, tmp_path):
+        from syncopy_tpu.io.utils import hash_file
+
+        p = tmp_path / "h.bin"
+        p.write_bytes(b"abcdef" * 100)
+        h1 = hash_file(str(p))
+        assert h1 == hash_file(str(p))
+        p.write_bytes(b"abcdef" * 99 + b"abcdeg")
+        assert hash_file(str(p)) != h1
+
+    def test_checksum_mismatch_detected_on_load(self, tmp_path):
+        ad = spy.AnalogData(data=np.ones((20, 2), "f4"), samplerate=10.0)
+        spy.save(ad, container=str(tmp_path / "chk"))
+        ad._close_hdf()
+        # corrupt the payload behind the container's back
+        import glob
+
+        import h5py
+
+        fname = glob.glob(str(tmp_path / "chk.spy" / "*.analog"))[0]
+        with h5py.File(fname, "r+") as f:
+            f["data"][0, 0] = 123.0
+        with pytest.raises(spy.SPYValueError, match="checksum"):
+            spy.load(str(tmp_path / "chk.spy"), checksum=True)
+        # without checksum verification the (corrupted) load succeeds
+        loaded = spy.load(str(tmp_path / "chk.spy"))
+        assert float(np.asarray(loaded.data)[0, 0]) == 123.0
