@@ -580,3 +580,136 @@ class TestTimelockExactTransfer:
         tl = spy.timelockanalysis(d, keeptrials=True)
         stack = np.concatenate([np.asarray(t) for t in d.trials], axis=0)
         assert np.array_equal(np.asarray(tl.data), stack)
+
+
+class TestEngineContract:
+    """Engine API-contract depth (reference test_computationalroutine.py
+    lifecycle/validation blocks)."""
+
+    def test_compute_before_initialize_raises(self, adata_equal):
+        from syncopy_tpu.shared.errors import SPYError
+
+        cr = TimesTwo()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        with pytest.raises(SPYError, match="initialize"):
+            cr.compute(adata_equal, out)
+
+    def test_empty_selection_rejected(self, adata_equal):
+        from syncopy_tpu.shared.errors import SPYValueError
+
+        cr = TimesTwo()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        with pytest.raises((SPYValueError, spy.SPYError)):
+            adata_equal.selectdata(inplace=True, trials=[99])
+
+    def test_keeptrials_false_rejects_ragged(self, adata_ragged):
+        from syncopy_tpu.shared.errors import SPYValueError
+
+        cr = TimesTwo()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        with pytest.raises(SPYValueError, match="identical trial shapes"):
+            cr.initialize(adata_ragged, out._stackingDim, keeptrials=False)
+
+    def test_workspace_hook_bounds_chunk(self, adata_equal):
+        """device_bytes_per_trial shrinks the chunk: with a huge declared
+        workspace every chunk holds exactly one (padded) trial."""
+        seen = []
+
+        class Hungry(TimesTwo):
+            def device_bytes_per_trial(self, shp, out_shp, out_dt):
+                return 10**12
+
+            def process_batch(self, batch, *aux, **cfg):
+                seen.append(batch.shape[0])
+                return batch * 2.0
+
+        cr = Hungry()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        cr.initialize(adata_equal, out._stackingDim, keeptrials=True)
+        cr.compute(adata_equal, out, device_resident=False)
+        assert seen and max(seen) == 1
+        assert np.allclose(np.asarray(out.data),
+                           2 * np.asarray(adata_equal.data))
+
+    def test_chunk_cap_respected(self, adata_equal, monkeypatch):
+        from syncopy_tpu.engine import routine as eng
+
+        monkeypatch.setattr(eng, "MAX_CHUNK_TRIALS", 2)
+        seen = []
+
+        class Spy2(TimesTwo):
+            def process_batch(self, batch, *aux, **cfg):
+                seen.append(batch.shape[0])
+                return batch * 2.0
+
+        cr = Spy2()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        cr.initialize(adata_equal, out._stackingDim, keeptrials=True)
+        cr.compute(adata_equal, out, device_resident=False)
+        assert seen and max(seen) <= 2
+
+    def test_exact_powerof2_trialcount_single_chunk(self):
+        d = spy.synthdata.white_noise(nTrials=8, nSamples=64, nChannels=2,
+                                      seed=1)
+        seen = []
+
+        class Spy3(TimesTwo):
+            def process_batch(self, batch, *aux, **cfg):
+                seen.append(batch.shape[0])
+                return batch * 2.0
+
+        cr = Spy3()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        cr.initialize(d, out._stackingDim, keeptrials=True)
+        cr._chunk_budget = 2**30
+        cr.compute(d, out, device_resident=False)
+        assert seen == [8]  # no padding, one executable, one dispatch
+
+    def test_single_trial_input(self):
+        d = spy.AnalogData(data=np.ones((16, 2), "f4"), samplerate=10.0)
+        out = run_cr(TimesTwo(), d)
+        assert np.allclose(np.asarray(out.data), 2.0)
+
+    def test_chan_per_worker_is_advisory(self, adata_equal):
+        cr = TimesTwo()
+        out = spy.AnalogData(dimord=["time", "channel"])
+        cr.initialize(adata_equal, out._stackingDim, chan_per_worker=2,
+                      keeptrials=True)
+        cr.compute(adata_equal, out)
+        assert np.allclose(np.asarray(out.data),
+                           2 * np.asarray(adata_equal.data))
+
+
+class TestResolveParallel:
+    def test_false_ignores_active_mesh(self, testmesh):
+        from syncopy_tpu.parallel.mesh import resolve_parallel, use_mesh
+
+        with use_mesh(testmesh):
+            assert resolve_parallel(False) is None
+            assert resolve_parallel(None) is testmesh
+            assert resolve_parallel(True) is testmesh
+
+    def test_none_without_mesh_is_solo(self):
+        from syncopy_tpu.parallel.mesh import resolve_parallel
+
+        assert resolve_parallel(None) is None
+
+    def test_esi_cluster_setup_installs_mesh(self):
+        from syncopy_tpu.parallel.mesh import active_mesh
+
+        mesh = spy.esi_cluster_setup(n_workers=2, partition="ignored",
+                                     mem_per_worker="8GB")
+        try:
+            assert active_mesh() is mesh
+            assert mesh.devices.size == 2
+        finally:
+            spy.cluster_cleanup()
+        assert active_mesh() is None
+
+    def test_too_many_workers_rejected(self):
+        import jax
+
+        from syncopy_tpu.shared.errors import SPYParallelError
+
+        with pytest.raises(SPYParallelError):
+            spy.esi_cluster_setup(n_workers=len(jax.devices()) + 1)
