@@ -490,3 +490,73 @@ class TestDirSizeUnits:
         assert mb == pytest.approx(2.0)
         gb, _ = spy.get_dir_size(str(tmp_path), unit="GB")
         assert gb == pytest.approx(0.002)
+
+
+class TestDecoratorSemantics:
+    """unwrap_cfg/unwrap_select edge semantics (reference
+    tests/test_decorators.py)."""
+
+    def _data(self):
+        return spy.synthdata.white_noise(nTrials=4, nSamples=128,
+                                         nChannels=3, seed=2)
+
+    def test_select_restores_prior_selection(self):
+        d = self._data()
+        d.selectdata(inplace=True, channel=[0])
+        spy.freqanalysis(d, method="mtmfft", taper="hann",
+                         select={"trials": [1, 2]})
+        # the transient select was reverted; the prior one survives
+        assert d.selection is not None
+        sel_ch = d.selection.channel
+        if isinstance(sel_ch, slice):
+            assert sel_ch == slice(0, 1, 1)
+        else:
+            assert list(sel_ch) == [0]
+        d.selectdata(clear=True, inplace=True)
+
+    def test_select_restored_after_error(self):
+        d = self._data()
+        with pytest.raises((spy.SPYValueError, spy.SPYTypeError, spy.SPYError)):
+            spy.freqanalysis(d, method="mtmfft", taper="hann",
+                             foi=[-1, 1000], select={"trials": [0]})
+        assert d.selection is None  # transient selection rolled back
+
+    def test_linguistic_booleans(self):
+        d = self._data()
+        cfg = spy.StructDict()
+        cfg.method = "mtmfft"
+        cfg.taper = "hann"
+        cfg.keeptrials = "no"
+        out = spy.freqanalysis(d, cfg)
+        assert len(out.trials) == 1
+        cfg.keeptrials = "yes"
+        out2 = spy.freqanalysis(d, cfg)
+        assert len(out2.trials) == 4
+
+    def test_cfg_dataset_entry(self):
+        d = self._data()
+        cfg = spy.StructDict()
+        cfg.dataset = d
+        cfg.method = "mtmfft"
+        cfg.taper = "hann"
+        out = spy.freqanalysis(cfg)
+        assert out.data is not None
+
+    def test_cfg_and_kwarg_conflict_rejected(self):
+        d = self._data()
+        cfg = spy.StructDict()
+        cfg.method = "mtmfft"
+        with pytest.raises((spy.SPYValueError, spy.SPYError)):
+            spy.freqanalysis(d, cfg, method="wavelet")
+
+    def test_unknown_kwarg_warns(self):
+        d = self._data()
+        with pytest.warns(RuntimeWarning):
+            spy.freqanalysis(d, method="mtmfft", taper="hann",
+                             not_a_real_option=1)
+
+    def test_select_dict_validated(self):
+        d = self._data()
+        with pytest.raises((spy.SPYValueError, spy.SPYTypeError, spy.SPYError)):
+            spy.freqanalysis(d, method="mtmfft", taper="hann",
+                             select={"bogus_axis": [0]})
