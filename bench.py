@@ -86,7 +86,9 @@ def main():
     import syncopy_tpu as spy
 
     if "--device-only" in sys.argv:
-        print(json.dumps(device_only_metrics()))
+        from benchmarks.device_bench import run_device_bench
+
+        print(json.dumps(run_device_bench(full="--full" in sys.argv)))
         return
 
     ad = make_data(NTRIALS)

@@ -135,8 +135,87 @@ def _flops_fft(batch_rows, n):
     return 2.5 * batch_rows * n * np.log2(max(n, 2))
 
 
+def _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
+    """Optional additional device-bound rows (bench.py --device-only --full):
+    welch, superlet TFR, and a FIR band-pass -> hilbert-envelope -> PSD
+    pipeline — all production kernels, all resident."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncopy_tpu.ops.filtering import apply_fir, design_wsinc, hilbert
+    from syncopy_tpu.ops.stft import mtmconvol
+    from syncopy_tpu.ops.wavelet import superlet
+    from syncopy_tpu.ops.windows import make_tapers
+
+    # -- welch: segment-averaged periodogram, fused on device ------------ #
+    nperseg = 256
+    tapers = jnp.asarray(make_tapers("hann", None, nperseg, nperseg, fs))
+    centers = jnp.arange(0, n_samples, nperseg // 2, dtype=jnp.int32)
+
+    def welch_step(batch):
+        def one(tr):
+            spec = mtmconvol(tr, tapers, centers, nperseg, output="pow",
+                             keeptapers=False)
+            return jnp.mean(spec, axis=0)
+
+        return jax.vmap(one)(batch)
+
+    fn = jax.jit(welch_step)
+    jax.block_until_ready(fn(x))
+    dt = _time_best(fn, (x,), repeats)
+    flops = _cost_flops(fn, x) or 0.0
+    results["welch_device"] = {
+        "trials_per_s": round(n_trials / dt, 1), "wall_s": round(dt, 4),
+        "flops": flops, "util_vs_peak": round(flops / dt / PEAK_FLOPS, 4),
+    }
+
+    # -- superlet TFR (config #2 sibling) -------------------------------- #
+    foi = np.linspace(10.0, 100.0, 20)
+    scales = (1.0 / foi) / (2 * np.pi)
+    xb = x[:32]
+
+    def sl_step(batch):
+        return jax.vmap(
+            lambda tr: jnp.abs(
+                superlet(tr, np.asarray(scales), order_max=10, dt=1.0 / fs)
+            ) ** 2
+        )(batch)
+
+    fn = jax.jit(sl_step)
+    jax.block_until_ready(fn(xb))
+    dt = _time_best(fn, (xb,), repeats)
+    flops = _cost_flops(fn, xb) or 0.0
+    results["superlet_device"] = {
+        "trials_per_s": round(xb.shape[0] / dt, 1), "wall_s": round(dt, 4),
+        "flops": flops, "util_vs_peak": round(flops / dt / PEAK_FLOPS, 4),
+    }
+
+    # -- preproc pipeline: FIR bp -> hilbert envelope -> mean PSD -------- #
+    kernel = jnp.asarray(design_wsinc("hamming", 400, (8.0 / fs, 12.0 / fs), "bp"))
+
+    def pipe_step(batch):
+        def one(tr):
+            y = apply_fir(tr, kernel)
+            env = jnp.abs(hilbert(y))
+            spec = jnp.fft.rfft(env, axis=0)
+            return jnp.mean(jnp.abs(spec) ** 2, axis=1)
+
+        return jax.vmap(one)(batch)
+
+    fn = jax.jit(pipe_step)
+    jax.block_until_ready(fn(x))
+    dt = _time_best(fn, (x,), repeats)
+    flops = _cost_flops(fn, x) or 0.0
+    results["preproc_pipeline_device"] = {
+        "trials_per_s": round(n_trials / dt, 1), "wall_s": round(dt, 4),
+        "flops": flops, "util_vs_peak": round(flops / dt / PEAK_FLOPS, 4),
+    }
+    return results
+
+
 def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
-                     wavelet_trials=512, wavelet_batch=64, n_scales=30):
+                     wavelet_trials=512, wavelet_batch=64, n_scales=30,
+                     full=False):
     """Run the three device-bound workloads; returns {name: metrics}."""
     import jax
 
@@ -215,14 +294,19 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
         "max_rel_err": float(np.asarray(err)),
     }
 
+    if full:
+        _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs)
+
     return results
 
 
-def main():
-    res = run_device_bench()
+def main(full=False):
+    res = run_device_bench(full=full)
     print(json.dumps(res))
     return res
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(full="--full" in sys.argv)
