@@ -36,6 +36,21 @@ class DiscreteData(BaseData):
             stop = (int(smp.max()) + 1) if smp.size else 0
             self.trialdefinition = np.array([[0, stop, 0]])
 
+    def _unique_col(self, dim):
+        """Sorted unique ids present in column `dim`, cached per payload
+        mutation (the reference caches these too, discrete_data.py:374-392
+        — an uncached np.unique would re-read the whole HDF5 payload on
+        every property access)."""
+        token = getattr(self, "_cache_token", None)
+        cache = getattr(self, "_uniq_cache", None)
+        if cache is None:
+            cache = self._uniq_cache = {}
+        key = (dim, token)
+        if key not in cache:
+            cache.clear()  # payload changed: all cached columns are stale
+            cache[key] = np.unique(np.asarray(self.data[:, self.dimord.index(dim)]))
+        return cache[key]
+
     @property
     def samplerate(self):
         return self._samplerate
@@ -161,7 +176,7 @@ class SpikeData(DiscreteData):
         """Sorted unique channel indices occurring in the data"""
         if self.data is None:
             return None
-        return np.unique(np.asarray(self.data[:, self.dimord.index("channel")]))
+        return self._unique_col("channel")
 
     @property
     def channel(self):
@@ -211,7 +226,7 @@ class SpikeData(DiscreteData):
     def unit_idx(self):
         if self.data is None:
             return None
-        return np.unique(np.asarray(self.data[:, self.dimord.index("unit")]))
+        return self._unique_col("unit")
 
     @property
     def unit(self):
@@ -305,4 +320,4 @@ class EventData(DiscreteData):
         """Unique event id codes"""
         if self.data is None:
             return None
-        return np.unique(np.asarray(self.data[:, self.dimord.index("eventid")]))
+        return self._unique_col("eventid")
