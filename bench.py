@@ -122,7 +122,8 @@ def main():
         try:
             result["device"] = device_only_metrics()
         except Exception as exc:  # degraded tunnel / compile-service flake
-            result["device"] = {"error": str(exc).splitlines()[0][:200]}
+            first = (str(exc).splitlines() or [repr(exc)])[0]
+            result["device"] = {"error": first[:200]}
     print(json.dumps(result))
     return result
 

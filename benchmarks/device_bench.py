@@ -169,15 +169,16 @@ def _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
         "flops": flops, "util_vs_peak": round(flops / dt / PEAK_FLOPS, 4),
     }
 
-    # -- superlet TFR (config #2 sibling) -------------------------------- #
-    foi = np.linspace(10.0, 100.0, 20)
+    # -- superlet TFR (config #2 sibling); small batch — the multi-order
+    # CWT banks hold (b, S, L, C) complex intermediates per order -------- #
+    foi = np.linspace(10.0, 100.0, 15)
     scales = (1.0 / foi) / (2 * np.pi)
-    xb = x[:32]
+    xb = x[:8]
 
     def sl_step(batch):
         return jax.vmap(
             lambda tr: jnp.abs(
-                superlet(tr, np.asarray(scales), order_max=10, dt=1.0 / fs)
+                superlet(tr, np.asarray(scales), order_max=5, dt=1.0 / fs)
             ) ** 2
         )(batch)
 

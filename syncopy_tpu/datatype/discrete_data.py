@@ -47,7 +47,11 @@ class DiscreteData(BaseData):
             cache = self._uniq_cache = {}
         key = (dim, token)
         if key not in cache:
-            cache.clear()  # payload changed: all cached columns are stale
+            # evict only STALE-token entries — other columns cached for the
+            # current payload must survive (alternating channel_idx/unit_idx
+            # access would otherwise defeat the cache entirely)
+            for k in [k for k in cache if k[1] != token]:
+                del cache[k]
             cache[key] = np.unique(np.asarray(self.data[:, self.dimord.index(dim)]))
         return cache[key]
 

@@ -92,12 +92,19 @@ def _require_latency_coverage(data, trial_ids, lat):
     if not trial_ids or lat is None or (isinstance(lat, str) and lat == "all"):
         return
     lat_arr = np.atleast_1d(np.asarray(lat, dtype=float))
+    irr = getattr(data, "irregular_time", None)
     for tid in trial_ids:
         n_samp = int(data.sampleinfo[tid, 1] - data.sampleinfo[tid, 0])
         if n_samp < 1:
             continue
-        t_lo = data._t0[tid] / data.samplerate
-        t_hi = (n_samp - 1 + data._t0[tid]) / data.samplerate
+        if irr is not None:
+            # irregular (uneven toi) axis: bounds come from the EXACT
+            # points, not the nominal bookkeeping samplerate
+            pts = np.asarray(irr, dtype=float)[:n_samp]
+            t_lo, t_hi = float(pts.min()), float(pts.max())
+        else:
+            t_lo = data._t0[tid] / data.samplerate
+            t_hi = (n_samp - 1 + data._t0[tid]) / data.samplerate
         if t_lo <= lat_arr[0] and lat_arr[1] <= t_hi:
             return
     raise SPYValueError(

@@ -37,8 +37,54 @@ def setup_storage(storage_dir_path=None):
     """
     sdir = storage_dir_path or storage_dir()
     os.makedirs(sdir, exist_ok=True)
+    _ensure_session_marker(sdir)
     size, nfiles = get_dir_size(sdir, unit="GB")
     return sdir, size, nfiles
+
+
+def _marker_name(sess, pid):
+    return ".session_{}_{}".format(sess, pid)
+
+
+def _ensure_session_marker(sdir):
+    """Liveness marker for THIS session: cleanup sweeps in other processes
+    must not reap a running session's temp files (the reference only
+    targets sessions that are gone, io/utils.py:63)."""
+    path = os.path.join(sdir, _marker_name(__sessionid__, os.getpid()))
+    if not os.path.exists(path):
+        try:
+            with open(path, "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
+
+
+def live_session_ids(sdir):
+    """Session ids with a marker whose owning process is still alive;
+    stale markers (dead pids) are removed along the way."""
+    live = set()
+    try:
+        entries = os.listdir(sdir)
+    except OSError:
+        return live
+    for entry in entries:
+        if not entry.startswith(".session_"):
+            continue
+        parts = entry.split("_")
+        if len(parts) != 3:
+            continue
+        sess, pid_s = parts[1], parts[2]
+        try:
+            os.kill(int(pid_s), 0)
+            live.add(sess)
+        except (ProcessLookupError, ValueError):
+            try:
+                os.unlink(os.path.join(sdir, entry))
+            except OSError:
+                pass
+        except PermissionError:
+            live.add(sess)  # pid exists, owned by someone else
+    return live
 
 
 def get_dir_size(start_path=".", unit="B"):

@@ -259,6 +259,10 @@ def _spike_to_nwb(sdata, outpath, nwbfile=None, with_trialdefinition=True,
         unit_info = {"location": {}, "group": {}}
 
     waveform = sdata._get_extra_dataset("waveform") if hasattr(sdata, "_get_extra_dataset") else None
+    if waveform is not None:
+        # materialize ONCE — per-unit fancy reads of an HDF5-backed
+        # waveform dataset would re-read the full payload per unit
+        waveform = np.asarray(waveform)
 
     with h5py.File(str(outpath), "w") as f:
         _init_nwbfile(f)
@@ -276,7 +280,7 @@ def _spike_to_nwb(sdata, outpath, nwbfile=None, with_trialdefinition=True,
             locations.append(str(unit_info["location"].get(uid, "unknown")))
             groups.append(str(unit_info["group"].get(uid, "unknown")))
             if waveform is not None:
-                wf_means.append(np.asarray(waveform)[rows].mean(axis=0))
+                wf_means.append(waveform[rows].mean(axis=0))
         st = _vector(units, "spike_times", np.asarray(all_times, dtype=np.float64),
                      "observed spike times (s)")
         sti = units.create_dataset(

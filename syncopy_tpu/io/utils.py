@@ -73,17 +73,24 @@ def cleanup(older_than=24, interactive=False, only_current_session=False):
     get auto-deletion). With ``only_current_session=True`` only files created
     by THIS Python session are considered.
     """
-    from ..datatype.util import __sessionid__, storage_dir
+    from ..datatype.util import __sessionid__, live_session_ids, storage_dir
 
     if not isinstance(older_than, (int, float)):
         raise SPYTypeError(older_than, varname="older_than", expected="number of hours")
     sdir = storage_dir()
     if not os.path.isdir(sdir):
         return []
+    # sessions with a live-process marker must never be reaped in a
+    # dead-session sweep — neither THIS session nor any other process
+    # sharing the storage dir (reference cleanup only targets sessions
+    # that are gone, io/utils.py:63-120)
+    live = live_session_ids(sdir) | {__sessionid__}
     now = time.time()
     removed = []
     for entry in os.listdir(sdir):
         path = os.path.join(sdir, entry)
+        if entry.startswith(".session_"):
+            continue  # liveness markers manage themselves
         try:
             age_h = (now - os.path.getmtime(path)) / 3600.0
         except OSError:
@@ -93,12 +100,7 @@ def cleanup(older_than=24, interactive=False, only_current_session=False):
         if only_current_session:
             if __sessionid__ not in entry:
                 continue
-        elif __sessionid__ in entry:
-            # never reap the LIVE session's files in a dead-session sweep
-            # (reference cleanup only targets sessions that are gone,
-            # io/utils.py:63-120) — a >24h-old object of a long-running
-            # analysis must survive; use only_current_session=True to
-            # target this session explicitly
+        elif any(sess in entry for sess in live):
             continue
         if interactive:
             from ..shared.queries import user_yesno

@@ -116,8 +116,11 @@ def _tf_fetch(data, show_kwargs, max_time=None):
         SPYWarning("Plotting only the first trial; use `trials=` to select")
         trials = 0
     res = getattr(data, "_device_resident", None)
+    scalar_trial = trials is None or (
+        np.isscalar(trials) and np.issubdtype(type(trials), np.number)
+    )
     if (res is not None and res.consumable_by(data) and data.selection is None
-            and not show_kwargs and max_time):
+            and not show_kwargs and max_time and scalar_trial):
         pos = 0 if trials is None else int(trials)
         if 0 <= pos < len(data.trials):
             return res.fetch_trial_view(pos, max_time=max_time)
@@ -129,11 +132,16 @@ def _tf_fetch(data, show_kwargs, max_time=None):
     return arr, 1
 
 
-def _tf_time_axis(data, n_rows, factor):
-    """Plot time axis honoring decimation and irregular (uneven toi) axes."""
+def _tf_time_axis(data, n_rows, factor, latency=None):
+    """Plot time axis honoring decimation and irregular (uneven toi) axes.
+    A `latency` show-kwarg subsets the irregular points BEFORE the prefix
+    slice (the data rows were subset the same way)."""
     irr = getattr(data, "irregular_time", None)
     if irr is not None:
         pts = np.asarray(irr, dtype=float)
+        if latency is not None:
+            lat = np.asarray(latency, dtype=float)
+            pts = pts[(pts >= lat[0]) & (pts <= lat[1])]
         if factor > 1:
             t_out = len(pts) // factor
             pts = pts[: t_out * factor].reshape(t_out, factor).mean(axis=1)
@@ -147,7 +155,8 @@ def plot_spectral_single(data, logscale=True, ax=None, **show_kwargs):
         arr, factor = _tf_fetch(data, kwargs)
         arr = arr.mean(axis=1) if arr.ndim == 4 else arr  # average tapers
         fig, ax = _reuse_or_new(ax, _plt.mk_img_figax)
-        time = _tf_time_axis(data, arr.shape[0], factor)
+        time = _tf_time_axis(data, arr.shape[0], factor,
+                             latency=show_kwargs.get("latency"))
         spec = arr.reshape(arr.shape[0], len(data.freq), -1)[:, :, 0]
         _plt.plot_tfreq(ax, spec.T, time, data.freq)
         labels = _channel_labels(data, show_kwargs.get("channel"))
@@ -179,7 +188,8 @@ def plot_spectral_multi(data, logscale=True, **show_kwargs):
         n_chan = arr.shape[-1]
         nrows, ncols = _calc_layout(n_chan)
         fig, axs = _plt.mk_multi_img_figax(nrows, ncols)
-        time = _tf_time_axis(data, arr.shape[0], factor)
+        time = _tf_time_axis(data, arr.shape[0], factor,
+                             latency=show_kwargs.get("latency"))
         vmax = float(np.abs(arr).max())
         for k, ax in enumerate(axs.flatten()):
             if k < n_chan:

@@ -446,3 +446,29 @@ class TestEventDataSemantics:
         spy.definetrial(ad, trialdefinition=ev, start=1, stop=2)
         assert len(ad.trials) == 2
         assert np.array_equal(ad.sampleinfo, [[100, 300], [500, 700]])
+
+
+class TestUniqueColumnCache:
+    def test_alternating_access_stays_cached(self, monkeypatch):
+        arr = _spikes(seed=8)
+        sd = spy.SpikeData(data=arr, samplerate=1000.0)
+        calls = []
+        orig = np.unique
+
+        def counting(x, *a, **kw):
+            calls.append(1)
+            return orig(x, *a, **kw)
+
+        monkeypatch.setattr(np, "unique", counting)
+        sd.channel_idx, sd.unit_idx, sd.channel_idx, sd.unit_idx  # noqa: B018
+        assert len(calls) == 2  # one np.unique per column, ever
+
+    def test_cache_invalidated_on_payload_change(self):
+        arr = _spikes(seed=9)
+        sd = spy.SpikeData(data=arr, samplerate=1000.0)
+        before = sd.unit_idx.copy()
+        arr2 = arr.copy()
+        arr2[:, 2] = 7
+        sd.data = arr2
+        assert np.array_equal(sd.unit_idx, [7])
+        assert not np.array_equal(sd.unit_idx, before)

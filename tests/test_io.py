@@ -686,3 +686,24 @@ class TestStorageHygiene:
         # without checksum verification the (corrupted) load succeeds
         loaded = spy.load(str(tmp_path / "chk.spy"))
         assert float(np.asarray(loaded.data)[0, 0]) == 123.0
+
+    def test_cleanup_spares_other_live_sessions(self):
+        """Files of ANY session with a live-process marker survive the
+        dead-session sweep (multi-process storage sharing)."""
+        from syncopy_tpu.datatype.util import _marker_name, storage_dir
+
+        sdir = storage_dir()
+        other_sess = "fakelive1"
+        marker = os.path.join(sdir, _marker_name(other_sess, os.getpid()))
+        with open(marker, "w") as f:
+            f.write(str(os.getpid()))
+        path = self._plant("spy_{}_x.analog".format(other_sess), age_hours=48)
+        dead = self._plant("spy_deadfake_x.analog", age_hours=48)
+        try:
+            removed = spy.cleanup(older_than=24)
+            assert path not in removed and os.path.exists(path)
+            assert dead in removed
+        finally:
+            for p in (path, marker):
+                if os.path.exists(p):
+                    os.unlink(p)

@@ -371,3 +371,12 @@ class TestPlotResolutionView:
         import matplotlib.pyplot as plt
 
         plt.close(fig)
+
+    def test_plot_with_list_trials_does_not_crash(self):
+        pytest.importorskip("matplotlib")
+        tf = self._tfr()
+        fig, ax = spy.singlepanelplot(tf, trials=[1])  # list: host fallback
+        assert ax.get_images()
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)

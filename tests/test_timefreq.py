@@ -507,3 +507,18 @@ class TestUnevenToi:
                               toi=np.array([0.5]), taper="hann")
         assert tf.data.shape[0] == 1
         assert tf.irregular_time is None
+
+
+class TestIrregularLatencyCoverage:
+    def test_window_beyond_nominal_rate_accepted(self):
+        """Latency windows must be validated against the EXACT irregular
+        points, not the nominal 1 Hz bookkeeping rate."""
+        d = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=1,
+                                   nSamples=12000, nChannels=1)
+        toi = np.array([0.5, 0.6, 5.0, 20.0])
+        tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
+                              toi=toi, taper="hann")
+        # nominal 1 Hz axis spans [0.5, 3.5]; the real points reach 20 s
+        sub = tf.selectdata(latency=[4.0, 20.0])
+        assert np.array_equal(sub.irregular_time, [5.0, 20.0])
+        assert sub.data.shape[0] == 2
