@@ -73,22 +73,20 @@ def numpy_baseline_rate(n_probe=20):
     return n_probe / (t1 - t0)
 
 
-def device_only_metrics():
+def device_only_metrics(full=False):
     """Device-bound kernel throughput + utilization: inputs generated on
     device, outputs resident — isolates chip speed from tunnel weather
     (see benchmarks/device_bench.py)."""
     from benchmarks.device_bench import run_device_bench
 
-    return run_device_bench()
+    return run_device_bench(full=full)
 
 
 def main():
     import syncopy_tpu as spy
 
     if "--device-only" in sys.argv:
-        from benchmarks.device_bench import run_device_bench
-
-        print(json.dumps(run_device_bench(full="--full" in sys.argv)))
+        print(json.dumps(device_only_metrics(full="--full" in sys.argv)))
         return
 
     ad = make_data(NTRIALS)

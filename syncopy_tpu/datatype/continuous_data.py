@@ -168,6 +168,13 @@ class AnalogData(ContinuousData):
         )
 
     def save_nwb(self, outpath, nwbfile=None, with_trialdefinition=True, is_raw=True):
+        """Write this object as an NWB 2.x file at `outpath`.
+
+        ``is_raw=False`` places the series in an LFP processing module
+        (derived data). `nwbfile` exists for reference signature parity
+        only: the dependency-free writer always produces a fresh file and
+        raises on a non-None value (pass each object its own `outpath`
+        instead of appending to a pynwb ``NWBFile``)."""
         from ..io.nwb import _analog_to_nwb
 
         return _analog_to_nwb(self, outpath, nwbfile=nwbfile,

@@ -148,7 +148,7 @@ def _region(series, table, indices, description="all electrodes"):
 
 
 def _electrical_series(parent, name, data, rate, table, description,
-                       comments="Exported by syncopy_tpu"):
+                       n_channels, comments="Exported by syncopy_tpu"):
     series = parent.create_group(name)
     series.attrs["description"] = description
     series.attrs["comments"] = comments
@@ -160,7 +160,9 @@ def _electrical_series(parent, name, data, rate, table, description,
     st = series.create_dataset("starting_time", data=0.0)
     st.attrs["rate"] = float(rate)
     st.attrs["unit"] = "seconds"
-    _region(series, table, list(range(np.asarray(data).shape[1])))
+    # region size = electrode-table rows (NOT a data axis: non-default
+    # dimords put time on axis 1)
+    _region(series, table, list(range(n_channels)))
     return series
 
 
@@ -226,6 +228,7 @@ def _analog_to_nwb(adata, outpath, nwbfile=None, with_trialdefinition=True,
         _electrical_series(
             parent, elec_series_name, np.asarray(adata.data),
             adata.samplerate or 1.0, table, "Electrical time series dataset",
+            n_channels=len(labels),
         )
         if with_trialdefinition:
             _add_intervals(f, adata.trialdefinition, adata.samplerate or 1.0)
@@ -256,7 +259,15 @@ def _spike_to_nwb(sdata, outpath, nwbfile=None, with_trialdefinition=True,
     scol = sdata.dimord.index("sample")
     unit_ids = np.unique(data[:, ucol])
     if unit_info is None:
-        unit_info = {"location": {}, "group": {}}
+        unit_info = {}
+    elif not isinstance(unit_info, dict):
+        raise SPYValueError(
+            legal="dict with optional 'location'/'group' sub-dicts",
+            varname="unit_info", actual=str(type(unit_info)),
+        )
+    # partial dicts are fine: missing keys default to 'unknown' per unit
+    locations_map = unit_info.get("location", {})
+    groups_map = unit_info.get("group", {})
 
     waveform = sdata._get_extra_dataset("waveform") if hasattr(sdata, "_get_extra_dataset") else None
     if waveform is not None:
@@ -277,8 +288,8 @@ def _spike_to_nwb(sdata, outpath, nwbfile=None, with_trialdefinition=True,
             times = np.sort(data[rows, scol]).astype(np.float64) / sr
             all_times.extend(times.tolist())
             index.append(len(all_times))
-            locations.append(str(unit_info["location"].get(uid, "unknown")))
-            groups.append(str(unit_info["group"].get(uid, "unknown")))
+            locations.append(str(locations_map.get(uid, "unknown")))
+            groups.append(str(groups_map.get(uid, "unknown")))
             if waveform is not None:
                 wf_means.append(waveform[rows].mean(axis=0))
         st = _vector(units, "spike_times", np.asarray(all_times, dtype=np.float64),

@@ -139,7 +139,13 @@ def _tf_time_axis(data, n_rows, factor, latency=None):
     irr = getattr(data, "irregular_time", None)
     if irr is not None:
         pts = np.asarray(irr, dtype=float)
-        if latency is not None:
+        if isinstance(latency, str) and latency != "all":
+            # shorthand ('maxperiod'/'minperiod'/'prestim'/'poststim'):
+            # resolve to the numeric window the selector used
+            from ..shared.latency import get_analysis_window
+
+            latency = get_analysis_window(data, latency)
+        if latency is not None and not isinstance(latency, str):
             lat = np.asarray(latency, dtype=float)
             pts = pts[(pts >= lat[0]) & (pts <= lat[1])]
         if factor > 1:

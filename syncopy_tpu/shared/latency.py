@@ -19,8 +19,17 @@ def _trial_intervals(data):
         trl = data.selection.trialdefinition
     else:
         trl = data.trialdefinition
-    fs = data.samplerate
     lens = trl[:, 1] - trl[:, 0]
+    irr = getattr(data, "irregular_time", None)
+    if irr is not None:
+        # irregular (uneven toi) axis: the bookkeeping samplerate
+        # misrepresents the time range — use the EXACT points (all trials
+        # share them; such outputs are time-locked by construction)
+        pts = np.asarray(irr, dtype=float)
+        starts = np.full(trl.shape[0], pts.min())
+        ends = np.array([pts[: int(n)].max() for n in lens], dtype=float)
+        return starts, ends
+    fs = data.samplerate
     starts = trl[:, 2] / fs
     ends = (lens - 1 + trl[:, 2]) / fs
     return starts, ends

@@ -707,3 +707,40 @@ class TestStorageHygiene:
             for p in (path, marker):
                 if os.path.exists(p):
                     os.unlink(p)
+
+
+class TestNWBExportEdgeCases:
+    def test_swapped_dimord_region_sized_by_channels(self, tmp_path):
+        """Electrode region length equals the electrode count even for
+        dimord=['channel','time'] payloads."""
+        import h5py
+
+        arr = np.random.default_rng(0).normal(size=(3, 100)).astype("f4")
+        ad = spy.AnalogData(data=arr, samplerate=100.0,
+                            dimord=["channel", "time"])
+        fname = str(tmp_path / "swapped.nwb")
+        ad.save_nwb(fname)
+        with h5py.File(fname, "r") as f:
+            region = f["acquisition/ElectricalSeries/electrodes"]
+            tbl = f["general/extracellular_ephys/electrodes"]
+            assert region.shape[0] == tbl["id"].shape[0] == 3
+
+    def test_partial_unit_info(self, tmp_path):
+        rng = np.random.default_rng(1)
+        arr = np.column_stack([
+            np.sort(rng.integers(0, 100, 20)),
+            np.zeros(20, int), rng.integers(0, 2, 20),
+        ]).astype(np.int64)
+        sd = spy.SpikeData(data=arr, samplerate=1000.0)
+        fname = str(tmp_path / "partial.nwb")
+        sd.save_nwb(fname, unit_info={"location": {0: "CA1"}})  # no 'group'
+        import h5py
+
+        with h5py.File(fname, "r") as f:
+            assert f["units"]["location"][0].decode() == "CA1"
+            assert f["units"]["group"][0].decode() == "unknown"
+
+    def test_nwbfile_object_rejected_with_typed_error(self, tmp_path):
+        ad = spy.AnalogData(data=np.ones((10, 2), "f4"), samplerate=10.0)
+        with pytest.raises(spy.SPYValueError, match="fresh file"):
+            ad.save_nwb(str(tmp_path / "x.nwb"), nwbfile=object())

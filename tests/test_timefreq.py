@@ -522,3 +522,28 @@ class TestIrregularLatencyCoverage:
         sub = tf.selectdata(latency=[4.0, 20.0])
         assert np.array_equal(sub.irregular_time, [5.0, 20.0])
         assert sub.data.shape[0] == 2
+
+    def test_shorthand_latency_on_irregular_axis(self):
+        """'maxperiod'/'poststim' shorthands resolve from the EXACT
+        irregular points, not the nominal 1 Hz rate."""
+        d = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=1,
+                                   nSamples=12000, nChannels=1)
+        toi = np.array([0.5, 0.6, 5.0, 20.0])
+        tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
+                              toi=toi, taper="hann")
+        full = tf.selectdata(latency="maxperiod")
+        assert full.data.shape[0] == toi.size  # nothing silently dropped
+        assert np.array_equal(full.irregular_time, toi)
+
+    def test_plot_with_string_latency_on_irregular_axis(self):
+        pytest.importorskip("matplotlib")
+        d = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=1,
+                                   nSamples=12000, nChannels=1)
+        toi = np.array([0.5, 0.6, 5.0, 20.0])
+        tf = spy.freqanalysis(d, method="mtmconvol", t_ftimwin=0.2,
+                              toi=toi, taper="hann")
+        fig, ax = spy.singlepanelplot(tf, latency="all")
+        assert ax.get_images()
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
