@@ -115,18 +115,15 @@ class ContinuousData(BaseData):
     @property
     def time(self):
         """Per-trial time axes in seconds"""
-        if self.sampleinfo is not None:
-            irr = self.irregular_time
-            if irr is not None:
-                return TimeIndexer(
-                    self.trialdefinition, self.samplerate,
-                    list(range(self.sampleinfo.shape[0])), points=irr,
-                )
-        if self.samplerate is not None and self.sampleinfo is not None:
-            return TimeIndexer(
-                self.trialdefinition, self.samplerate, list(range(self.sampleinfo.shape[0]))
-            )
-        return None
+        if self.sampleinfo is None:
+            return None
+        irr = self.irregular_time
+        if irr is None and self.samplerate is None:
+            return None
+        return TimeIndexer(
+            self.trialdefinition, self.samplerate,
+            list(range(self.sampleinfo.shape[0])), points=irr,
+        )
 
     @property
     def is_time_locked(self):

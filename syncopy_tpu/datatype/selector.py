@@ -85,6 +85,16 @@ def _label_or_index_selection(values, labels, varname):
     return out
 
 
+def _trial_tvec(data, tid, n_samp):
+    """Time values (s) of trial `tid`'s first `n_samp` rows: the EXACT
+    irregular points when present (uneven-toi outputs), else the uniform
+    reconstruction from offset + samplerate."""
+    irr = getattr(data, "irregular_time", None)
+    if irr is not None:
+        return np.asarray(irr, dtype=float)[:n_samp]
+    return (np.arange(n_samp) + data._t0[tid]) / data.samplerate
+
+
 def _require_latency_coverage(data, trial_ids, lat):
     """The latency window must be fully CONTAINED in at least one selected
     trial's time range — partial overlap everywhere is an error (reference
@@ -92,20 +102,12 @@ def _require_latency_coverage(data, trial_ids, lat):
     if not trial_ids or lat is None or (isinstance(lat, str) and lat == "all"):
         return
     lat_arr = np.atleast_1d(np.asarray(lat, dtype=float))
-    irr = getattr(data, "irregular_time", None)
     for tid in trial_ids:
         n_samp = int(data.sampleinfo[tid, 1] - data.sampleinfo[tid, 0])
         if n_samp < 1:
             continue
-        if irr is not None:
-            # irregular (uneven toi) axis: bounds come from the EXACT
-            # points, not the nominal bookkeeping samplerate
-            pts = np.asarray(irr, dtype=float)[:n_samp]
-            t_lo, t_hi = float(pts.min()), float(pts.max())
-        else:
-            t_lo = data._t0[tid] / data.samplerate
-            t_hi = (n_samp - 1 + data._t0[tid]) / data.samplerate
-        if t_lo <= lat_arr[0] and lat_arr[1] <= t_hi:
+        tvec = _trial_tvec(data, tid, n_samp)
+        if tvec.min() <= lat_arr[0] and lat_arr[1] <= tvec.max():
             return
     raise SPYValueError(
         legal="at least one trial covering the latency window",
@@ -256,12 +258,7 @@ class Selector:
                 raise SPYValueError(
                     legal="'all' or [begin, end] in seconds", varname="latency", actual=str(lat)
                 )
-            irr = getattr(data, "irregular_time", None)
-            if irr is not None:
-                # explicit (possibly unevenly spaced) time points
-                tvec = np.asarray(irr, dtype=float)[:n_samp]
-            else:
-                tvec = (np.arange(n_samp) + data._t0[tid]) / data.samplerate
+            tvec = _trial_tvec(data, tid, n_samp)
             idx = np.where((tvec >= lat_arr[0]) & (tvec <= lat_arr[1]))[0]
             self.time.append(_as_slice_if_possible(idx, n_samp))
         _require_latency_coverage(data, self.trial_ids, lat)
