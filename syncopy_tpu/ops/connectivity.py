@@ -481,6 +481,29 @@ def _plus_operator(g):
     return gp, g0
 
 
+def _plus_operator_onesided(g, M):
+    """[]+ on the ONE-SIDED frequency half of a conjugate-symmetric
+    spectrum: every quantity in Wilson's iteration satisfies
+    ``X(-f) = conj(X(f))`` entrywise (the two-sided implementation already
+    exploits this via ``real(ifft(.))``), so the lag sequence is real and
+    the transforms collapse to irfft/rfft over ``M = 2F - 2`` points —
+    half the FFT and downstream matrix work per iteration.
+
+    Parameters
+    ----------
+    g : (F, N, N) complex — non-negative-frequency half
+    M : int — full two-sided length (2F - 2)
+    """
+    rdtype = jnp.float64 if g.dtype == jnp.complex128 else jnp.float32
+    beta = jnp.fft.irfft(g, n=M, axis=0).astype(rdtype)
+    beta = beta.at[0].multiply(0.5)
+    g0 = beta[0].astype(g.dtype)
+    beta = beta.at[M // 2].multiply(0.5)
+    beta = beta.at[M // 2 + 1 :].set(0.0)
+    gp = jnp.fft.rfft(beta, axis=0).astype(g.dtype)
+    return gp, g0
+
+
 def wilson_sf(CSD, nIter=100, rtol=1e-6):
     """
     Wilson's analytic spectral matrix factorization
@@ -520,22 +543,25 @@ def _wilson_sf_impl(CSD, nIter, rtol):
     scale = jnp.mean(jnp.abs(jnp.diagonal(CSD, axis1=1, axis2=2))).astype(rdtype)
     CSD = CSD / scale
 
-    # attach negative frequencies
+    # attach negative frequencies (init + refine work on the full circle;
+    # the ITERATION below runs on the one-sided half — every quantity is
+    # conjugate-symmetric over frequency, see _plus_operator_onesided)
     CSDfull = jnp.concatenate([CSD, jnp.conj(CSD[nFreq - 2 : 0 : -1])], axis=0)
+    M = CSDfull.shape[0]
 
     # bins with negligible power (e.g. the demeaned DC bin is pure float
     # noise) cannot be factorized to relative tolerance and are excluded
     # from the convergence metric
-    diag_power = jnp.mean(jnp.abs(jnp.diagonal(CSDfull, axis1=1, axis2=2)), axis=1)
+    diag_power = jnp.mean(jnp.abs(jnp.diagonal(CSD, axis1=1, axis2=2)), axis=1)
     valid_bin = (diag_power > 1e-9 * jnp.max(diag_power))[:, None, None]
 
     # initialization: cholesky of the zero-lag covariance (wilson_sf.py:131-148)
     gamma0 = jnp.fft.fft(CSDfull, axis=0)[0]
     gamma0 = jnp.real((gamma0 + jnp.conj(gamma0.T)) / 2).astype(rdtype)
     psi0_init = jnp.linalg.cholesky(gamma0).T.astype(cdtype)
-    psi_init = jnp.tile(psi0_init, (CSDfull.shape[0], 1, 1))
+    psi_init = jnp.tile(psi0_init, (nFreq, 1, 1))
 
-    U = jnp.linalg.cholesky(CSDfull)
+    U = jnp.linalg.cholesky(CSD)
 
     def step(state):
         psi, psi0, err, prev_err, it = state
@@ -545,13 +571,13 @@ def _wilson_sf_impl(CSD, nIter, rtol):
         psi_inv = jnp.linalg.inv(psi)
         g = psi_inv @ U
         g = g @ jnp.conj(jnp.swapaxes(g, 1, 2))
-        gplus, gplus_0 = _plus_operator(g + Ident)
+        gplus, gplus_0 = _plus_operator_onesided(g + Ident, M)
         S = jnp.triu(gplus_0)
         S = S - jnp.conj(S.T)
         psi_new = psi @ (gplus + S)
         psi0_new = psi0 @ (gplus_0 + S)
         CSDfac = psi_new @ jnp.conj(jnp.swapaxes(psi_new, 1, 2))
-        rel = jnp.abs(CSDfull - CSDfac) / jnp.abs(CSDfull)
+        rel = jnp.abs(CSD - CSDfac) / jnp.abs(CSD)
         new_err = jnp.max(jnp.where(valid_bin, rel, 0.0))
         return psi_new, psi0_new, new_err.astype(rdtype), err, it + 1
 
@@ -577,13 +603,19 @@ def _wilson_sf_impl(CSD, nIter, rtol):
     psi, psi0, err, _, _ = jax.lax.while_loop(cond, step, init)
 
     if refine:
-        ph, pl, p0h, p0l, err = _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol)
-        psi = ph + pl  # rounds to the best float32 representation
+        # the compensated-residual Newton refinement runs on the full
+        # circle (its exact-Gram residual machinery is two-sided)
+        psi_full = jnp.concatenate([psi, jnp.conj(psi[nFreq - 2 : 0 : -1])], axis=0)
+        valid_full = jnp.concatenate(
+            [valid_bin, valid_bin[nFreq - 2 : 0 : -1]], axis=0
+        )
+        ph, pl, p0h, p0l, err = _wilson_refine(CSDfull, psi_full, psi0, valid_full, rtol)
+        psi = (ph + pl)[:nFreq]  # rounds to the best float32 representation
         psi0 = p0h + p0l
 
     Sigma = (psi0 @ psi0.T) * scale
     Hfunc = psi @ jnp.linalg.inv(psi0)
-    return Hfunc[:nFreq], Sigma, err < rtol, err
+    return Hfunc, Sigma, err < rtol, err
 
 
 def regularize_csd(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
