@@ -714,3 +714,61 @@ class TestConnectivityEstimatorProperties:
         rev = arr[band, 0, 1].mean()
         assert fwd > 10 * rev
         assert g.info["converged"]
+
+
+class TestPlusOperatorOnesided:
+    """The one-sided []+ operator (half-spectrum Wilson fast path) is
+    exactly the two-sided operator restricted to non-negative bins."""
+
+    @pytest.mark.parametrize("F,N", [(9, 3), (64, 4), (251, 2)])
+    def test_matches_two_sided(self, F, N):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import (
+            _plus_operator,
+            _plus_operator_onesided,
+        )
+
+        rng = np.random.default_rng(F)
+        half = (rng.normal(size=(F, N, N))
+                + 1j * rng.normal(size=(F, N, N))).astype(np.complex64)
+        # enforce the conjugate frequency symmetry the iteration guarantees:
+        # bins 0 and F-1 (Nyquist) must be real entrywise
+        half[0] = half[0].real
+        half[-1] = half[-1].real
+        full = np.concatenate([half, np.conj(half[F - 2:0:-1])], axis=0)
+
+        gp_full, g0_full = _plus_operator(jnp.asarray(full))
+        gp_half, g0_half = _plus_operator_onesided(
+            jnp.asarray(half), full.shape[0]
+        )
+        assert np.allclose(np.asarray(gp_half), np.asarray(gp_full)[:F],
+                           atol=1e-5)
+        assert np.allclose(np.asarray(g0_half), np.asarray(g0_full),
+                           atol=1e-5)
+
+    def test_wilson_half_on_valid_spectrum(self):
+        """End check on a VALID (smooth AR-process) spectrum: the
+        half-spectrum iteration converges and reconstructs the CSD.
+        (A random independent-bins matrix is NOT Wilson-factorizable —
+        the host float64 oracle fails on it identically.)"""
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import cross_spectra_trial, wilson_sf
+
+        ad = spy.synthdata.ar2_network(nTrials=60, nSamples=400, seed=5)
+        acc = None
+        for k in range(len(ad.trials)):
+            cs = np.asarray(cross_spectra_trial(
+                jnp.asarray(np.asarray(ad.trials[k], dtype=np.float64)),
+                1000.0, 400, taper="hann",
+            ))[0]
+            acc = cs.astype(np.complex128) if acc is None else acc + cs
+        CSD = acc / 60
+        H, Sigma, conv, err = wilson_sf(jnp.asarray(CSD.astype(np.complex64)),
+                                        nIter=100, rtol=5e-6)
+        assert bool(conv), float(err)
+        S_rec = np.asarray(H) @ np.asarray(Sigma) @ np.conj(
+            np.swapaxes(np.asarray(H), 1, 2))
+        rel = np.abs(S_rec - CSD).max() / np.abs(CSD).max()
+        assert rel < 1e-4
