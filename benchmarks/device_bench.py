@@ -49,18 +49,60 @@ def _cost_flops(jitted, *args):
         return None
 
 
+def _drain(res):
+    """Force completion of every execution queued before `res`.
+
+    On the tunneled axon runtime `jax.block_until_ready` can return
+    before the program has actually executed (observed: a 75-GFLOP
+    superlet batch "completing" in 0.1 ms even on fresh inputs). A
+    one-element readback of the result is a hard sync: the single device
+    stream serializes executions, so fetching any scalar of the LAST
+    result drains the whole queue."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(res)[0]
+    return np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+
+
 def _time_best(fn, args, repeats=3):
-    """Best-of-N steady-state wall-clock (first call outside: compiled)."""
+    """Best-of-N steady-state wall-clock (first call outside: compiled).
+
+    Each repeat enqueues `inner` back-to-back executions and ends with a
+    scalar-readback drain (the single device stream serializes them); the
+    drain's own cost — dispatch latency + 4-byte fetch, measured on an
+    already-computed result — is subtracted and the remainder divided by
+    `inner`, so the reported wall is the kernel alone with the tunnel's
+    round-trip jitter amortized. `inner` is picked from a probe so short
+    kernels batch up, bounded so queued result buffers stay under ~2 GB."""
     import jax
 
     times = []
+    res = fn(*args)
+    _drain(res)
+    drain_costs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _drain(res)
+        drain_costs.append(time.perf_counter() - t0)
+    drain_cost = min(drain_costs)
+
+    t0 = time.perf_counter()
+    probe = fn(*args)
+    _drain(probe)
+    t_one = max(time.perf_counter() - t0 - drain_cost, 1e-4)
+    out_bytes = sum(getattr(l, "nbytes", 0) for l in jax.tree_util.tree_leaves(res))
+    inner = max(1, min(8, round(0.25 / t_one), int(2e9 // max(out_bytes, 1))))
+    del res, probe
+
     for _ in range(repeats):
         t0 = time.perf_counter()
-        res = fn(*args)
-        jax.block_until_ready(res)
-        times.append(time.perf_counter() - t0)
-        del res
-    return min(times)
+        last = None
+        for _ in range(inner):
+            last = fn(*args)
+        _drain(last)
+        times.append((time.perf_counter() - t0 - drain_cost) / inner)
+        del last
+    return max(min(times), 1e-9)
 
 
 def _coherence_program(n_trials, n_samples, n_chan, samplerate=1000.0, tapsmofrq=2):
@@ -169,11 +211,11 @@ def _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
         "flops": flops, "util_vs_peak": round(flops / dt / PEAK_FLOPS, 4),
     }
 
-    # -- superlet TFR (config #2 sibling); small batch — the multi-order
-    # CWT banks hold (b, S, L, C) complex intermediates per order -------- #
+    # -- superlet TFR (config #2 sibling); the scale-scanned kernel keeps
+    # one (b, nOrders, L, C) block live, so the batch can be wide -------- #
     foi = np.linspace(10.0, 100.0, 15)
     scales = (1.0 / foi) / (2 * np.pi)
-    xb = x[:8]
+    xb = x[:64]
 
     def sl_step(batch):
         return jax.vmap(

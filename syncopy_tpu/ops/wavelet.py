@@ -13,8 +13,11 @@
 # FFT'd into a (nScales, L) spectrum constant, and the jitted device path is
 # a single batched FFT -> broadcast multiply -> batched IFFT -> slice. The
 # superlet geometric mean across orders becomes a weighted complex-log
-# accumulation over the order axis (lax scan-free, orders unrolled: the
-# number of orders is a small static constant).
+# accumulation over the order axis, evaluated as a lax.map over scales so
+# only one (nOrders, L, nChannels) block is ever live per trial — the
+# naive all-orders bank materializes (nOrders, nScales, L, nChannels)
+# complex intermediates, which caps the engine's trial batch at single
+# digits on a 16 GB chip.
 
 import functools
 import math
@@ -218,18 +221,44 @@ def _wavelet_kernel_fft(wavelet_key, scales_key, dt, nSamples, superlet_cycles):
 
     bank = np.zeros((len(scales), L), dtype=np.complex64)
     for i, (s, M) in enumerate(zip(scales, supports)):
-        t = np.arange((-M + 1) / 2.0, (M + 1) / 2.0) * dt
-        if superlet_cycles is not None:
-            kern = norm * wav.time(t, s)
-        else:
-            kern = (dt**0.5 / (s * 8 * np.pi)) * wav.time(t, s)
-        K = t.size
-        buf = np.zeros(L, dtype=np.complex64)
-        buf[:K] = kern.astype(np.complex64)
-        # roll the 'same'-mode center to index 0 so all scales share the
-        # output slice [0, nSamples)
-        bank[i] = np.roll(buf, -((K - 1) // 2))
+        bank[i] = _embedded_kernel(wav, s, M, dt, norm, L)
     return np.fft.fft(bank, axis=1).astype(np.complex64), L
+
+
+def _embedded_kernel(wav, s, M, dt, norm, L):
+    """Sample one scale's wavelet on its 'same'-convolution support and
+    embed it into an L-point buffer with the center rolled to index 0."""
+    t = np.arange((-M + 1) / 2.0, (M + 1) / 2.0) * dt
+    if norm is not None:
+        kern = norm * wav.time(t, s)
+    else:
+        kern = (dt**0.5 / (s * 8 * np.pi)) * wav.time(t, s)
+    K = t.size
+    buf = np.zeros(L, dtype=np.complex64)
+    buf[:K] = kern.astype(np.complex64)
+    return np.roll(buf, -((K - 1) // 2))
+
+
+@functools.lru_cache(maxsize=32)
+def _superlet_bank_fft(scales_key, dt, nSamples, cycles_key):
+    """
+    Combined multi-order MorletSL bank at ONE common FFT length: the
+    per-order banks of :func:`_wavelet_kernel_fft` zero-padded to the
+    longest order's L (linear convolution is invariant to extra padding,
+    so every order's transform is unchanged). Returns
+    ``(bank_fft (nOrders, nScales, L) complex64 np, L)``.
+    """
+    scales = np.asarray(scales_key)
+    norm = dt**0.5 / (4 * np.pi)
+    max_support = 10 * scales.max() * max(cycles_key) / dt
+    L = _next_fast_len(nSamples + int(np.ceil(max_support)) + 1)
+    bank = np.zeros((len(cycles_key), len(scales), L), dtype=np.complex64)
+    for o, cycles in enumerate(cycles_key):
+        wav = MorletSL(cycles)
+        supports = 10 * scales * wav.c_i / dt
+        for i, (s, M) in enumerate(zip(scales, supports)):
+            bank[o, i] = _embedded_kernel(wav, s, M, dt, norm, L)
+    return np.fft.fft(bank, axis=2).astype(np.complex64), L
 
 
 def cwt(data, wavelet, scales, dt):
@@ -552,18 +581,27 @@ def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False, dt=1.0
     w, cycle_orders = superlet_weights(scales, order_max, order_min, adaptive)
     nSamples = data.shape[0]
     scales_t = tuple(np.asarray(scales).tolist())
+    cycles_t = tuple(int(c_1) * int(o) for o in cycle_orders)
+    bank, L = _superlet_bank_fft(scales_t, float(dt), int(nSamples), cycles_t)
 
-    acc = None
-    for j, order in enumerate(cycle_orders):
-        cycles = c_1 * order
-        kfft, L = _wavelet_kernel_fft(None, scales_t, float(dt), int(nSamples), cycles)
-        spec = _apply_bank(data, kfft, L, nSamples)  # (S, T, C)
-        wj = jnp.asarray(w[j], dtype=jnp.float32)[:, None, None]
-        # complex log-power accumulation; w=0 contributes exactly 0
-        logspec = jnp.where(wj > 0, jnp.log(spec), 0.0 + 0.0j)
-        term = wj.astype(jnp.complex64) * logspec
-        acc = term if acc is None else acc + term
-    return jnp.exp(acc).astype(jnp.complex64)
+    X = jnp.fft.fft(data.astype(jnp.float32), n=L, axis=0)  # (L, C)
+    K = jnp.swapaxes(jnp.asarray(bank), 0, 1)  # (S, O, L)
+    W = jnp.asarray(w.T, dtype=jnp.float32)  # (S, O)
+
+    def one_scale(args):
+        k_s, w_s = args  # (O, L), (O,)
+        y = jnp.fft.ifft(k_s[:, :, None] * X[None, :, :], axis=1)
+        spec = y[:, :nSamples, :]  # (O, T, C)
+        wl = w_s[:, None, None]
+        # complex log-power accumulation over orders; w=0 contributes 0
+        logspec = jnp.where(wl > 0, jnp.log(spec), 0.0 + 0.0j)
+        gmean = jnp.exp(jnp.sum(wl.astype(jnp.complex64) * logspec, axis=0))
+        return gmean.astype(jnp.complex64)  # (T, C)
+
+    # lax.map over scales: one (O, L, C) block live at a time instead of
+    # the full (O, S, L, C) bank — under the engine's trial vmap this is
+    # what lets the chunk size reach hundreds of trials
+    return jax.lax.map(one_scale, (K, W))
 
 
 # Reference exports both names for the same class (wavelets/transform.py:11,614).

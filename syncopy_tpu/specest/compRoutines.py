@@ -369,8 +369,9 @@ class SuperletTransform(_TimeFreqRoutine):
         )
 
     def device_bytes_per_trial(self, shp, out_shp, out_dt):
-        """Superlet workspace: per-order CWT banks with cycle-scaled
-        supports (the largest order dominates)."""
+        """Superlet workspace: the kernel scans scales (lax.map), so only
+        one (nOrders, L, nChannels) complex block is live per trial —
+        plus the data spectrum and the (nScales, T, C) result."""
         from ..ops.wavelet import _next_fast_len
 
         T, C = shp[0], shp[1]
@@ -379,7 +380,8 @@ class SuperletTransform(_TimeFreqRoutine):
         max_cycles = self.cfg["c_1"] * self.cfg["order_max"]
         max_support = int(np.ceil(10 * scales.max() * max_cycles / dt)) + 1
         L = _next_fast_len(T + max_support)
-        return len(scales) * L * C * 8 * 4
+        n_orders = self.cfg["order_max"] - self.cfg["order_min"] + 1
+        return (n_orders * L * C * 3 + L * C + len(scales) * T * C) * 8
 
     def process_single_trial(self, trial, *aux, **cfg):
         x = detrend(trial.astype(jnp.float32), cfg["polyremoval"], axis=0)

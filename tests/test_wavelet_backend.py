@@ -83,6 +83,34 @@ class TestSuperletBackend:
         # off-peak response is sharply lower
         assert got[0, 500, 0] < A / 2
 
+    @pytest.mark.parametrize("adaptive", [False, True])
+    def test_scanned_kernel_matches_per_order_formulation(self, adaptive):
+        """The scale-scanned common-L superlet must equal the definition:
+        per-order CWT banks (each at its own FFT length) combined as a
+        weighted complex-log geometric mean."""
+        from syncopy_tpu.ops.wavelet import _apply_bank, _wavelet_kernel_fft
+
+        rng = np.random.default_rng(3)
+        data = rng.normal(size=(400, 3)).astype("f4")
+        dt = 1 / 400.0
+        scales = np.sort(MorletSL.scale_from_period(1 / np.linspace(15, 90, 7)))[::-1]
+        order_max, order_min, c_1 = 4, 1, 3
+
+        w, cycle_orders = superlet_weights(scales, order_max, order_min, adaptive)
+        scales_t = tuple(scales.tolist())
+        acc = np.zeros((len(scales), 400, 3), dtype=np.complex128)
+        for j, order in enumerate(cycle_orders):
+            kfft, L = _wavelet_kernel_fft(None, scales_t, dt, 400, c_1 * order)
+            spec = np.asarray(_apply_bank(data, kfft, L, 400))
+            wj = w[j][:, None, None]
+            acc += np.where(wj > 0, wj * np.log(spec, where=wj > 0, out=np.zeros_like(spec, dtype=np.complex128)), 0.0)
+        ref = np.exp(acc)
+
+        got = np.asarray(
+            superlet(data, scales, order_max, order_min, c_1, adaptive, dt=dt)
+        )
+        assert np.abs(got - ref).max() < 2e-4 * np.abs(ref).max()
+
 
 class TestSynthData:
     def test_ar2_peak_freq(self):
