@@ -64,7 +64,7 @@ def _drain(res):
     return np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
 
-def _time_best(fn, args, repeats=3):
+def _time_best(fn, args, repeats=3, max_inner=8):
     """Best-of-N steady-state wall-clock (first call outside: compiled).
 
     Each repeat enqueues `inner` back-to-back executions and ends with a
@@ -91,7 +91,7 @@ def _time_best(fn, args, repeats=3):
     _drain(probe)
     t_one = max(time.perf_counter() - t0 - drain_cost, 1e-4)
     out_bytes = sum(getattr(l, "nbytes", 0) for l in jax.tree_util.tree_leaves(res))
-    inner = max(1, min(8, round(0.25 / t_one), int(2e9 // max(out_bytes, 1))))
+    inner = max(1, min(max_inner, round(0.25 / t_one), int(2e9 // max(out_bytes, 1))))
     del res, probe
 
     for _ in range(repeats):
@@ -303,7 +303,10 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
             last = wav(xb)
         return last
 
-    dt_best = _time_best(tfr_sweep, (xb,), repeats)
+    # tfr_sweep already enqueues n_batches executions per call (its own
+    # amortization) and each queues a ~0.5 GB result buffer — never let
+    # _time_best multiply that queue (max_inner=1)
+    dt_best = _time_best(tfr_sweep, (xb,), repeats, max_inner=1)
     per_call = _cost_flops(wav, xb)
     if per_call is None:
         L = 2048  # next_fast_len(2 * n_samples) conv length

@@ -581,7 +581,9 @@ def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False, dt=1.0
     w, cycle_orders = superlet_weights(scales, order_max, order_min, adaptive)
     nSamples = data.shape[0]
     scales_t = tuple(np.asarray(scales).tolist())
-    cycles_t = tuple(int(c_1) * int(o) for o in cycle_orders)
+    # keep c_1 as a float: fractional base cycle counts are valid MorletSL
+    # bandwidths (the frontend coerces to int, the ops API need not)
+    cycles_t = tuple(float(c_1) * int(o) for o in cycle_orders)
     bank, L = _superlet_bank_fft(scales_t, float(dt), int(nSamples), cycles_t)
 
     X = jnp.fft.fft(data.astype(jnp.float32), n=L, axis=0)  # (L, C)
