@@ -368,7 +368,41 @@ def _csd_residual_df32(Sr, Si, Pr, Pi):
     return Rr, Ri
 
 
-def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10):
+class _IdentityShard:
+    """No-op layout hooks: single-device Wilson (the default)."""
+
+    def freq(self, x):  # (F, N, N) sharded along the frequency axis
+        return x
+
+    def chan(self, x):  # (F, N, N) sharded along the channel-row axis
+        return x
+
+
+class _MeshShard:
+    """GSPMD layout hooks for the mesh-sharded Wilson factorization.
+
+    Per-frequency matrix work (cholesky/inv/GEMM) is embarrassingly
+    parallel over frequency -> shard axis 0; the plus operator's lag
+    transforms are FFTs ALONG frequency but independent per matrix entry
+    -> shard axis 1. Alternating `with_sharding_constraint`s makes XLA
+    insert the all-to-all transposes between the two layouts — the
+    classic distributed-FFT layout swap, driven by annotation instead of
+    hand-written collectives."""
+
+    def __init__(self, mesh, axis_name):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self._freq = NamedSharding(mesh, PartitionSpec(axis_name, None, None))
+        self._chan = NamedSharding(mesh, PartitionSpec(None, axis_name, None))
+
+    def freq(self, x):
+        return jax.lax.with_sharding_constraint(x, self._freq)
+
+    def chan(self, x):
+        return jax.lax.with_sharding_constraint(x, self._chan)
+
+
+def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10, shard=_IdentityShard()):
     """
     Mixed-precision Newton refinement of a float32 Wilson factorization.
 
@@ -432,7 +466,8 @@ def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10):
         ph, pl, p0h, p0l, R, err, prev, it = state
         p_inv = jnp.linalg.inv(ph)
         E = p_inv @ R @ jnp.conj(jnp.swapaxes(p_inv, 1, 2))
-        pE, E0h = _plus_operator(E)
+        pE, E0h = _plus_operator(shard.chan(E))
+        pE = shard.freq(pE)
         S = jnp.triu(E0h)
         S = S - jnp.conj(S.T)
         ph_new, pl_new = df_add(ph, pl, ph @ (pE + S))
@@ -527,7 +562,76 @@ def wilson_sf(CSD, nIter=100, rtol=1e-6):
         return _wilson_sf_impl(CSD, nIter, rtol)
 
 
-def _wilson_sf_impl(CSD, nIter, rtol):
+def wilson_sf_sharded(CSD, mesh=None, axis_name=None, nIter=100, rtol=1e-6):
+    """
+    Mesh-sharded Wilson factorization for channel counts whose workspace
+    exceeds one chip's HBM.
+
+    At 1024 channels a single (F, N, N) complex64 buffer is ~4.2 GB for a
+    1-second/1-kHz CSD and the iteration keeps >=4 such buffers live —
+    beyond a 16 GB v5e, so config-#5-scale Granger is inherently a
+    multi-chip workload (the reference's wilson_sf.py:16-128 runs on one
+    dask worker and hits the same wall in host RAM). Sharding: the
+    per-frequency cholesky/inv/GEMM batch is split over the mesh along
+    frequency; the plus operator's lag-domain FFTs run split along the
+    channel-row axis; `with_sharding_constraint` alternates the two
+    layouts and GSPMD inserts the all-to-all transposes over ICI. Per-
+    device memory falls by ~the mesh size; results match :func:`wilson_sf`
+    up to float accumulation order.
+
+    Parameters
+    ----------
+    CSD : (nFreq, N, N) complex array (one-sided spectra)
+    mesh : jax.sharding.Mesh, default: the package's active mesh
+    axis_name : str, default: the mesh's first axis
+
+    Returns
+    -------
+    Same as :func:`wilson_sf`.
+    """
+    if mesh is None:
+        from ..parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        if mesh is None:
+            raise ValueError("no mesh given and no active mesh — use spy.use_mesh")
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    shard = _MeshShard(mesh, axis_name)
+    # constraints live INSIDE jit only: GSPMD pads non-divisible dims
+    # transparently there, while explicit placement would reject e.g.
+    # F=501 on an 8-way axis
+    with jax.default_matmul_precision("highest"):
+        return jax.jit(
+            lambda S: _wilson_sf_impl(S, nIter, rtol, shard=shard)
+        )(jnp.asarray(CSD))
+
+
+def granger_sharded(CSD, mesh=None, axis_name=None, rtol=5e-6, nIter=100, cond_max=1e4):
+    """
+    Granger-Geweke causality from a trial-averaged CSD too wide for one
+    chip: condition-number regularization + :func:`wilson_sf_sharded` +
+    :func:`granger` (the mesh analog of the GrangerCausality routine,
+    reference AV_compRoutines.py:292-484).
+
+    Returns (G, info_dict) where info mirrors the frontend's ``out.info``
+    convergence diagnostics.
+    """
+    CSDreg, factor, ini_cn = regularize_csd(jnp.asarray(CSD), cond_max=cond_max, eps_max=1e-1)
+    H, Sigma, conv, err = wilson_sf_sharded(
+        CSDreg, mesh=mesh, axis_name=axis_name, nIter=nIter, rtol=rtol
+    )
+    G = granger(CSDreg, H, Sigma)
+    info = {
+        "converged": bool(conv),
+        "max rel. err": float(err),
+        "reg. factor": float(factor),
+        "initial cond. num": float(ini_cn),
+    }
+    return G, info
+
+
+def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
     # TPU matmuls default to bf16 accumulation, which makes the iteration
     # diverge — wilson_sf wraps this in default_matmul_precision("highest")
     cdtype = CSD.dtype
@@ -539,6 +643,7 @@ def _wilson_sf_impl(CSD, nIter, rtol):
     # scale to unit mean auto-power: improves float32 conditioning; H is
     # scale-invariant and Sigma is rescaled at the end. Hermitize to remove
     # float rounding asymmetry from the upstream accumulation.
+    CSD = shard.freq(CSD)
     CSD = (CSD + jnp.conj(jnp.swapaxes(CSD, 1, 2))) / 2
     scale = jnp.mean(jnp.abs(jnp.diagonal(CSD, axis1=1, axis2=2))).astype(rdtype)
     CSD = CSD / scale
@@ -571,7 +676,8 @@ def _wilson_sf_impl(CSD, nIter, rtol):
         psi_inv = jnp.linalg.inv(psi)
         g = psi_inv @ U
         g = g @ jnp.conj(jnp.swapaxes(g, 1, 2))
-        gplus, gplus_0 = _plus_operator_onesided(g + Ident, M)
+        gplus, gplus_0 = _plus_operator_onesided(shard.chan(g + Ident), M)
+        gplus = shard.freq(gplus)
         S = jnp.triu(gplus_0)
         S = S - jnp.conj(S.T)
         psi_new = psi @ (gplus + S)
@@ -605,11 +711,15 @@ def _wilson_sf_impl(CSD, nIter, rtol):
     if refine:
         # the compensated-residual Newton refinement runs on the full
         # circle (its exact-Gram residual machinery is two-sided)
-        psi_full = jnp.concatenate([psi, jnp.conj(psi[nFreq - 2 : 0 : -1])], axis=0)
+        psi_full = shard.freq(
+            jnp.concatenate([psi, jnp.conj(psi[nFreq - 2 : 0 : -1])], axis=0)
+        )
         valid_full = jnp.concatenate(
             [valid_bin, valid_bin[nFreq - 2 : 0 : -1]], axis=0
         )
-        ph, pl, p0h, p0l, err = _wilson_refine(CSDfull, psi_full, psi0, valid_full, rtol)
+        ph, pl, p0h, p0l, err = _wilson_refine(
+            shard.freq(CSDfull), psi_full, psi0, valid_full, rtol, shard=shard
+        )
         psi = (ph + pl)[:nFreq]  # rounds to the best float32 representation
         psi0 = p0h + p0l
 

@@ -83,6 +83,89 @@ class TestShardedNewPaths:
         assert np.allclose(np.asarray(seq.data), np.asarray(par.data), atol=1e-6)
 
 
+class TestShardedWilson:
+    """Mesh-sharded Wilson factorization (the >512-channel Granger path:
+    frequency-sharded linalg alternating with channel-sharded lag FFTs)."""
+
+    @staticmethod
+    def _make_csd(N=6, seed=0):
+        """Trial-averaged multitaper CSD of a coupled AR(2) network — a
+        valid (factorizable) spectral density, 101 one-sided bins (not
+        divisible by the 4-way mesh axis: exercises GSPMD's padding)."""
+        import jax
+
+        from syncopy_tpu.ops.connectivity import cross_spectra_trial
+
+        adj = spy.synthdata.mk_RandomAdjMat(N, conn_thresh=0.8, max_coupling=0.15, seed=seed)
+        adj = adj / max(1.0, 3 * np.abs(np.linalg.eigvals(adj)).max())
+        ad = spy.synthdata.ar2_network(AdjMat=adj, nTrials=40, nSamples=200, seed=seed)
+        acc = 0.0
+        for k in range(len(ad.trials)):
+            import jax.numpy as jnp
+
+            cs = np.asarray(
+                cross_spectra_trial(
+                    jnp.asarray(np.asarray(ad.trials[k], dtype=np.float64)),
+                    1000.0, 200, taper="hann",
+                )
+            )[0]
+            acc = acc + cs.astype(np.complex128)
+        csd = acc / len(ad.trials)
+        dtype = "complex128" if jax.config.jax_enable_x64 else "complex64"
+        return csd.astype(dtype)
+
+    def test_matches_single_device(self, testmesh):
+        import jax
+
+        from syncopy_tpu.ops.connectivity import wilson_sf, wilson_sf_sharded
+
+        CSD = self._make_csd()
+        H0, S0, conv0, err0 = map(np.asarray, wilson_sf(CSD))
+        H1, S1, conv1, err1 = map(
+            np.asarray, wilson_sf_sharded(CSD, mesh=testmesh, axis_name="trial")
+        )
+        assert bool(conv0) and bool(conv1)
+        tol = 1e-8 if jax.config.jax_enable_x64 else 5e-4
+        assert np.abs(H1 - H0).max() < tol * max(np.abs(H0).max(), 1)
+        assert np.abs(S1 - S0).max() < tol * max(np.abs(S0).max(), 1)
+
+    def test_factorization_property(self, testmesh):
+        """psi = H @ chol(Sigma)-ish: the factorization must reproduce the
+        CSD itself: S(w) = H(w) Sigma H(w)^H (Geweke's identity)."""
+        from syncopy_tpu.ops.connectivity import wilson_sf_sharded
+
+        CSD = self._make_csd(seed=3)
+        H, Sigma, conv, err = wilson_sf_sharded(CSD, mesh=testmesh, axis_name="trial")
+        H, Sigma = np.asarray(H), np.asarray(Sigma)
+        rebuilt = np.einsum("fij,jk,flk->fil", H, Sigma, np.conj(H))
+        rel = np.abs(rebuilt - CSD).max() / np.abs(CSD).max()
+        assert bool(conv) and rel < 1e-4
+
+    def test_granger_sharded_info(self, testmesh):
+        from syncopy_tpu.ops.connectivity import granger_sharded
+
+        CSD = self._make_csd(seed=5)
+        G, info = granger_sharded(CSD, mesh=testmesh, axis_name="trial")
+        G = np.asarray(G)
+        assert G.shape == CSD.shape and np.all(np.isfinite(G)) and np.all(G >= 0)
+        assert info["converged"] and info["max rel. err"] < 5e-6
+
+    def test_active_mesh_default(self, testmesh):
+        from syncopy_tpu.ops.connectivity import wilson_sf_sharded
+
+        with spy.use_mesh(testmesh):
+            H, Sigma, conv, err = wilson_sf_sharded(self._make_csd(seed=7))
+        assert bool(np.asarray(conv))
+
+    def test_no_mesh_raises(self):
+        from syncopy_tpu.ops.connectivity import wilson_sf_sharded
+
+        if spy.active_mesh() is not None:
+            pytest.skip("ambient mesh active")
+        with pytest.raises(ValueError):
+            wilson_sf_sharded(self._make_csd())
+
+
 class TestTimeShardedTransforms:
     """Halo'd time-axis sharding of the windowed transforms (SURVEY §5
     long-context): sharded == unsharded, and a long-trial case runs."""
