@@ -89,6 +89,15 @@ def main():
         print(json.dumps(device_only_metrics(full="--full" in sys.argv)))
         return
 
+    if "--config5-device" in sys.argv:
+        # BASELINE config #5 at its full 1024-ch x 10k-trial spec,
+        # device-bound (streamed on-chip; minutes of wall — not part of
+        # the default driver benchmark)
+        from benchmarks.config5_device import run_config5_device
+
+        print(json.dumps(run_config5_device()))
+        return
+
     ad = make_data(NTRIALS)
 
     # full warm-up run: compiles every chunk shape (persistent-cached)

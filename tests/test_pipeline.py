@@ -46,6 +46,55 @@ class TestFullPipeline:
         assert np.allclose(np.asarray(coh.data), np.asarray(coh_seq.data), atol=1e-5)
 
 
+class TestConfig5DeviceProgram:
+    """The streamed at-spec config-#5 benchmark program (scaled down):
+    correctness properties the big TPU run relies on."""
+
+    def test_smoke_and_determinism(self):
+        from benchmarks.config5_device import run_config5_device
+
+        r1 = run_config5_device(n_trials=8, n_chan=6, n_samples=400, chunk=4, seed=3)
+        r2 = run_config5_device(n_trials=8, n_chan=6, n_samples=400, chunk=4, seed=3)
+        assert r1["config5_device"]["chunks"] == 2
+        assert r1["config5_device"]["wall_s"] >= 0
+
+    def test_coherence_properties(self):
+        """Accumulated-CSD coherence: unit diagonal, bounded off-diagonal,
+        and the band-pass kills out-of-band power."""
+        import jax
+        import jax.numpy as jnp
+        from scipy.signal import butter
+
+        from syncopy_tpu.ops.filtering import downsample, hilbert, sosfiltfilt
+        from syncopy_tpu.ops.windows import get_dpss_pars, make_tapers
+
+        fs, T, ds = 1000.0, 800, 4
+        T2, F = T // ds, T // ds // 2 + 1
+        sos = butter(4, [30.0, 100.0], btype="bandpass", fs=fs, output="sos")
+        NW, Kmax = get_dpss_pars(2.0, T2, fs / ds)
+        tapers = jnp.asarray(make_tapers("dpss", {"NW": NW, "Kmax": Kmax}, T2, T2, fs / ds))
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(24, T, 3)).astype("f4"))
+
+        def one(tr):
+            y = downsample(sosfiltfilt(sos, tr), ds)
+            z = hilbert(y)
+            return jnp.fft.fft(tapers[:, :, None] * z[None], axis=1)[:, :F]
+
+        spec = jax.vmap(one)(x)
+        csd = np.asarray(jnp.einsum("bkfi,bkfj->fij", spec, jnp.conj(spec))) / (24 * Kmax)
+        diag = np.abs(np.einsum("fii->fi", csd))
+        coh = np.abs(csd) / np.sqrt(diag[:, :, None] * diag[:, None, :] + 1e-30)
+        freqs = np.arange(F) * (fs / ds) / T2
+        inband = (freqs > 35) & (freqs < 95)
+        outband = freqs < 20
+        assert np.allclose(coh[inband, 0, 0], 1.0, atol=1e-5)
+        assert coh[inband].max() <= 1.0 + 1e-5
+        # the band-pass (doubling as anti-alias filter) kills out-of-band power
+        assert diag[inband].mean() > 50 * diag[outband].mean()
+
+
 class TestProfiler:
     def test_profile_context(self, tmp_path, adata_equal):
         with spy.profile(str(tmp_path / "traces")):
