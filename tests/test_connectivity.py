@@ -772,3 +772,41 @@ class TestPlusOperatorOnesided:
             np.swapaxes(np.asarray(H), 1, 2))
         rel = np.abs(S_rec - CSD).max() / np.abs(CSD).max()
         assert rel < 1e-4
+
+
+class TestPallasCSDKernel:
+    """Interpret-mode parity for the pallas MXU CSD kernel — the CPU suite
+    cannot run the compiled TPU kernel, but `interpret=True` executes the
+    same pallas program semantics (ops/pallas_kernels.py)."""
+
+    def test_matches_einsum_oracle(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.pallas_kernels import csd_accumulate
+
+        rng = np.random.default_rng(7)
+        F, N, C = 5, 12, 8
+        spec = (rng.normal(size=(F, N, C)) + 1j * rng.normal(size=(F, N, C))).astype(
+            np.complex64
+        )
+        cs_re, cs_im = csd_accumulate(
+            jnp.asarray(spec.real), jnp.asarray(spec.imag), interpret=True
+        )
+        got = np.asarray(cs_re) + 1j * np.asarray(cs_im)
+        want = np.einsum("fni,fnj->fij", spec, np.conj(spec))
+        assert np.allclose(got, want, atol=1e-4)
+        # Hermitian by construction
+        assert np.allclose(got, np.conj(np.swapaxes(got, 1, 2)), atol=1e-5)
+
+    def test_zero_and_single_row(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.pallas_kernels import csd_accumulate
+
+        one = np.zeros((2, 1, 4), dtype=np.float32)
+        one[0, 0, 1] = 2.0
+        cs_re, cs_im = csd_accumulate(jnp.asarray(one), jnp.asarray(np.zeros_like(one)),
+                                      interpret=True)
+        want = np.einsum("fni,fnj->fij", one, one)
+        assert np.allclose(np.asarray(cs_re), want)
+        assert np.allclose(np.asarray(cs_im), 0.0)
