@@ -45,9 +45,10 @@ def run_config5_device(n_trials=10000, n_chan=1024, n_samples=1000, fs=1000.0,
     F = T2 // 2 + 1
     sos = butter(4, [30.0, 100.0], btype="bandpass", fs=fs, output="sos")
     NW, Kmax = get_dpss_pars(2.0, T2, fs / ds)
-    tapers = jnp.asarray(
-        make_tapers("dpss", {"NW": NW, "Kmax": Kmax}, T2, T2, fs / ds)
-    )  # (K, T2)
+    # numpy constant (NOT jnp.asarray): closure-captured device arrays are
+    # embedded via a device->host readback at lowering time, and on the
+    # axon runtime that path is flaky (CLAUDE.md landmines)
+    tapers = make_tapers("dpss", {"NW": NW, "Kmax": Kmax}, T2, T2, fs / ds)  # (K, T2)
     a1, a2 = 0.55, -0.8
 
     def one_trial(x):
@@ -57,6 +58,10 @@ def run_config5_device(n_trials=10000, n_chan=1024, n_samples=1000, fs=1000.0,
         spec = jnp.fft.fft(tapers[:, :, None] * z[None, :, :], axis=1)[:, :F]
         return spec                           # (K, F, C)
 
+    # the cross-chunk accumulator crosses the jit boundary every chunk —
+    # complex inputs/outputs are unsupported on the axon runtime, so it
+    # lives as a leading (re, im) float32 pair (project-wide convention,
+    # see parallel/device_io.py)
     def chunk_step(key, acc):
         noise = jax.random.normal(key, (chunk, n_samples, n_chan), dtype=jnp.float32)
 
@@ -73,13 +78,13 @@ def run_config5_device(n_trials=10000, n_chan=1024, n_samples=1000, fs=1000.0,
         x = jnp.swapaxes(x, 0, 1)             # (chunk, T, C)
         spec = jax.vmap(one_trial)(x)         # (chunk, K, F, C)
         csd = jnp.einsum("bkfi,bkfj->fij", spec, jnp.conj(spec)) / Kmax
-        return acc + csd
+        return acc + jnp.stack([jnp.real(csd), jnp.imag(csd)])
 
     step = jax.jit(chunk_step, donate_argnums=(1,))
 
     @jax.jit
     def coherence(acc):
-        csd_av = acc / n_trials
+        csd_av = jax.lax.complex(acc[0], acc[1]) / n_trials
         diag = jnp.abs(jnp.einsum("fii->fi", csd_av))
         return jnp.abs(csd_av) / jnp.sqrt(diag[:, :, None] * diag[:, None, :])
 
@@ -87,7 +92,7 @@ def run_config5_device(n_trials=10000, n_chan=1024, n_samples=1000, fs=1000.0,
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks)
 
     # compile both programs outside the timed window
-    acc0 = jnp.zeros((F, n_chan, n_chan), dtype=jnp.complex64)
+    acc0 = jnp.zeros((2, F, n_chan, n_chan), dtype=jnp.float32)
     warm = step(keys[0], jnp.zeros_like(acc0))
     _drain(coherence(warm))
     del warm
