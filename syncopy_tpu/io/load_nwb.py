@@ -98,17 +98,58 @@ def _stream_series(f, grp, conversion, gains, memuse_mb):
     return adata
 
 
-def load_nwb(filename, memuse=3000, default_spike_data_samplerate=None):
+def _validate_nwb(fpath):
+    """
+    Structural NWB 2.x validation (the reference shells out to
+    ``python -m pynwb.validate``, load_nwb.py:37,88; pynwb is not a
+    dependency here, so the schema invariants the reader relies on are
+    checked directly with h5py). Raises SPYValueError on violations.
+    """
+    import h5py
+
+    problems = []
+    with h5py.File(fpath, "r") as f:
+        ver = f.attrs.get("nwb_version", b"")
+        ver = ver.decode() if isinstance(ver, bytes) else str(ver)
+        if not ver.startswith("2"):
+            problems.append("nwb_version missing or not 2.x (got {!r})".format(ver))
+        for req in ("identifier", "session_description", "session_start_time"):
+            if req not in f:
+                problems.append("required root dataset '{}' missing".format(req))
+        for name, grp in (f.get("acquisition") or {}).items():
+            if isinstance(grp, h5py.Group) and "data" in grp:
+                if "timestamps" not in grp and "starting_time" not in grp:
+                    problems.append(
+                        "series '{}' has neither timestamps nor starting_time".format(name)
+                    )
+        units = f.get("units")
+        if units is not None and "spike_times" in units:
+            if "spike_times_index" not in units:
+                problems.append("units table missing spike_times_index")
+    if problems:
+        raise SPYValueError(
+            legal="valid NWB 2.x file", varname="filename",
+            actual="; ".join(problems),
+        )
+
+
+def load_nwb(filename, memuse=3000, container=None, validate=False,
+             default_spike_data_samplerate=None):
     """
     Read an NWB file. Returns a single data object or a dict of objects
     (one per acquisition series / processing module found). Series larger
-    than `memuse` MB are streamed into disk-backed storage.
+    than `memuse` MB are streamed into disk-backed storage. With
+    `container`, every loaded object is additionally saved into the given
+    ``*.spy`` container folder (reference load_nwb.py:243-375); with
+    `validate=True` the file's NWB 2.x structure is checked first.
     """
     import h5py
 
     fpath = os.path.abspath(os.path.expanduser(str(filename)))
     if not os.path.isfile(fpath):
         raise SPYIOError(fpath, exists=False)
+    if validate:
+        _validate_nwb(fpath)
 
     from ..datatype.continuous_data import AnalogData
     from ..datatype.discrete_data import EventData, SpikeData
@@ -233,6 +274,16 @@ def load_nwb(filename, memuse=3000, default_spike_data_samplerate=None):
         raise SPYValueError(
             legal="NWB file with ElectricalSeries or Units", varname="filename", actual=fpath
         )
+
+    if container is not None:
+        from ..shared.errors import SPYTypeError
+        from .save_spy_container import save
+
+        if not isinstance(container, str):
+            raise SPYTypeError(container, varname="container", expected="str")
+        for name, obj in objects.items():
+            save(obj, container=container, tag=name)
+
     if len(objects) == 1:
         return next(iter(objects.values()))
     return objects

@@ -744,3 +744,48 @@ class TestNWBExportEdgeCases:
         ad = spy.AnalogData(data=np.ones((10, 2), "f4"), samplerate=10.0)
         with pytest.raises(spy.SPYValueError, match="fresh file"):
             ad.save_nwb(str(tmp_path / "x.nwb"), nwbfile=object())
+
+
+class TestNWBLoadKwargs:
+    """`container` and `validate` kwargs of load_nwb (reference
+    load_nwb.py:44-49,88,243-375)."""
+
+    def _nwb(self, tmp_path):
+        rng = np.random.default_rng(11)
+        ad = spy.AnalogData(data=rng.normal(size=(120, 2)).astype("f4"),
+                            samplerate=250.0)
+        fname = str(tmp_path / "roundtrip.nwb")
+        ad.save_nwb(fname)
+        return ad, fname
+
+    def test_validate_ok(self, tmp_path):
+        ad, fname = self._nwb(tmp_path)
+        back = spy.load_nwb(fname, validate=True)
+        assert np.allclose(np.asarray(back.data), np.asarray(ad.data), atol=1e-7)
+
+    def test_validate_rejects_broken(self, tmp_path):
+        import h5py
+
+        _, fname = self._nwb(tmp_path)
+        with h5py.File(fname, "r+") as f:
+            del f["session_start_time"]
+            f.attrs["nwb_version"] = "1.0.6"
+        with pytest.raises(spy.SPYValueError, match="nwb_version"):
+            spy.load_nwb(fname, validate=True)
+
+    def test_container_saves_copy(self, tmp_path):
+        import os
+
+        ad, fname = self._nwb(tmp_path)
+        cont = str(tmp_path / "imported.spy")
+        back = spy.load_nwb(fname, container=cont)
+        assert os.path.isdir(cont)
+        saved = spy.load(cont)
+        arr = saved if not isinstance(saved, (list, dict)) else list(
+            saved.values() if isinstance(saved, dict) else saved)[0]
+        assert np.allclose(np.asarray(arr.data), np.asarray(ad.data), atol=1e-7)
+
+    def test_container_type_error(self, tmp_path):
+        _, fname = self._nwb(tmp_path)
+        with pytest.raises(spy.SPYTypeError):
+            spy.load_nwb(fname, container=123)
