@@ -362,7 +362,9 @@ class TimeLockData(ContinuousData):
     def cov(self):
         return self._get_extra_dataset("cov")
 
-    def save_nwb(self, outpath, with_trialdefinition=True):
+    def save_nwb(self, outpath, with_trialdefinition=True, is_raw=True):
         from ..io.nwb import _timelock_to_nwb
 
-        return _timelock_to_nwb(self, outpath, with_trialdefinition=with_trialdefinition)
+        return _timelock_to_nwb(self, outpath,
+                                with_trialdefinition=with_trialdefinition,
+                                is_raw=is_raw)

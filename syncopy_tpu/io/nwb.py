@@ -235,9 +235,11 @@ def _analog_to_nwb(adata, outpath, nwbfile=None, with_trialdefinition=True,
     return str(outpath)
 
 
-def _timelock_to_nwb(tldata, outpath, with_trialdefinition=True):
+def _timelock_to_nwb(tldata, outpath, with_trialdefinition=True, is_raw=False):
+    # reference continuous_data.py:965 defaults is_raw=True for the kwarg
+    # but time-locked averages are derived data — both placements supported
     return _analog_to_nwb(tldata, outpath,
-                          with_trialdefinition=with_trialdefinition, is_raw=False)
+                          with_trialdefinition=with_trialdefinition, is_raw=is_raw)
 
 
 def _spike_to_nwb(sdata, outpath, nwbfile=None, with_trialdefinition=True,
