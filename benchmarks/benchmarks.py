@@ -90,17 +90,51 @@ class MemSuite:
         spy.freqanalysis(self.adata, tapsmofrq=2)
 
 
-if __name__ == "__main__":
+def run_all():
+    """Run every suite; returns {suite.bench: value} (seconds for time_*,
+    MB for mem_* payload/trial sizes and peakmem_* RSS high-water marks)."""
+    import resource
     import time
 
-    for suite_cls in (SelectionSuite, MTMFFT, Arithmetic, Connectivity):
+    results = {}
+    for suite_cls in (SelectionSuite, MTMFFT, Arithmetic, Connectivity, MemSuite):
         suite = suite_cls()
         suite.setup()
-        for name in dir(suite):
+        for name in sorted(dir(suite)):
+            key = "{}.{}".format(suite_cls.__name__, name)
+            fn = getattr(suite, name)
             if name.startswith("time_"):
-                fn = getattr(suite, name)
                 fn()  # warm-up/compile
                 t0 = time.perf_counter()
                 fn()
-                t1 = time.perf_counter()
-                print("{}.{}: {:.3f} s".format(suite_cls.__name__, name, t1 - t0))
+                results[key] = round(time.perf_counter() - t0, 4)
+                print("{}: {} s".format(key, results[key]))
+            elif name.startswith("mem_"):
+                # the object is HDF5-backed: report the full payload size
+                # and what one materialized trial costs in RAM (h5py/numpy
+                # buffers bypass tracemalloc, so sizes come from nbytes)
+                obj = fn()
+                arr = obj.trials[0][()]
+                results[key + "_payload_MB"] = round(
+                    float(np.prod(obj.data.shape)) * obj.data.dtype.itemsize / 2**20, 2
+                )
+                results[key + "_per_trial_MB"] = round(arr.nbytes / 2**20, 2)
+                del arr
+                print("{}: payload {} MB, {} MB/trial".format(
+                    key, results[key + "_payload_MB"], results[key + "_per_trial_MB"]))
+            elif name.startswith("peakmem_"):
+                before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                fn()
+                after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                # ru_maxrss is a high-water mark (KB on linux): report the
+                # run's peak RSS and the growth it caused
+                results[key + "_peak_MB"] = round(after / 1024, 1)
+                results[key + "_growth_MB"] = round((after - before) / 1024, 1)
+                print("{}: peak {} MB".format(key, results[key + "_peak_MB"]))
+    return results
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(run_all()))

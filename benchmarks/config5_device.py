@@ -89,6 +89,12 @@ def run_config5_device(n_trials=10000, n_chan=1024, n_samples=1000, fs=1000.0,
         return jnp.abs(csd_av) / jnp.sqrt(diag[:, :, None] * diag[:, None, :])
 
     n_chunks = n_trials // chunk
+    if n_chunks < 1 or n_chunks * chunk != n_trials:
+        raise ValueError(
+            "n_trials ({}) must be a positive multiple of chunk ({})".format(
+                n_trials, chunk
+            )
+        )
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks)
 
     # compile both programs outside the timed window

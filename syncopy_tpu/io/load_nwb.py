@@ -108,24 +108,33 @@ def _validate_nwb(fpath):
     import h5py
 
     problems = []
-    with h5py.File(fpath, "r") as f:
-        ver = f.attrs.get("nwb_version", b"")
-        ver = ver.decode() if isinstance(ver, bytes) else str(ver)
-        if not ver.startswith("2"):
-            problems.append("nwb_version missing or not 2.x (got {!r})".format(ver))
-        for req in ("identifier", "session_description", "session_start_time"):
-            if req not in f:
-                problems.append("required root dataset '{}' missing".format(req))
-        for name, grp in (f.get("acquisition") or {}).items():
-            if isinstance(grp, h5py.Group) and "data" in grp:
-                if "timestamps" not in grp and "starting_time" not in grp:
-                    problems.append(
-                        "series '{}' has neither timestamps nor starting_time".format(name)
-                    )
-        units = f.get("units")
-        if units is not None and "spike_times" in units:
-            if "spike_times_index" not in units:
-                problems.append("units table missing spike_times_index")
+    try:
+        with h5py.File(fpath, "r") as f:
+            ver = f.attrs.get("nwb_version", b"")
+            ver = ver.decode() if isinstance(ver, bytes) else str(ver)
+            if not ver.startswith("2"):
+                problems.append("nwb_version missing or not 2.x (got {!r})".format(ver))
+            for req in ("identifier", "session_description", "session_start_time"):
+                if req not in f:
+                    problems.append("required root dataset '{}' missing".format(req))
+            acq = f.get("acquisition")
+            if acq is not None and not isinstance(acq, h5py.Group):
+                problems.append("/acquisition is not a group")
+            for name, grp in (acq.items() if isinstance(acq, h5py.Group) else ()):
+                if isinstance(grp, h5py.Group) and "data" in grp:
+                    if "timestamps" not in grp and "starting_time" not in grp:
+                        problems.append(
+                            "series '{}' has neither timestamps nor starting_time".format(name)
+                        )
+            units = f.get("units")
+            if isinstance(units, h5py.Group) and "spike_times" in units:
+                if "spike_times_index" not in units:
+                    problems.append("units table missing spike_times_index")
+            elif units is not None and not isinstance(units, h5py.Group):
+                problems.append("/units is not a group")
+    except OSError as exc:
+        # not an HDF5 file at all — exactly what validate= is for
+        problems.append("not readable as HDF5 ({})".format(exc))
     if problems:
         raise SPYValueError(
             legal="valid NWB 2.x file", varname="filename",
@@ -148,6 +157,11 @@ def load_nwb(filename, memuse=3000, container=None, validate=False,
     fpath = os.path.abspath(os.path.expanduser(str(filename)))
     if not os.path.isfile(fpath):
         raise SPYIOError(fpath, exists=False)
+    if container is not None and not isinstance(container, str):
+        # fail in milliseconds, not after a multi-GB streamed import
+        from ..shared.errors import SPYTypeError
+
+        raise SPYTypeError(container, varname="container", expected="str")
     if validate:
         _validate_nwb(fpath)
 
@@ -276,11 +290,8 @@ def load_nwb(filename, memuse=3000, container=None, validate=False,
         )
 
     if container is not None:
-        from ..shared.errors import SPYTypeError
         from .save_spy_container import save
 
-        if not isinstance(container, str):
-            raise SPYTypeError(container, varname="container", expected="str")
         for name, obj in objects.items():
             save(obj, container=container, tag=name)
 

@@ -464,17 +464,25 @@ def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10, shard=_Ident
 
     Ident = jnp.eye(CSDfull.shape[1], dtype=CSDfull.dtype)
 
+    def _lu_with_floor(ph):
+        Xl = jnp.linalg.inv(ph)
+        return Xl, jnp.max(jnp.abs(Ident - ph @ Xl))
+
     def step(state):
-        ph, pl, p0h, p0l, X, R, err, prev, it = state
+        ph, pl, p0h, p0l, X, lu_floor, R, err, prev, it = state
         # warm-started Newton-Schulz inverse (pure GEMMs, no batched LU):
         # refine corrections are linear in the residual, so ph moves by a
-        # near-identity factor per step and one polish round suffices;
-        # exact fallback guards the (never observed) drift case. Inverse
-        # error enters E only at second order.
+        # near-identity factor per step and two polish rounds suffice;
+        # exact fallback (NaN-safe predicate, floor-aware bar as in
+        # phase 1) guards the drift case. Inverse error enters E only at
+        # second order.
         X = X @ (2 * Ident - ph @ X)
         X = X @ (2 * Ident - ph @ X)
         ns_res = jnp.max(jnp.abs(Ident - ph @ X))
-        X = jax.lax.cond(ns_res > 1e-6, lambda: jnp.linalg.inv(ph), lambda: X)
+        bar = jnp.maximum(jnp.asarray(1e-6, jnp.float32), 4 * lu_floor)
+        X, lu_floor = jax.lax.cond(
+            ns_res <= bar, lambda: (X, lu_floor), lambda: _lu_with_floor(ph)
+        )
         p_inv = X
         E = p_inv @ R @ jnp.conj(jnp.swapaxes(p_inv, 1, 2))
         pE, E0h = _plus_operator(shard.chan(E))
@@ -493,19 +501,21 @@ def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10, shard=_Ident
         p0l_new = jnp.where(worse, p0l, p0l_new)
         R_new = jnp.where(worse, R, R_new)
         err_new = jnp.minimum(err_new, err)
-        return ph_new, pl_new, p0h_new, p0l_new, X, R_new, err_new, err, it + 1
+        return (ph_new, pl_new, p0h_new, p0l_new, X, lu_floor, R_new,
+                err_new, err, it + 1)
 
     def cond(state):
-        err, prev, it = state[6], state[7], state[8]
+        err, prev, it = state[7], state[8], state[9]
         progress = err < 0.7 * prev
         return jnp.logical_and(jnp.logical_and(err >= rtol, it < nRefine), progress)
 
     ph0, pl0 = symmetrize(psi, jnp.zeros_like(psi))
     zero0 = jnp.zeros_like(psi0)
     R0, err0 = residual(ph0, pl0)
-    init = (ph0, pl0, psi0, zero0, jnp.linalg.inv(ph0), R0, err0,
+    X0, floor0 = _lu_with_floor(ph0)
+    init = (ph0, pl0, psi0, zero0, X0, floor0, R0, err0,
             jnp.asarray(jnp.inf, dtype=jnp.float32), jnp.asarray(0))
-    ph, pl, p0h, p0l, _, _, err, _, _ = jax.lax.while_loop(cond, step, init)
+    ph, pl, p0h, p0l, _, _, _, err, _, _ = jax.lax.while_loop(cond, step, init)
     return ph, pl, p0h, p0l, err
 
 
@@ -679,8 +689,12 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
 
     U = jnp.linalg.cholesky(CSD)
 
-    # NS acceptance: LU-quality or fall back. f64 has no refine stage and
-    # is oracle-compared at ~1e-7, so its bar is near machine precision.
+    # NS acceptance bar: LU-quality or fall back. The fixed part is near
+    # machine precision (f64 has no refine stage and is oracle-compared
+    # at ~1e-7); the adaptive part tracks the LU inverse's OWN residual
+    # floor (~eps*cond(psi)) measured at each fallback, so ill-conditioned
+    # inputs — where no inverse can beat that floor — don't degenerate
+    # into paying NS + LU every iteration.
     ns_thresh = 1e-6 if cdtype == jnp.complex64 else 1e-12
 
     def _ns_refresh(psi, X, n=3):
@@ -692,21 +706,30 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
             X = X @ (2 * Ident - psi @ X)
         return X
 
+    def _lu_with_floor(psi):
+        Xl = jnp.linalg.inv(psi)
+        return Xl, jnp.max(jnp.abs(Ident - psi @ Xl)).astype(rdtype)
+
     def step(state):
-        psi, psi0, X, err, prev_err, it = state
+        psi, psi0, X, lu_floor, err, prev_err, it = state
         # warm-started Newton-Schulz inverse; exact LU fallback while psi
         # still moves by O(1) factors (early iterations). The acceptance
-        # threshold is strict — LU-quality only: an inverse residual of
-        # even ~1e-3 sustained over the early iterations smears through
-        # the plus operator across every frequency and steers the
-        # iteration off the minimum-phase factor by ~res/10 — an error
-        # the reconstruction metric cannot see and the Newton refinement
-        # cannot repair (measured: 4e-3 residuals -> 3e-5 Granger bias).
-        # Measured over ALL bins: excluded near-zero-power bins smear too.
+        # bar is strict — within 4x of the LU residual floor: an inverse
+        # residual of even ~1e-3 sustained over the early iterations
+        # smears through the plus operator across every frequency and
+        # steers the iteration off the minimum-phase factor by ~res/10 —
+        # an error the reconstruction metric cannot see and the Newton
+        # refinement cannot repair (measured: 4e-3 residuals -> 3e-5
+        # Granger bias). Measured over ALL bins: excluded near-zero-power
+        # bins smear too. The predicate is written NaN-safe: an NS
+        # overflow (Inf -> NaN residual) must take the LU branch.
         X = _ns_refresh(psi, X)
         ns_res = jnp.max(jnp.abs(Ident - psi @ X))
-        X = jax.lax.cond(
-            ns_res > ns_thresh, lambda: jnp.linalg.inv(psi), lambda: X
+        bar = jnp.maximum(jnp.asarray(ns_thresh, rdtype), 4 * lu_floor)
+        X, lu_floor = jax.lax.cond(
+            ns_res <= bar,
+            lambda: (X, lu_floor),
+            lambda: _lu_with_floor(psi),
         )
         g = X @ U
         g = g @ jnp.conj(jnp.swapaxes(g, 1, 2))
@@ -719,7 +742,7 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
         CSDfac = psi_new @ jnp.conj(jnp.swapaxes(psi_new, 1, 2))
         rel = jnp.abs(CSD - CSDfac) / jnp.abs(CSD)
         new_err = jnp.max(jnp.where(valid_bin, rel, 0.0))
-        return psi_new, psi0_new, X, new_err.astype(rdtype), err, it + 1
+        return psi_new, psi0_new, X, lu_floor, new_err.astype(rdtype), err, it + 1
 
     # in float32 the multiplicative iteration's error measure floors around
     # eps*cond — stop it early and hand over to the compensated-residual
@@ -729,7 +752,7 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
     rtol_phase1 = jnp.maximum(jnp.asarray(rtol, rdtype), 1e-3) if refine else rtol
 
     def cond(state):
-        err, prev_err, it = state[3], state[4], state[5]
+        err, prev_err, it = state[4], state[5], state[6]
         # fixed-point exit: only once the fit is already tight (err < 1e-2)
         # and progress has stopped — Wilson's error is non-monotonic early on
         plateau = jnp.logical_and(err < 1e-2, prev_err - err < 1e-4 * err)
@@ -739,11 +762,13 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
     # the initial inverse is exact and cheap: psi_init is the zero-lag
     # Cholesky factor tiled over frequency, one (N, N) triangular inverse
     X_init = jnp.tile(jnp.linalg.inv(psi0_init), (nFreq, 1, 1))
+    floor_init = jnp.max(jnp.abs(Ident - psi_init @ X_init)).astype(rdtype)
     init = (
-        psi_init, psi0_init, X_init, jnp.asarray(jnp.inf, dtype=rdtype),
+        psi_init, psi0_init, X_init, floor_init,
+        jnp.asarray(jnp.inf, dtype=rdtype),
         jnp.asarray(jnp.inf, dtype=rdtype), jnp.asarray(0),
     )
-    psi, psi0, _, err, _, _ = jax.lax.while_loop(cond, step, init)
+    psi, psi0, _, _, err, _, _ = jax.lax.while_loop(cond, step, init)
 
     if refine:
         # the compensated-residual Newton refinement runs on the full
