@@ -607,7 +607,36 @@ class ComputationalRoutine:
             with jax.disable_jit():
                 self._run(data, out, mesh=None)
         else:
-            self._run(data, out, mesh=mesh)
+            # Compile-failure chunk backoff: some batch programs reproducibly
+            # crash the remote compile helper (observed: 250-trial mtmfft
+            # chunks at 10k samples -> HTTP 500 on every retry) while the
+            # same program compiles fine at a smaller batch. After
+            # _dispatch_with_recovery has exhausted its same-size retries,
+            # quarter the chunk budget and rerun from scratch — `out` is
+            # only populated at the successful end of _run, so a mid-run
+            # failure leaves it clean; per-run aux state is reset below.
+            for backoff in range(4):
+                try:
+                    self._run(data, out, mesh=mesh)
+                    break
+                except Exception as exc:
+                    msg = str(exc)
+                    compile_fail = (
+                        "remote_compile" in msg or "tpu_compile_helper" in msg
+                    )
+                    if (not compile_fail or backoff == 3
+                            or self._chunk_budget <= 1024**2):
+                        raise
+                    self._chunk_budget = max(self._chunk_budget // 4, 1024**2)
+                    self.aux_info = {}
+                    self._aux_per_trial = {}
+                    self._aux_chunked = {}
+                    get_logger().warning(
+                        "%s: chunk program failed to compile (%s) — retrying "
+                        "with chunk budget %d MB",
+                        self.__class__.__name__, msg.splitlines()[0][:100],
+                        self._chunk_budget // 1024**2,
+                    )
 
         self._finalize_aux()
         # provenance

@@ -713,3 +713,60 @@ class TestResolveParallel:
 
         with pytest.raises(SPYParallelError):
             spy.esi_cluster_setup(n_workers=len(jax.devices()) + 1)
+
+
+class TestCompileBackoff:
+    """Reproducible chunk-program compile failures (remote compile helper
+    HTTP 500s at large batch shapes) quarter the chunk budget and rerun
+    instead of failing the analysis (engine/routine.py::compute backoff)."""
+
+    def test_backoff_shrinks_chunks_and_succeeds(self, monkeypatch):
+        import syncopy_tpu as spy
+        from syncopy_tpu.engine import routine
+
+        ad = spy.synthdata.white_noise(nTrials=8, nChannels=2, nSamples=64,
+                                       samplerate=200.0, seed=0)
+        budgets = []
+        orig = routine.ComputationalRoutine._get_compiled
+
+        def failing_when_large(self, *a, **kw):
+            budgets.append(self._chunk_budget)
+            fn = orig(self, *a, **kw)
+            if self._chunk_budget > 64 * 1024**2:
+                def boom(*args, **kwargs):
+                    raise RuntimeError(
+                        "INTERNAL: http://127.0.0.1:1/remote_compile: HTTP 500: "
+                        "tpu_compile_helper subprocess exit code 1"
+                    )
+                return boom
+            return fn
+
+        monkeypatch.setattr(routine.ComputationalRoutine, "_get_compiled",
+                            failing_when_large)
+        monkeypatch.setattr(routine, "DISPATCH_RETRIES", 0)
+        spec = spy.freqanalysis(ad, method="mtmfft", taper="hann")
+        arr = np.asarray(spec.data)
+        assert np.all(np.isfinite(arr)) and arr.shape[0] == 8
+        # the budget was reduced at least once before succeeding
+        assert min(budgets) < max(budgets)
+        # oracle: result equals an unperturbed run
+        monkeypatch.setattr(routine.ComputationalRoutine, "_get_compiled", orig)
+        ref = spy.freqanalysis(ad, method="mtmfft", taper="hann")
+        assert np.allclose(arr, np.asarray(ref.data), atol=1e-6)
+
+    def test_non_compile_failure_still_raises(self, monkeypatch):
+        import syncopy_tpu as spy
+        from syncopy_tpu.engine import routine
+
+        ad = spy.synthdata.white_noise(nTrials=4, nChannels=2, nSamples=64,
+                                       samplerate=200.0, seed=1)
+
+        def always_logic_error(self, *a, **kw):
+            def boom(*args, **kwargs):
+                raise ValueError("a plain logic bug")
+            return boom
+
+        monkeypatch.setattr(routine.ComputationalRoutine, "_get_compiled",
+                            always_logic_error)
+        with pytest.raises(ValueError, match="logic bug"):
+            spy.freqanalysis(ad, method="mtmfft", taper="hann")
