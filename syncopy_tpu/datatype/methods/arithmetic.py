@@ -8,6 +8,13 @@
 # Dask locks against chained-operation races; here operations are applied as
 # vectorized host/device array ops on the (selected) trial stack — a single
 # fused elementwise pass, no locks needed.
+#
+# Fast path: when no selection is active and the trialdefinition exactly
+# tiles the payload along the stacking dim (the overwhelmingly common case),
+# the operation runs as ONE whole-array ufunc call — a single output
+# allocation, no per-trial temporaries, no concatenate copy. Trials with
+# gaps/overlaps, active selections, and discrete (event-table) data take the
+# general per-trial path below.
 
 import numbers
 
@@ -40,21 +47,38 @@ def _process_operator(obj, operand, operator, reverse=False):
         inner = op
         op = lambda a, b: inner(b, a)  # noqa: E731
 
+    if (isinstance(operand, (numbers.Number, np.number))
+            and operator == "/" and not reverse and operand == 0):
+        raise SPYValueError(legal="non-zero scalar", varname="operand", actual="0")
+
     # gather (selected) per-trial arrays of obj
     sel = obj.selection
+    if sel is None:
+        fast = _fused_whole_array(obj, operand, op, operator, reverse)
+        if fast is not None:
+            out = _finalize_output(obj, fast, np.array(obj.trialdefinition))
+            out.log = "arithmetic: {} {} {}".format(
+                obj.__class__.__name__, operator, type(operand).__name__
+            )
+            return out
     if sel is not None:
         trials_a = [sel.select_trial_array(obj, k) for k in range(len(sel.trial_ids))]
         trialdef = np.array(sel.trialdefinition)
     else:
         trials_a = [np.asarray(t) for t in obj.trials]
         trialdef = np.array(obj.trialdefinition)
+        if "sample" not in obj.dimord:
+            # the output stacks trials gap-free: rebase sample bounds to
+            # cumulative counts (identical to the original when trials tile)
+            lens = trialdef[:, 1] - trialdef[:, 0]
+            bounds = np.cumsum(np.concatenate([[0], lens]))
+            trialdef[:, 0] = bounds[:-1]
+            trialdef[:, 1] = bounds[1:]
 
     if isinstance(operand, BaseData):
         operand_trials = _parse_object_operand(obj, operand, trials_a)
         res = [op(a, b) for a, b in zip(trials_a, operand_trials)]
     elif isinstance(operand, (numbers.Number, np.number)):
-        if operator == "/" and not reverse and operand == 0:
-            raise SPYValueError(legal="non-zero scalar", varname="operand", actual="0")
         res = [op(a, operand) for a in trials_a]
     elif isinstance(operand, (np.ndarray, list)):
         operand = np.asarray(operand)
@@ -78,6 +102,77 @@ def _process_operator(obj, operand, operator, reverse=False):
         obj.__class__.__name__, operator, type(operand).__name__
     )
     return out
+
+
+def _tiles_payload(obj):
+    """True when the (unselected) trials exactly tile the payload along the
+    stacking dim, in order — a whole-array op is then per-trial exact."""
+    if "sample" in obj.dimord:  # discrete: trials select rows by sample value
+        return False
+    trl = obj._trialdefinition
+    if trl is None:
+        return False
+    si = trl[:, :2].astype(np.int64)
+    n = obj.data.shape[obj._stackingDim]
+    return (
+        si.size > 0
+        and si[0, 0] == 0
+        and si[-1, 1] == n
+        and bool(np.all(si[1:, 0] == si[:-1, 1]))
+        and bool(np.all(si[:, 1] >= si[:, 0]))
+    )
+
+
+def _fused_whole_array(obj, operand, op, operator, reverse):
+    """Whole-array single-allocation op, or None to take the general path.
+
+    Only returns a result when it is exactly equivalent to the per-trial
+    path; all error cases return None so the general path raises the same
+    exceptions it always did.
+    """
+    from ..base_data import BaseData
+
+    if not _tiles_payload(obj):
+        return None
+
+    if isinstance(operand, (numbers.Number, np.number)):
+        return op(np.asarray(obj.data), operand)
+
+    if isinstance(operand, BaseData):
+        if (
+            operand.__class__ != obj.__class__
+            or operand.data is None
+            or operand.dimord != obj.dimord
+            or operand.selection is not None
+            or not _tiles_payload(operand)
+            or obj.data.shape != operand.data.shape
+        ):
+            return None
+        si_a, si_b = obj.sampleinfo, operand.sampleinfo
+        if si_a.shape != si_b.shape or not np.array_equal(
+            np.diff(si_a, axis=1), np.diff(si_b, axis=1)
+        ):
+            return None
+        return op(np.asarray(obj.data), np.asarray(operand.data))
+
+    if isinstance(operand, (np.ndarray, list)):
+        arr = np.asarray(operand)
+        if obj._stackingDim != 0:
+            return None
+        lens = np.diff(obj.sampleinfo, axis=1).ravel()
+        if lens.size == 0 or not np.all(lens == lens[0]):
+            return None
+        trial_shape = (int(lens[0]),) + tuple(obj.data.shape[1:])
+        try:
+            if np.broadcast_shapes(trial_shape, arr.shape) != trial_shape:
+                return None
+        except ValueError:
+            return None  # general path raises the broadcast error
+        full = np.asarray(obj.data)
+        res = op(full.reshape((lens.size,) + trial_shape), arr)
+        return res.reshape((-1,) + trial_shape[1:])
+
+    return None
 
 
 def _parse_object_operand(obj, operand, trials_a):
@@ -116,12 +211,18 @@ def _parse_object_operand(obj, operand, trials_a):
 
 def _assemble_output(obj, res, trialdef):
     """Stack per-trial results into a fresh object of obj's class."""
+    sdim = obj._stackingDim if "sample" not in obj.dimord else 0
+    data = np.concatenate([np.asarray(r) for r in res], axis=sdim)
+    return _finalize_output(obj, data, trialdef)
+
+
+def _finalize_output(obj, data, trialdef):
+    """Wrap a ready result array into a fresh object of obj's class."""
     cls = obj.__class__
     out = cls.__new__(cls)
     cls.__init__(out)
     out._dimord = obj.dimord
-    sdim = obj._stackingDim if "sample" not in obj.dimord else 0
-    out.data = np.concatenate([np.asarray(r) for r in res], axis=sdim)
+    out.data = data
     out._trialdefinition = trialdef
 
     sel = obj.selection

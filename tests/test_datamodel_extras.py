@@ -327,3 +327,120 @@ class TestAttachedDatasetMatrix:
         spd.waveform = np.random.randn(np.asarray(spd.data).shape[0], 1, 8).astype("f4")
         p = spy.spike_psth(spd, binsize=0.1, latency="minperiod")
         assert np.isfinite(np.asarray(p.data)).any()
+
+
+class TestArithmeticFusedPath:
+    """The whole-array fused fast path (arithmetic._fused_whole_array) must be
+    bit-identical to the general per-trial path, and must disengage for
+    gapped/overlapping trialdefinitions, selections, and discrete data."""
+
+    def _tiled(self, n_trials=5, n_samp=16, n_chan=3, seed=7):
+        rng = np.random.default_rng(seed)
+        data = rng.uniform(0.5, 2.0, size=(n_trials * n_samp, n_chan)).astype("f4")
+        trl = np.column_stack([
+            np.arange(n_trials) * n_samp,
+            np.arange(1, n_trials + 1) * n_samp,
+            np.zeros(n_trials),
+        ])
+        return spy.AnalogData(data=data, trialdefinition=trl, samplerate=100.0)
+
+    def _general_result(self, obj, operand, operator, reverse=False):
+        """Reference result via the per-trial path (fused path disabled)."""
+        from syncopy_tpu.datatype.methods import arithmetic as ar
+
+        orig = ar._fused_whole_array
+        ar._fused_whole_array = lambda *a, **k: None
+        try:
+            return ar._process_operator(obj, operand, operator, reverse=reverse)
+        finally:
+            ar._fused_whole_array = orig
+
+    @pytest.mark.parametrize("operator", ["+", "-", "*", "/", "**"])
+    def test_scalar_bitwise_equal(self, operator):
+        from syncopy_tpu.datatype.methods import arithmetic as ar
+
+        ad = self._tiled()
+        fast = ar._process_operator(ad, 2.5, operator)
+        slow = self._general_result(ad, 2.5, operator)
+        assert np.array_equal(np.asarray(fast.data), np.asarray(slow.data))
+        assert np.array_equal(fast.trialdefinition, slow.trialdefinition)
+        assert list(fast.channel) == list(slow.channel)
+
+    def test_reverse_scalar(self):
+        from syncopy_tpu.datatype.methods import arithmetic as ar
+
+        ad = self._tiled()
+        fast = ar._process_operator(ad, 3.0, "-", reverse=True)
+        slow = self._general_result(ad, 3.0, "-", reverse=True)
+        assert np.array_equal(np.asarray(fast.data), np.asarray(slow.data))
+        assert np.allclose(np.asarray(fast.data), 3.0 - np.asarray(ad.data))
+
+    @pytest.mark.parametrize("shape", [(3,), (1, 3), (16, 3), (16, 1)])
+    def test_array_operand_broadcasts(self, shape):
+        from syncopy_tpu.datatype.methods import arithmetic as ar
+
+        ad = self._tiled()
+        operand = np.random.default_rng(1).uniform(1, 2, size=shape).astype("f4")
+        fast = ar._process_operator(ad, operand, "*")
+        slow = self._general_result(ad, operand, "*")
+        assert np.array_equal(np.asarray(fast.data), np.asarray(slow.data))
+
+    def test_object_operand(self):
+        from syncopy_tpu.datatype.methods import arithmetic as ar
+
+        a = self._tiled(seed=7)
+        b = self._tiled(seed=8)
+        fast = ar._process_operator(a, b, "/")
+        slow = self._general_result(a, b, "/")
+        assert np.array_equal(np.asarray(fast.data), np.asarray(slow.data))
+
+    def test_gapped_trialdefinition_not_fused(self):
+        """Gaps between trials: output only holds trial samples."""
+        from syncopy_tpu.datatype.methods.arithmetic import _fused_whole_array, _OPS
+
+        rng = np.random.default_rng(3)
+        data = rng.normal(size=(50, 2)).astype("f4")
+        trl = np.array([[0.0, 10, 0], [20, 30, 0], [40, 50, 0]])  # gapped
+        ad = spy.AnalogData(data=data, trialdefinition=trl, samplerate=10.0)
+        assert _fused_whole_array(ad, 2.0, _OPS["*"], "*", False) is None
+        res = 2.0 * ad
+        assert np.asarray(res.data).shape[0] == 30  # trials only, no gaps
+        assert np.allclose(np.asarray(res.trials[1]), 2.0 * data[20:30])
+
+    def test_overlapping_trials_not_fused(self):
+        from syncopy_tpu.datatype.methods.arithmetic import _fused_whole_array, _OPS
+
+        rng = np.random.default_rng(4)
+        data = rng.normal(size=(30, 2)).astype("f4")
+        trl = np.array([[0.0, 20, 0], [10, 30, 0]])  # overlap
+        ad = spy.AnalogData(data=data, trialdefinition=trl, samplerate=10.0)
+        assert _fused_whole_array(ad, 2.0, _OPS["*"], "*", False) is None
+        res = ad + 1.0
+        assert np.asarray(res.data).shape[0] == 40  # both trials stacked
+
+    def test_selection_uses_general_path(self):
+        ad = self._tiled()
+        ad.selectdata(inplace=True, trials=[1, 3], channel=[0, 2])
+        res = ad * 2.0
+        want = np.asarray(ad.trials[1])[:, [0, 2]] * 2.0
+        assert np.allclose(np.asarray(res.trials[0]), want)
+        ad.selectdata(clear=True, inplace=True)
+
+    def test_ragged_trials_array_operand_not_fused(self):
+        """Unequal trial lengths: array operand must fall back (and still
+        broadcast per trial when compatible)."""
+        from syncopy_tpu.datatype.methods.arithmetic import _fused_whole_array, _OPS
+
+        rng = np.random.default_rng(5)
+        data = rng.normal(size=(30, 2)).astype("f4")
+        trl = np.array([[0.0, 10, 0], [10, 30, 0]])  # 10 and 20 samples
+        ad = spy.AnalogData(data=data, trialdefinition=trl, samplerate=10.0)
+        operand = np.array([2.0, 3.0], dtype="f4")
+        assert _fused_whole_array(ad, operand, _OPS["*"], "*", False) is None
+        res = ad * operand
+        assert np.allclose(np.asarray(res.trials[1]), data[10:30] * operand)
+
+    def test_zero_division_still_raises(self):
+        ad = self._tiled()
+        with pytest.raises(spy.SPYValueError):
+            ad / 0
