@@ -16,6 +16,7 @@
 #     u_j = z_j/|z_j| — an O(nTrials) reduction over the trial stack.
 
 import functools
+import os
 
 import numpy as np
 
@@ -463,6 +464,7 @@ def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10, shard=_Ident
         return s + 1j * si, lo + (e + 1j * ei)
 
     Ident = jnp.eye(CSDfull.shape[1], dtype=CSDfull.dtype)
+    force_lu = os.environ.get("SPY_TPU_WILSON_INV", "ns").lower() == "lu"
 
     def _lu_with_floor(ph):
         Xl = jnp.linalg.inv(ph)
@@ -476,13 +478,16 @@ def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10, shard=_Ident
         # exact fallback (NaN-safe predicate, floor-aware bar as in
         # phase 1) guards the drift case. Inverse error enters E only at
         # second order.
-        X = X @ (2 * Ident - ph @ X)
-        X = X @ (2 * Ident - ph @ X)
-        ns_res = jnp.max(jnp.abs(Ident - ph @ X))
-        bar = jnp.maximum(jnp.asarray(1e-6, jnp.float32), 4 * lu_floor)
-        X, lu_floor = jax.lax.cond(
-            ns_res <= bar, lambda: (X, lu_floor), lambda: _lu_with_floor(ph)
-        )
+        if force_lu:
+            X, lu_floor = _lu_with_floor(ph)
+        else:
+            X = X @ (2 * Ident - ph @ X)
+            X = X @ (2 * Ident - ph @ X)
+            ns_res = jnp.max(jnp.abs(Ident - ph @ X))
+            bar = jnp.maximum(jnp.asarray(1e-6, jnp.float32), 4 * lu_floor)
+            X, lu_floor = jax.lax.cond(
+                ns_res <= bar, lambda: (X, lu_floor), lambda: _lu_with_floor(ph)
+            )
         p_inv = X
         E = p_inv @ R @ jnp.conj(jnp.swapaxes(p_inv, 1, 2))
         pE, E0h = _plus_operator(shard.chan(E))
@@ -696,6 +701,9 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
     # inputs — where no inverse can beat that floor — don't degenerate
     # into paying NS + LU every iteration.
     ns_thresh = 1e-6 if cdtype == jnp.complex64 else 1e-12
+    # benchmarking/debug escape: SPY_TPU_WILSON_INV=lu forces the exact-LU
+    # inverse every iteration (the pre-Newton-Schulz behavior); default "ns"
+    force_lu = os.environ.get("SPY_TPU_WILSON_INV", "ns").lower() == "lu"
 
     def _ns_refresh(psi, X, n=3):
         # Newton-Schulz inverse refresh: X <- X (2I - psi X). Quadratic
@@ -723,14 +731,17 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
         # Granger bias). Measured over ALL bins: excluded near-zero-power
         # bins smear too. The predicate is written NaN-safe: an NS
         # overflow (Inf -> NaN residual) must take the LU branch.
-        X = _ns_refresh(psi, X)
-        ns_res = jnp.max(jnp.abs(Ident - psi @ X))
-        bar = jnp.maximum(jnp.asarray(ns_thresh, rdtype), 4 * lu_floor)
-        X, lu_floor = jax.lax.cond(
-            ns_res <= bar,
-            lambda: (X, lu_floor),
-            lambda: _lu_with_floor(psi),
-        )
+        if force_lu:
+            X, lu_floor = _lu_with_floor(psi)
+        else:
+            X = _ns_refresh(psi, X)
+            ns_res = jnp.max(jnp.abs(Ident - psi @ X))
+            bar = jnp.maximum(jnp.asarray(ns_thresh, rdtype), 4 * lu_floor)
+            X, lu_floor = jax.lax.cond(
+                ns_res <= bar,
+                lambda: (X, lu_floor),
+                lambda: _lu_with_floor(psi),
+            )
         g = X @ U
         g = g @ jnp.conj(jnp.swapaxes(g, 1, 2))
         gplus, gplus_0 = _plus_operator_onesided(shard.chan(g + Ident), M)
