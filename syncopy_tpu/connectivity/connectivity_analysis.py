@@ -179,10 +179,12 @@ def connectivityanalysis(
                 if fa_cfg is not None and not fa_cfg.get("exact_fft", False):
                     SPYWarning(
                         "Granger from precomputed float32 'fourier' spectra is "
-                        "numerically degraded: the Wilson factorization error "
-                        "floors at ~1e-4 and will likely report "
-                        "converged=False. Recompute the spectra with "
-                        "spy.freqanalysis(..., exact_fft=True), or run "
+                        "numerically degraded: the accumulated CSD carries "
+                        "plain-f32 rounding, which biases the Granger estimate "
+                        "by O(1e-2) absolute even when the factorization "
+                        "converges (and can make it fail outright). Recompute "
+                        "the spectra with spy.freqanalysis(..., "
+                        "exact_fft=True), or run "
                         "connectivityanalysis(method='granger') directly on "
                         "the raw AnalogData (the compensated DFT then applies "
                         "automatically)."
@@ -290,6 +292,23 @@ def connectivityanalysis(
         av_compRoutine.initialize(st_out, out._stackingDim)
         av_compRoutine.pre_check()
         av_compRoutine.compute(st_out, out, parallel=parallel, log_dict=log_dict)
+        if (
+            method == "granger"
+            and out.info.get("converged") is False
+            and os.environ.get("SPY_GRANGER_HOST_FALLBACK", "1") != "0"
+        ):
+            # the float32 device factorization can diverge on wide/ill-
+            # conditioned CSDs (the reference always factorizes in float64,
+            # syncopy/connectivity/AV_compRoutines.py:292-484): retry on the
+            # host in float64 so the user never keeps an unreliable estimate
+            SPYWarning(
+                "float32 device Wilson factorization did not converge "
+                "(max rel. err {:.2e}) — retrying with the host float64 "
+                "factorization (disable via SPY_GRANGER_HOST_FALLBACK=0).".format(
+                    float(out.info.get("max rel. err", float("nan")))
+                )
+            )
+            out = _granger_host_full(st_out, av_compRoutine)
 
     if jackknife:
         from ..statistics import jackknifing as jk

@@ -540,6 +540,31 @@ class TestGrangerFromSpectra:
         with pytest.warns(RuntimeWarning, match="did NOT converge"):
             spy.connectivityanalysis(d, method="granger", tapsmofrq=2)
 
+    def test_nonconvergence_triggers_host_f64_fallback(self, monkeypatch):
+        """A non-converged float32 device factorization is automatically
+        retried with the host float64 path — the returned estimate is the
+        converged f64 one, not the diverged f32 one."""
+        from syncopy_tpu.connectivity import AV_compRoutines as av
+
+        real_wilson = av.wilson_sf
+
+        def diverged(CSD, nIter=100, rtol=1e-6):
+            H, Sigma, conv, err = real_wilson(CSD, nIter=nIter, rtol=rtol)
+            import jax.numpy as jnp
+            return H, Sigma, jnp.asarray(False), jnp.asarray(1e3, err.dtype)
+
+        monkeypatch.setattr(av, "wilson_sf", diverged)
+        # unique shape: the engine's executable cache is keyed by shapes —
+        # reusing a shape from another test would bypass the monkeypatch
+        d = spy.synthdata.ar2_network(nTrials=50, nSamples=260, seed=3)
+        with pytest.warns(RuntimeWarning, match="retrying with the host float64"):
+            g = spy.connectivityanalysis(d, method="granger", tapsmofrq=2)
+        assert g.info["converged"], g.info
+        assert "host float64" in str(g._log)
+        # the fallback estimate carries the physics: directed 0 -> 1 coupling
+        arr = np.asarray(g.data)
+        assert arr[..., 1, 0].max() > 5 * arr[..., 0, 1].max()
+
     def test_exact_fft_matches_plain(self):
         d = spy.synthdata.white_noise(nTrials=4, nSamples=300, nChannels=3, seed=4)
         plain = spy.freqanalysis(d, method="mtmfft", output="fourier")
