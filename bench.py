@@ -82,7 +82,40 @@ def device_only_metrics(full=False):
     return run_device_bench(full=full)
 
 
+def _backend_available(timeout_s=240, retries=3, wait_s=120):
+    """Probe TPU-backend health in a bounded subprocess: a downed tunnel
+    makes `jax.devices()` block for ~30 minutes before raising, which
+    would stall the whole benchmark run with nothing recorded. Retries
+    ride out short tunnel-weather windows."""
+    import subprocess
+
+    err = ""
+    for attempt in range(retries):
+        if attempt:
+            time.sleep(wait_s)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True,
+            )
+            if proc.returncode == 0:
+                return True, ""
+            err = (proc.stderr.decode(errors="replace").strip().splitlines() or [""])[-1]
+        except subprocess.TimeoutExpired:
+            err = "backend init timed out after {}s".format(timeout_s)
+    return False, err
+
+
 def main():
+    ok, err = _backend_available()
+    if not ok:
+        print(json.dumps({
+            "metric": "trials/sec for mtmfft+coherence (1000x64ch x 1s @ 1kHz)",
+            "value": None, "unit": "trials/sec", "vs_baseline": None,
+            "error": "TPU backend unavailable: {}".format(err[:200]),
+        }))
+        return
+
     import syncopy_tpu as spy
 
     if "--device-only" in sys.argv:

@@ -767,8 +767,13 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
         # fixed-point exit: only once the fit is already tight (err < 1e-2)
         # and progress has stopped — Wilson's error is non-monotonic early on
         plateau = jnp.logical_and(err < 1e-2, prev_err - err < 1e-4 * err)
+        # blow-up exit: a relative factorization error beyond 1e4 after the
+        # early non-monotonic phase never recovers — stop burning O(N^3)
+        # iterations and let the caller's converged=False handling (frontend
+        # host-f64 fallback) take over
+        blown = jnp.logical_and(err > 1e4, it > 5)
         keep = jnp.logical_and(err >= rtol_phase1, it < nIter)
-        return jnp.logical_and(keep, jnp.logical_not(plateau))
+        return jnp.logical_and(keep, jnp.logical_not(jnp.logical_or(plateau, blown)))
 
     # the initial inverse is exact and cheap: psi_init is the zero-lag
     # Cholesky factor tiled over frequency, one (N, N) triangular inverse
