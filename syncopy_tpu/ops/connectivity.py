@@ -719,7 +719,7 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
         return Xl, jnp.max(jnp.abs(Ident - psi @ Xl)).astype(rdtype)
 
     def step(state):
-        psi, psi0, X, lu_floor, err, prev_err, it = state
+        psi, psi0, X, lu_floor, err, prev_err, best_err, it = state
         # warm-started Newton-Schulz inverse; exact LU fallback while psi
         # still moves by O(1) factors (early iterations). The acceptance
         # bar is strict — within 4x of the LU residual floor: an inverse
@@ -753,7 +753,8 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
         CSDfac = psi_new @ jnp.conj(jnp.swapaxes(psi_new, 1, 2))
         rel = jnp.abs(CSD - CSDfac) / jnp.abs(CSD)
         new_err = jnp.max(jnp.where(valid_bin, rel, 0.0))
-        return psi_new, psi0_new, X, lu_floor, new_err.astype(rdtype), err, it + 1
+        return (psi_new, psi0_new, X, lu_floor, new_err.astype(rdtype), err,
+                jnp.minimum(best_err, new_err.astype(rdtype)), it + 1)
 
     # in float32 the multiplicative iteration's error measure floors around
     # eps*cond — stop it early and hand over to the compensated-residual
@@ -763,15 +764,17 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
     rtol_phase1 = jnp.maximum(jnp.asarray(rtol, rdtype), 1e-3) if refine else rtol
 
     def cond(state):
-        err, prev_err, it = state[4], state[5], state[6]
+        err, prev_err, best_err, it = state[4], state[5], state[6], state[7]
         # fixed-point exit: only once the fit is already tight (err < 1e-2)
         # and progress has stopped — Wilson's error is non-monotonic early on
         plateau = jnp.logical_and(err < 1e-2, prev_err - err < 1e-4 * err)
-        # blow-up exit: a relative factorization error beyond 1e4 after the
-        # early non-monotonic phase never recovers — stop burning O(N^3)
-        # iterations and let the caller's converged=False handling (frontend
+        # blow-up exit: once the error has regressed 10x above the best seen
+        # (absolute thresholds are unusable: the initial error is huge —
+        # ~1e6 at 128 ch — and decays through 1e4 during LEGITIMATE
+        # convergence), the iteration never recovers — stop burning O(N^3)
+        # GEMMs and let the caller's converged=False handling (frontend
         # host-f64 fallback) take over
-        blown = jnp.logical_and(err > 1e4, it > 5)
+        blown = jnp.logical_and(err > 10 * best_err, it > 5)
         keep = jnp.logical_and(err >= rtol_phase1, it < nIter)
         return jnp.logical_and(keep, jnp.logical_not(jnp.logical_or(plateau, blown)))
 
@@ -782,9 +785,10 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
     init = (
         psi_init, psi0_init, X_init, floor_init,
         jnp.asarray(jnp.inf, dtype=rdtype),
+        jnp.asarray(jnp.inf, dtype=rdtype),
         jnp.asarray(jnp.inf, dtype=rdtype), jnp.asarray(0),
     )
-    psi, psi0, _, _, err, _, _ = jax.lax.while_loop(cond, step, init)
+    psi, psi0, _, _, err, _, _, _ = jax.lax.while_loop(cond, step, init)
 
     if refine:
         # the compensated-residual Newton refinement runs on the full
