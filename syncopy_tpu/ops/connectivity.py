@@ -686,6 +686,23 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
     diag_power = jnp.mean(jnp.abs(jnp.diagonal(CSD, axis1=1, axis2=2)), axis=1)
     valid_bin = (diag_power > 1e-9 * jnp.max(diag_power))[:, None, None]
 
+    # g-forcing at excluded bins (float32 device path, default on): a
+    # zero-power bin's Wilson update factor has the exact fixed-point value
+    # g + I = 2I (psi psi^H = CSD holds trivially as power -> 0), but
+    # COMPUTING it means Cholesky-factorizing a near-zero CSD and inverting
+    # a near-singular psi — numerical garbage the plus operator's
+    # frequency-axis FFT smears into every valid bin. It also pins the NS
+    # acceptance residual at ~2^-8 forever, forcing the LU fallback every
+    # iteration (traced at 64 AND 128 ch on the demeaned-DC CSD).
+    # Substituting the exact limit removes the garbage source and lets NS
+    # engage. Measured valid-bin effect (f64 A/B, 64 ch, demeaned DC):
+    # <= 8e-3 absolute on the DC-adjacent bin, ~2e-4 in the bulk — 4x below
+    # 1000-trial estimator noise, and only on bins whose plain values
+    # depend on accumulation-rounding noise anyway. complex128 keeps the
+    # plain iteration (reference-oracle parity stays exact).
+    g_force = cdtype == jnp.complex64 and os.environ.get(
+        "SPY_TPU_WILSON_GFORCE", "1") != "0"
+
     # initialization: cholesky of the zero-lag covariance (wilson_sf.py:131-148)
     gamma0 = jnp.fft.fft(CSDfull, axis=0)[0]
     gamma0 = jnp.real((gamma0 + jnp.conj(gamma0.T)) / 2).astype(rdtype)
@@ -714,9 +731,19 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
             X = X @ (2 * Ident - psi @ X)
         return X
 
+    def _inv_residual(psi, X):
+        # with g-forcing the inverse at excluded bins is never used — keep
+        # their (garbage) residuals out of the acceptance metric and the LU
+        # floor, or they poison the bar for every valid bin. NaN at a VALID
+        # bin still fails the <= bar (NaN-safe).
+        res = jnp.abs(Ident - psi @ X)
+        if g_force:
+            res = jnp.where(valid_bin, res, 0.0)
+        return jnp.max(res).astype(rdtype)
+
     def _lu_with_floor(psi):
         Xl = jnp.linalg.inv(psi)
-        return Xl, jnp.max(jnp.abs(Ident - psi @ Xl)).astype(rdtype)
+        return Xl, _inv_residual(psi, Xl)
 
     def step(state):
         psi, psi0, X, lu_floor, err, prev_err, best_err, it = state
@@ -735,7 +762,7 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
             X, lu_floor = _lu_with_floor(psi)
         else:
             X = _ns_refresh(psi, X)
-            ns_res = jnp.max(jnp.abs(Ident - psi @ X))
+            ns_res = _inv_residual(psi, X)
             bar = jnp.maximum(jnp.asarray(ns_thresh, rdtype), 4 * lu_floor)
             X, lu_floor = jax.lax.cond(
                 ns_res <= bar,
@@ -744,7 +771,10 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
             )
         g = X @ U
         g = g @ jnp.conj(jnp.swapaxes(g, 1, 2))
-        gplus, gplus_0 = _plus_operator_onesided(shard.chan(g + Ident), M)
+        gI = g + Ident
+        if g_force:
+            gI = jnp.where(valid_bin, gI, 2 * Ident)
+        gplus, gplus_0 = _plus_operator_onesided(shard.chan(gI), M)
         gplus = shard.freq(gplus)
         S = jnp.triu(gplus_0)
         S = S - jnp.conj(S.T)
@@ -948,6 +978,11 @@ def granger(CSD, Hfunc, Sigma):
     """
     Pairwise Granger-Geweke causality, Eq. 8 of Dhamala et al. 2008
     (reference granger.py:10-80). ``Granger[:, i, j]`` is causality i -> j.
+
+    Near-zero-power bins (e.g. the demeaned DC bin) are returned as 0: no
+    causality is measurable there, and the log ratio would be the noise of
+    a noise estimate (the reference propagates it as garbage/NaN). Bins
+    with genuine power are untouched.
     """
     nChannels = CSD.shape[1]
     auto_spectra = jnp.abs(jnp.diagonal(CSD, axis1=1, axis2=2))  # (F, N)
@@ -958,11 +993,15 @@ def granger(CSD, Hfunc, Sigma):
     SigmaII = auto_cov[None, :] * jnp.ones((nChannels, 1), dtype=auto_cov.dtype)
     denom = SigmaII.T - SigmaJI**2 / SigmaII
     denom = Smat - denom * Hmat
-    return jnp.log(Smat / denom)
+    G = jnp.log(Smat / denom)
+    dpow = jnp.mean(auto_spectra, axis=1)
+    valid = dpow > 1e-9 * jnp.max(dpow)
+    return jnp.where(valid[:, None, None], G, jnp.zeros((), G.dtype))
 
 
 def granger_host(CSD, Hfunc, Sigma):
-    """Host-side float64 counterpart of :func:`granger` (same Eq. 8)."""
+    """Host-side float64 counterpart of :func:`granger` (same Eq. 8,
+    same zero-power-bin zeroing)."""
     CSD, Hfunc, Sigma = (np.asarray(a) for a in (CSD, Hfunc, Sigma))
     nChannels = CSD.shape[1]
     auto_spectra = np.abs(np.einsum("fii->fi", CSD))
@@ -973,7 +1012,11 @@ def granger_host(CSD, Hfunc, Sigma):
     SigmaII = auto_cov[None, :] * np.ones((nChannels, 1))
     denom = SigmaII.T - SigmaJI**2 / SigmaII
     denom = Smat - denom * Hmat
-    return np.log(Smat / denom)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        G = np.log(Smat / denom)
+    dpow = auto_spectra.mean(axis=1)
+    valid = dpow > 1e-9 * dpow.max()
+    return np.where(valid[:, None, None], G, 0.0)
 
 
 def ppc_from_spectra(cs_stack):

@@ -166,6 +166,57 @@ class TestWilsonFloat32Refined:
             assert abs(float(eps_d) - eps_h) / eps_h < 1e-6
         assert np.abs(np.asarray(Creg_d) - Creg_h).max() < 1e-10
 
+    def test_gforce_excluded_bins(self, monkeypatch):
+        """Demeaned-DC CSDs: the f32 path substitutes the exact fixed-point
+        update factor (g + I = 2I) at excluded near-zero-power bins instead
+        of computing it from a near-singular factorization. The result must
+        converge and match the plain f64 host factorization away from the
+        excluded bin (the DC-adjacent bins depend on accumulation-rounding
+        noise in the plain iteration — see ops/connectivity.py)."""
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import (
+            granger, granger_host, wilson_sf, wilson_sf_host,
+        )
+        from syncopy_tpu.ops.connectivity import cross_spectra_trial
+
+        nSamples, nTrials = 256, 80
+        ad = spy.synthdata.ar2_network(nTrials=nTrials, nSamples=nSamples, seed=21)
+        acc = None
+        for k in range(nTrials):
+            cs = np.asarray(cross_spectra_trial(
+                jnp.asarray(np.asarray(ad.trials[k], dtype=np.float64)),
+                1000.0, nSamples, taper="hann", demean_taper=True))[0]
+            acc = cs.astype(np.complex128) if acc is None else acc + cs
+        CSD = acc / nTrials
+        # the demeaned DC bin must actually be excluded for this test to bite
+        dpow = np.abs(np.einsum("fii->fi", CSD)).mean(axis=1)
+        assert dpow[0] < 1e-9 * dpow.max()
+
+        H64, S64, c64, e64 = wilson_sf_host(CSD, nIter=100, rtol=5e-6)
+        G64 = granger_host(CSD, H64, S64)
+
+        C32 = jnp.asarray(CSD.astype(np.complex64))
+        monkeypatch.setenv("SPY_TPU_WILSON_GFORCE", "1")
+        H32, S32, c32, e32 = wilson_sf(C32, nIter=100, rtol=5e-6)
+        assert bool(c32), float(e32)
+        G32 = np.asarray(granger(C32, H32, S32))
+        # bulk bins: the one-bin substitution carries ~1/M lag-domain
+        # weight (M = 256 here), i.e. an O(1e-3) perturbation — far below
+        # the 80-trial estimator noise (~0.1)
+        assert np.abs(G32[20:] - G64[20:]).max() < 3e-3
+        # DC-proximal bins: bounded by the measured ~1e-2 noise sensitivity
+        assert np.nanmax(np.abs(G32[1:20] - G64[1:20])) < 5e-2
+        # the physics is untouched: same 1 -> 0 peak height
+        assert abs(G32[:, 1, 0].max() - G64[:, 1, 0].max()) < 5e-3
+
+        # the escape hatch restores the plain iteration
+        monkeypatch.setenv("SPY_TPU_WILSON_GFORCE", "0")
+        H32p, S32p, c32p, e32p = wilson_sf(C32, nIter=100, rtol=5e-6)
+        assert bool(c32p), float(e32p)
+        G32p = np.asarray(granger(C32, H32p, S32p))
+        assert np.abs(G32p[20:] - G64[20:]).max() < 3e-3
+
     def test_compensated_residual_accuracy(self):
         import jax.numpy as jnp
 
