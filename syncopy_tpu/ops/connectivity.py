@@ -755,9 +755,11 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
         # steers the iteration off the minimum-phase factor by ~res/10 —
         # an error the reconstruction metric cannot see and the Newton
         # refinement cannot repair (measured: 4e-3 residuals -> 3e-5
-        # Granger bias). Measured over ALL bins: excluded near-zero-power
-        # bins smear too. The predicate is written NaN-safe: an NS
-        # overflow (Inf -> NaN residual) must take the LU branch.
+        # Granger bias). With g-forcing the residual is measured over
+        # valid bins only (excluded bins' inverses are never used);
+        # without it, over ALL bins — their garbage smears too. The
+        # predicate is written NaN-safe: an NS overflow (Inf -> NaN
+        # residual) must take the LU branch.
         if force_lu:
             X, lu_floor = _lu_with_floor(psi)
         else:
