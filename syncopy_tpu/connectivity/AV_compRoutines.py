@@ -150,6 +150,11 @@ class GrangerCausality(_AVRoutine):
     def __init__(self, rtol=5e-6, nIter=100, cond_max=1e4):
         super().__init__(rtol=float(rtol), nIter=int(nIter), cond_max=float(cond_max))
 
+    def extra_cache_key(self):
+        from ..ops.connectivity import wilson_env_fingerprint
+
+        return wilson_env_fingerprint()
+
     def device_bytes_per_trial(self, shp, out_shp, out_dt):
         """Wilson workspace per factorization: the compensated-residual
         refinement slices psi into mantissa pieces and XLA keeps many
@@ -179,5 +184,12 @@ class GrangerCausality(_AVRoutine):
         super().process_metadata(data, out)
         for key, value in self.aux_info.items():
             val = np.asarray(value).ravel()
-            scalar = val[0] if val.size else val
-            out.info[key] = bool(scalar) if key == "converged" else float(scalar)
+            if key == "converged":
+                # multiple factorized rows (jackknife replicates): the run
+                # only counts as converged when EVERY replicate converged
+                out.info[key] = bool(val.all()) if val.size else False
+            elif key == "max rel. err":
+                out.info[key] = float(val.max()) if val.size else float("nan")
+            else:
+                scalar = val[0] if val.size else val
+                out.info[key] = float(scalar)

@@ -281,7 +281,7 @@ def connectivityanalysis(
         out = _compute_ppc(st_out, parallel=parallel)
     elif method == "granger" and send_idx is not None:
         out = _granger_pairwise(st_out, send_idx, rec_idx, data, av_compRoutine)
-    elif method == "granger" and os.environ.get("SPY_GRANGER_HOST", ""):
+    elif method == "granger" and os.environ.get("SPY_GRANGER_HOST", "") not in ("", "0"):
         # escape hatch: force the host float64 factorization (the default
         # device path runs float32 Wilson + compensated-residual Newton
         # refinement, which matches the float64 result to ~1e-6 — see
@@ -316,6 +316,24 @@ def connectivityanalysis(
         jack_rep = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
         av_compRoutine.initialize(replicates_avg, jack_rep._stackingDim)
         av_compRoutine.compute(replicates_avg, jack_rep, parallel=parallel, log_dict=log_dict)
+        if (
+            method == "granger"
+            and jack_rep.info.get("converged") is False
+            and os.environ.get("SPY_GRANGER_HOST_FALLBACK", "1") != "0"
+        ):
+            # the leave-one-out CSDs share the full average's conditioning:
+            # if ANY replicate's f32 factorization diverged, pairing its
+            # bias/variance with a (possibly host-f64-retried) good point
+            # estimate would silently attach garbage error bars — redo the
+            # replicates in host float64
+            SPYWarning(
+                "Wilson factorization did not converge on at least one "
+                "jackknife replicate (max rel. err {:.2e}) — recomputing "
+                "the replicates with the host float64 factorization.".format(
+                    float(jack_rep.info.get("max rel. err", float("nan")))
+                )
+            )
+            jack_rep = _granger_host_replicates(replicates_avg, av_compRoutine)
         bias, variance = jk.bias_var(out, jack_rep)
         out._register_dataset("jack_var", np.asarray(variance.data))
         out._register_dataset("jack_bias", np.asarray(bias.data))
@@ -563,6 +581,39 @@ def _granger_host_full(st_avg, av_routine):
     return out
 
 
+def _granger_host_replicates(replicates_avg, av_routine):
+    """Host float64 Granger for every jackknife replicate (fallback when a
+    float32 device factorization of the leave-one-out CSDs diverges)."""
+    from ..ops.connectivity import granger_host, regularize_csd_host, wilson_sf_host
+
+    cfg = av_routine.cfg
+    stacked, convs, errs = [], [], []
+    for k in range(len(replicates_avg.trials)):
+        csd = np.asarray(replicates_avg.trials[k])[0]  # (F, N, N)
+        CSDreg, _, _ = regularize_csd_host(csd, cond_max=cfg["cond_max"], eps_max=1e-1)
+        H, Sigma, conv, err = wilson_sf_host(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
+        stacked.append(granger_host(CSDreg, H, Sigma).astype(np.float32)[None])
+        convs.append(bool(conv))
+        errs.append(float(err))
+
+    jack_rep = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
+    jack_rep.data = np.concatenate(stacked, axis=0)
+    jack_rep.samplerate = replicates_avg.samplerate
+    n_rep = len(stacked)
+    trl = np.zeros((n_rep, 3))
+    trl[:, 0] = np.arange(n_rep)
+    trl[:, 1] = trl[:, 0] + 1
+    jack_rep.trialdefinition = trl
+    jack_rep.channel_i = np.asarray(replicates_avg.channel_i)
+    jack_rep.channel_j = np.asarray(replicates_avg.channel_j)
+    jack_rep.freq = np.asarray(replicates_avg.freq)
+    jack_rep.info["converged"] = bool(np.all(convs))
+    jack_rep.info["max rel. err"] = float(np.max(errs)) if errs else float("nan")
+    jack_rep._log = str(replicates_avg._log)
+    jack_rep.log = "computed {} jackknife Granger replicates (host float64)".format(n_rep)
+    return jack_rep
+
+
 def _granger_pairwise(st_avg, send_idx, rec_idx, data, av_routine):
     """
     Pairwise Granger over (senders x receivers): one vmapped
@@ -590,9 +641,12 @@ def _granger_pairwise(st_avg, send_idx, rec_idx, data, av_routine):
         G = granger_kernel(CSDreg, H, Sigma)
         return G[:, 0, 1], conv, err
 
+    from ..ops.connectivity import wilson_env_fingerprint
+
     G_pairs, convs, errs = run_on_device(
         jax.vmap(one_pair), sub_np,
-        key=("granger_pairs", cfg["rtol"], cfg["nIter"], cfg["cond_max"]),
+        key=("granger_pairs", cfg["rtol"], cfg["nIter"], cfg["cond_max"],
+             wilson_env_fingerprint()),
     )
     G_pairs = np.asarray(G_pairs, dtype=np.float32)  # (P, F)
     result = G_pairs.reshape(len(send_idx), len(rec_idx), -1).transpose(2, 0, 1)[None]

@@ -348,6 +348,14 @@ class ComputationalRoutine:
     def process_metadata(self, data, out):
         raise NotImplementedError
 
+    def extra_cache_key(self):
+        """Hashable state the traced program depends on beyond cfg/shapes
+        (e.g. env knobs read at trace time). Part of the executable cache
+        key — override when process_single_trial's tracing reads such
+        state, or a mid-process knob flip silently reuses the stale
+        executable."""
+        return None
+
     # ------------------------------------------------------------------ #
     # initialize: shape planning (reference computational_routine.py:240-511)
     # ------------------------------------------------------------------ #
@@ -1037,6 +1045,10 @@ class ComputationalRoutine:
             aux_complex,
             self.keeptrials,
             _readback_dtype(),
+            # CRs whose traced program bakes in state beyond cfg (e.g. env
+            # knobs read at trace time) declare it here — otherwise a knob
+            # flip mid-process would silently reuse the stale executable
+            self.extra_cache_key(),
         )
         if key not in _GLOBAL_JIT_CACHE:
             cfg = self.cfg

@@ -379,6 +379,17 @@ class _IdentityShard:
         return x
 
 
+def wilson_env_fingerprint():
+    """The Wilson env knobs read at TRACE time — any executable whose
+    program embeds them (engine-compiled Granger, run_on_device closures)
+    must include this in its cache key, or flipping a knob mid-process is
+    silently ignored."""
+    return (
+        os.environ.get("SPY_TPU_WILSON_INV", "ns").lower(),
+        os.environ.get("SPY_TPU_WILSON_GFORCE", "1"),
+    )
+
+
 class _MeshShard:
     """GSPMD layout hooks for the mesh-sharded Wilson factorization.
 
@@ -800,13 +811,14 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
         # fixed-point exit: only once the fit is already tight (err < 1e-2)
         # and progress has stopped — Wilson's error is non-monotonic early on
         plateau = jnp.logical_and(err < 1e-2, prev_err - err < 1e-4 * err)
-        # blow-up exit: once the error has regressed 10x above the best seen
-        # (absolute thresholds are unusable: the initial error is huge —
-        # ~1e6 at 128 ch — and decays through 1e4 during LEGITIMATE
-        # convergence), the iteration never recovers — stop burning O(N^3)
-        # GEMMs and let the caller's converged=False handling (frontend
-        # host-f64 fallback) take over
-        blown = jnp.logical_and(err > 10 * best_err, it > 5)
+        # blow-up exit: once the error has regressed 100x above the best
+        # seen (absolute thresholds are unusable: the initial error is huge
+        # — ~1e6 at 128 ch — and decays through 1e4 during LEGITIMATE
+        # convergence; the two-orders bar also rides out the early
+        # non-monotonic bounces), the iteration never recovers — stop
+        # burning O(N^3) GEMMs and let the caller's converged=False
+        # handling (frontend host-f64 fallback) take over
+        blown = jnp.logical_and(err > 100 * best_err, it > 5)
         keep = jnp.logical_and(err >= rtol_phase1, it < nIter)
         return jnp.logical_and(keep, jnp.logical_not(jnp.logical_or(plateau, blown)))
 
@@ -1014,11 +1026,14 @@ def granger_host(CSD, Hfunc, Sigma):
     SigmaII = auto_cov[None, :] * np.ones((nChannels, 1))
     denom = SigmaII.T - SigmaJI**2 / SigmaII
     denom = Smat - denom * Hmat
-    with np.errstate(divide="ignore", invalid="ignore"):
-        G = np.log(Smat / denom)
     dpow = auto_spectra.mean(axis=1)
     valid = dpow > 1e-9 * dpow.max()
-    return np.where(valid[:, None, None], G, 0.0)
+    # mask excluded bins BEFORE the log so only genuine-power bins can
+    # still raise the divide/log warnings (a valid bin with denom <= 0 is
+    # a real problem the user should see)
+    ratio = np.where(valid[:, None, None], Smat / np.where(
+        valid[:, None, None], denom, 1.0), 1.0)
+    return np.log(ratio)
 
 
 def ppc_from_spectra(cs_stack):

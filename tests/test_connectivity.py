@@ -608,13 +608,55 @@ class TestGrangerFromSpectra:
         # unique shape: the engine's executable cache is keyed by shapes —
         # reusing a shape from another test would bypass the monkeypatch
         d = spy.synthdata.ar2_network(nTrials=50, nSamples=260, seed=3)
-        with pytest.warns(RuntimeWarning, match="retrying with the host float64"):
-            g = spy.connectivityanalysis(d, method="granger", tapsmofrq=2)
+        try:
+            with pytest.warns(RuntimeWarning, match="retrying with the host float64"):
+                g = spy.connectivityanalysis(d, method="granger", tapsmofrq=2)
+        finally:
+            # the monkeypatched (always-diverged) wilson is baked into the
+            # compiled executable — evict it so no later same-shape run in
+            # this process silently reuses it
+            from syncopy_tpu.engine import routine as _routine
+
+            _routine._GLOBAL_JIT_CACHE.clear()
         assert g.info["converged"], g.info
         assert "host float64" in str(g._log)
         # the fallback estimate carries the physics: directed 0 -> 1 coupling
         arr = np.asarray(g.data)
         assert arr[..., 1, 0].max() > 5 * arr[..., 0, 1].max()
+
+    def test_jackknife_replicates_host_fallback(self, monkeypatch):
+        """When the f32 device factorization of the leave-one-out CSDs
+        diverges, the jackknife replicates are recomputed in host float64
+        instead of attaching garbage error bars."""
+        from syncopy_tpu.connectivity import AV_compRoutines as av
+
+        real_wilson = av.wilson_sf
+
+        def diverged(CSD, nIter=100, rtol=1e-6):
+            H, Sigma, conv, err = real_wilson(CSD, nIter=nIter, rtol=rtol)
+            import jax.numpy as jnp
+            return H, Sigma, jnp.asarray(False), jnp.asarray(1e3, err.dtype)
+
+        monkeypatch.setattr(av, "wilson_sf", diverged)
+        d = spy.synthdata.ar2_network(nTrials=20, nSamples=268, seed=5)
+        try:
+            with pytest.warns(RuntimeWarning,
+                              match="recomputing the replicates"):
+                g = spy.connectivityanalysis(d, method="granger",
+                                             tapsmofrq=2, jackknife=True)
+        finally:
+            from syncopy_tpu.engine import routine as _routine
+
+            _routine._GLOBAL_JIT_CACHE.clear()
+        assert g.info["converged"], g.info
+        var = np.asarray(g._get_extra_dataset("jack_var"))
+        bias = np.asarray(g._get_extra_dataset("jack_bias"))
+        assert np.isfinite(var).all() and np.isfinite(bias).all()
+        assert var.shape == g.data.shape
+        assert np.all(var >= 0)
+        # 20-trial jackknife variance at an O(1) peak stays O(1-10);
+        # the point is it is finite and sane, not tight
+        assert var[0, 5:, 1, 0].max() < 10.0
 
     def test_exact_fft_matches_plain(self):
         d = spy.synthdata.white_noise(nTrials=4, nSamples=300, nChannels=3, seed=4)
