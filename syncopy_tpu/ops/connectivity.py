@@ -379,6 +379,9 @@ class _IdentityShard:
         return x
 
 
+_SHARDED_WILSON_CACHE = {}
+
+
 def wilson_env_fingerprint():
     """The Wilson env knobs read at TRACE time — any executable whose
     program embeds them (engine-compiled Granger, run_on_device closures)
@@ -634,14 +637,27 @@ def wilson_sf_sharded(CSD, mesh=None, axis_name=None, nIter=100, rtol=1e-6):
             raise ValueError("no mesh given and no active mesh — use spy.use_mesh")
     if axis_name is None:
         axis_name = mesh.axis_names[0]
-    shard = _MeshShard(mesh, axis_name)
-    # constraints live INSIDE jit only: GSPMD pads non-divisible dims
-    # transparently there, while explicit placement would reject e.g.
-    # F=501 on an 8-way axis
+    CSD = jnp.asarray(CSD)
+    # cache the jitted program: a fresh jax.jit(lambda) per call would
+    # re-trace and re-lower the full while-loop program every invocation
+    # (expensive host-side at 1024 ch even with the persistent compile
+    # cache absorbing the remote compile)
+    key = (CSD.shape, str(CSD.dtype), mesh, axis_name, int(nIter),
+           float(rtol), wilson_env_fingerprint())
+    prog = _SHARDED_WILSON_CACHE.get(key)
+    if prog is None:
+        shard = _MeshShard(mesh, axis_name)
+
+        def _run(S):
+            # constraints live INSIDE jit only: GSPMD pads non-divisible
+            # dims transparently there, while explicit placement would
+            # reject e.g. F=501 on an 8-way axis
+            return _wilson_sf_impl(S, nIter, rtol, shard=shard)
+
+        prog = jax.jit(_run)
+        _SHARDED_WILSON_CACHE[key] = prog
     with jax.default_matmul_precision("highest"):
-        return jax.jit(
-            lambda S: _wilson_sf_impl(S, nIter, rtol, shard=shard)
-        )(jnp.asarray(CSD))
+        return prog(CSD)
 
 
 def granger_sharded(CSD, mesh=None, axis_name=None, rtol=5e-6, nIter=100, cond_max=1e4):
