@@ -1,7 +1,7 @@
 # Per-iteration trace of the Wilson phase-1 iteration (mirrors
 # _wilson_sf_impl's step exactly, but as a fixed-length lax.scan recording
 # err / ns_res / lu_floor / took_lu each iteration).
-# Usage: python wilson_trace.py <csd.npz> [n_iter] [--lu]
+# Usage: python wilson_trace.py <csd.npz> [n_iter] [--lu] [--gforce]
 import os, sys, json
 import numpy as np
 import jax
@@ -14,6 +14,7 @@ from syncopy_tpu.ops.connectivity import _plus_operator_onesided
 path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/csd128_cpu.npz"
 n_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 30
 force_lu = "--lu" in sys.argv
+g_force = "--gforce" in sys.argv
 
 z = np.load(path)
 re, im = z["re"].astype(np.float32), z["im"].astype(np.float32)
@@ -56,7 +57,10 @@ def trace(re, im, nIter):
                 took_lu = jnp.asarray(True)
             else:
                 X = _ns_refresh(psi, X)
-                ns_res = jnp.max(jnp.abs(Ident - psi @ X))
+                res = jnp.abs(Ident - psi @ X)
+                if g_force:
+                    res = jnp.where(valid_bin, res, 0.0)
+                ns_res = jnp.max(res)
                 bar = jnp.maximum(jnp.asarray(ns_thresh, rdtype), 4 * lu_floor)
                 took_lu = jnp.logical_not(ns_res <= bar)
                 X, lu_floor = jax.lax.cond(
@@ -64,7 +68,10 @@ def trace(re, im, nIter):
             inv_res = jnp.max(jnp.abs(Ident - psi @ X))
             g = X @ U
             g = g @ jnp.conj(jnp.swapaxes(g, 1, 2))
-            gplus, gplus_0 = _plus_operator_onesided(g + Ident, M)
+            gI = g + Ident
+            if g_force:
+                gI = jnp.where(valid_bin, gI, 2 * Ident)
+            gplus, gplus_0 = _plus_operator_onesided(gI, M)
             S = jnp.triu(gplus_0)
             S = S - jnp.conj(S.T)
             psi_new = psi @ (gplus + S)
