@@ -547,3 +547,59 @@ class TestIrregularLatencyCoverage:
         import matplotlib.pyplot as plt
 
         plt.close(fig)
+
+
+class TestIrregularTrialsTF:
+    """TF methods over unequal-length trials with nonzero offsets
+    (reference test_specest.py::test_tf/wav/slet_irregular_trials): each
+    trial's output must equal the same method applied to that trial alone,
+    and the per-trial time axes must carry the offsets."""
+
+    @pytest.fixture(scope="class")
+    def ragged(self):
+        rng = np.random.default_rng(3)
+        lens = (300, 420, 360)
+        trls = [rng.normal(size=(n, 2)).astype("f4") for n in lens]
+        d = spy.AnalogData(data=trls, samplerate=500.0)
+        trl = np.asarray(d.trialdefinition)
+        trl[:, 2] = [-50, 0, 25]  # sample offsets
+        d.trialdefinition = trl
+        return d
+
+    def _single_trial_oracle(self, ragged, k, **kw):
+        arr = np.asarray(ragged.trials[k])
+        solo = spy.AnalogData(data=[arr], samplerate=ragged.samplerate)
+        trl = np.asarray(solo.trialdefinition)
+        trl[0, 2] = np.asarray(ragged.trialdefinition)[k, 2]
+        solo.trialdefinition = trl
+        return spy.freqanalysis(solo, **kw)
+
+    @pytest.mark.parametrize("kw", [
+        # pad pinned so the solo oracle shares the multi-trial object's
+        # common frequency axis (default pad='maxperiod' spans ALL trials)
+        dict(method="mtmfft", taper="hann", output="pow", pad=0.84),
+        dict(method="mtmconvol", t_ftimwin=0.1, toi=0.5, taper="hann",
+             output="pow"),
+        dict(method="wavelet", foi=np.arange(10, 60, 10.0), output="pow"),
+        dict(method="superlet", foi=np.arange(10, 60, 10.0), order_max=4,
+             output="pow"),
+    ], ids=["mtmfft", "mtmconvol", "wavelet", "superlet"])
+    def test_per_trial_equals_solo(self, ragged, kw):
+        out = spy.freqanalysis(ragged, keeptrials=True, **kw)
+        assert len(out.trials) == len(ragged.trials)
+        for k in range(len(ragged.trials)):
+            solo = self._single_trial_oracle(ragged, k, keeptrials=True, **kw)
+            got = np.asarray(out.trials[k])
+            want = np.asarray(solo.trials[0])
+            assert got.shape == want.shape, (k, got.shape, want.shape)
+            denom = np.abs(want).max() or 1.0
+            assert np.abs(got - want).max() / denom < 2e-5, k
+            # offsets propagate into the per-trial time axis
+            np.testing.assert_allclose(out.time[k], solo.time[0], atol=1e-9)
+
+    def test_offsets_in_time_axis(self, ragged):
+        out = spy.freqanalysis(ragged, method="wavelet",
+                               foi=np.arange(10, 60, 10.0), keeptrials=True)
+        offs = np.asarray(ragged.trialdefinition)[:, 2]
+        for k, off in enumerate(offs):
+            assert abs(out.time[k][0] - off / ragged.samplerate) < 1e-9
