@@ -2,6 +2,8 @@
 # Engine conformance suite with a toy kernel (modeled on reference
 # tests/test_computationalroutine.py: its LowPassFilter CR + frontend).
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -720,6 +722,12 @@ class TestCompileBackoff:
     HTTP 500s at large batch shapes) quarter the chunk budget and rerun
     instead of failing the analysis (engine/routine.py::compute backoff)."""
 
+    @pytest.mark.skipif(
+        os.environ.get("SPY_TPU_CHUNK_BYTES", "").isdigit()
+        and int(os.environ["SPY_TPU_CHUNK_BYTES"]) <= 64 * 1024**2,
+        reason="stress env pins the chunk budget below the injected failure "
+               "threshold — the backoff has nothing to shrink",
+    )
     def test_backoff_shrinks_chunks_and_succeeds(self, monkeypatch):
         import syncopy_tpu as spy
         from syncopy_tpu.engine import routine
