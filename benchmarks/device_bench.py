@@ -150,7 +150,18 @@ def _wavelet_program(scales, dt):
 def _granger_program(n_trials, n_samples, n_chan, samplerate=1000.0):
     """All-device Granger: compensated double-f32 DFT + Gram CSD ->
     regularization -> f32 Wilson + compensated Newton -> Granger
-    (identical math to connectivityanalysis(method='granger'))."""
+    (identical math to connectivityanalysis(method='granger')).
+
+    TWO programs with a device-array (re, im) handoff, NOT one fused jit:
+    the axon XLA pipeline miscompiles the Wilson while_loop whenever the
+    CSD builder is co-resident in the same program. Verified at 128 ch
+    (seed 7): fused exits at err ~1537 while the identical math split at
+    the CSD boundary converges to 4e-8 — on a CSD that matches the fused
+    program's own materialized CSD to 3.6e-12, with or without an
+    optimization_barrier, with or without the granger consumer
+    (benchmarks/diagnostics/wilson_fusion_bisect.py). The split mirrors
+    the production engine's ST-program -> AV-program structure, which
+    converges at every measured width (wilson_prod_structure.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -161,15 +172,26 @@ def _granger_program(n_trials, n_samples, n_chan, samplerate=1000.0):
                       taper_opt=None, demean_taper=True, polyremoval=0,
                       exact_fft=True)
 
-    def step(x):
+    def build(x):
         n = jnp.asarray(x.shape[0], dtype=jnp.int32)
         csd_avg = cr.process_batch_sum(x, n, **cr.cfg)[0] / x.shape[0]
-        CSDreg, _, _ = regularize_csd(csd_avg.astype(jnp.complex64),
-                                      cond_max=1e4, eps_max=1e-1)
+        csd_avg = csd_avg.astype(jnp.complex64)
+        return jnp.real(csd_avg), jnp.imag(csd_avg)
+
+    def factorize(re, im):
+        CSD = (re + 1j * im).astype(jnp.complex64)
+        CSDreg, _, _ = regularize_csd(CSD, cond_max=1e4, eps_max=1e-1)
         H, Sigma, conv, err = wilson_sf(CSDreg, nIter=100, rtol=5e-6)
         return granger(CSDreg, H, Sigma), conv, err
 
-    return jax.jit(step)
+    build = jax.jit(build)
+    factorize = jax.jit(factorize)
+
+    def step(x):
+        return factorize(*build(x))
+
+    step.programs = (build, factorize)
+    return step
 
 
 def _flops_fft(batch_rows, n):
@@ -326,7 +348,11 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
     G, conv, err = gr(x)
     jax.block_until_ready(G)  # compile
     dt_best = _time_best(lambda x: gr(x)[0], (x,), repeats)
-    flops = _cost_flops(gr, x)
+    build_prog, factor_prog = gr.programs
+    flops_build = _cost_flops(build_prog, x)
+    flops_factor = _cost_flops(factor_prog, *build_prog(x))
+    flops = (flops_build + flops_factor
+             if flops_build is not None and flops_factor is not None else None)
     if flops is None:
         F = n_samples // 2 + 1
         # dominated by the sliced exact Gram (~9x a plain f32 einsum)

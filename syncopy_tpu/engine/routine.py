@@ -340,6 +340,24 @@ class ComputationalRoutine:
         raise NotImplementedError
 
     def process_batch(self, batch, *aux, **cfg):
+        if batch.shape[0] == 1:
+            # batch-of-one bypass: semantically identical to the vmap below
+            # (leading axis re-attached to every output leaf), but it keeps
+            # single-trial control flow UNBATCHED. On the axon TPU,
+            # jax.vmap over a `lax.while_loop` compiles the loop's batched
+            # rewrite, which the platform miscompiles for wide-channel
+            # Wilson factorization: at 128 ch the vmapped batch-of-one
+            # program deterministically diverges (err ~1540) while the
+            # identical math without vmap converges to 3.7e-8 on the same
+            # device CSD (benchmarks/diagnostics/wilson_vmap_bisect.py).
+            # Trial-average AV routines always arrive here with one row,
+            # and the per-trial byte budget (device_bytes_per_trial) forces
+            # 1-row chunks for wide factorizations, so the hazardous shapes
+            # all take this path.
+            res = self.process_single_trial(
+                batch[0], *(a[0] for a in aux), **cfg
+            )
+            return jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], res)
         return jax.vmap(lambda x, *a: self.process_single_trial(x, *a, **cfg))(batch, *aux)
 
     def per_trial_inputs(self, data, trial_positions):

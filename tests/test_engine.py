@@ -778,3 +778,113 @@ class TestCompileBackoff:
                             always_logic_error)
         with pytest.raises(ValueError, match="logic bug"):
             spy.freqanalysis(ad, method="mtmfft", taper="hann")
+
+
+class TestBatchOfOneBypass:
+    """A batch of ONE trial must not go through jax.vmap: the axon TPU
+    miscompiles the batched rewrite of `lax.while_loop` (wide-channel
+    Wilson factorization diverges under vmap at 128 ch while the
+    identical unbatched program converges — see
+    benchmarks/diagnostics/wilson_vmap_bisect.py). The engine's default
+    process_batch therefore calls process_single_trial directly for
+    batch size 1 and re-attaches the leading axis."""
+
+    class _WithAux(ComputationalRoutine):
+        valid_kws = []
+
+        def process_single_trial(self, trial, **cfg):
+            out = trial * 3.0
+            info = {"peak": jnp.max(trial), "flag": jnp.any(trial > 0)}
+            return out, info
+
+        def process_metadata(self, data, out):  # pragma: no cover
+            pass
+
+    def test_bypass_taken_and_vmap_for_larger(self, monkeypatch):
+        import jax
+
+        from syncopy_tpu.engine import routine
+
+        calls = []
+        orig_vmap = jax.vmap
+
+        def spy_vmap(*args, **kwargs):
+            calls.append(True)
+            return orig_vmap(*args, **kwargs)
+
+        monkeypatch.setattr(routine.jax, "vmap", spy_vmap)
+        cr = TimesTwo()
+        one = jnp.ones((1, 8, 2), dtype=jnp.float32)
+        res1 = cr.process_batch(one)
+        assert not calls, "batch of one must bypass jax.vmap"
+        res4 = cr.process_batch(jnp.ones((4, 8, 2), dtype=jnp.float32))
+        assert calls, "larger batches still vmap"
+        assert res1.shape == (1, 8, 2)
+        np.testing.assert_allclose(np.asarray(res1), np.asarray(res4[:1]))
+
+    def test_bypass_matches_vmap_pytree(self):
+        """The bypass must reproduce the vmapped output structure exactly,
+        including aux-info dict leaves gaining the leading batch axis."""
+        import jax
+
+        cr = self._WithAux()
+        batch = jnp.arange(16, dtype=jnp.float32).reshape(1, 8, 2) - 5.0
+        out1, info1 = cr.process_batch(batch)
+        out_v, info_v = jax.vmap(
+            lambda x: cr.process_single_trial(x, **cr.cfg)
+        )(batch)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out_v))
+        assert set(info1) == set(info_v)
+        for k in info1:
+            assert np.asarray(info1[k]).shape == np.asarray(info_v[k]).shape
+            np.testing.assert_allclose(np.asarray(info1[k]), np.asarray(info_v[k]))
+
+    def test_per_trial_aux_rows_sliced(self):
+        """aux arrays are indexed per trial in the bypass, matching vmap."""
+
+        class WithAuxInput(ComputationalRoutine):
+            valid_kws = []
+
+            def process_single_trial(self, trial, gain, **cfg):
+                return trial * gain
+
+            def process_metadata(self, data, out):  # pragma: no cover
+                pass
+
+        cr = WithAuxInput()
+        batch = jnp.ones((1, 4, 2), dtype=jnp.float32)
+        gains = jnp.asarray([2.5], dtype=jnp.float32)
+        res = cr.process_batch(batch, gains)
+        np.testing.assert_allclose(np.asarray(res), 2.5 * np.ones((1, 4, 2)))
+
+    def test_granger_point_estimate_uses_single_row(self, monkeypatch):
+        """connectivityanalysis(method='granger') reaches the AV routine
+        with exactly one row (the trial average) — the shape class the
+        TPU miscompile hits — and must produce the unbatched program."""
+        import jax
+
+        from syncopy_tpu.engine import routine
+
+        vmapped_batch_shapes = []
+        orig_vmap = jax.vmap
+
+        def spy_vmap(fn, *args, **kwargs):
+            mapped = orig_vmap(fn, *args, **kwargs)
+
+            def wrapper(batch, *a):
+                vmapped_batch_shapes.append(tuple(batch.shape))
+                return mapped(batch, *a)
+
+            return wrapper
+
+        monkeypatch.setattr(routine.jax, "vmap", spy_vmap)
+        adata = spy.synthdata.ar2_network(
+            nTrials=20, AdjMat=np.zeros((2, 2), dtype=np.float32),
+            nSamples=256, seed=3,
+        )
+        res = spy.connectivityanalysis(adata, method="granger")
+        assert res.info["converged"]
+        assert not any(s[0] == 1 for s in vmapped_batch_shapes), (
+            "the one-row trial-average must not be vmapped: {}".format(
+                vmapped_batch_shapes)
+        )
