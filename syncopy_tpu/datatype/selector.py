@@ -12,7 +12,7 @@ import numbers
 
 import numpy as np
 
-from ..shared.errors import SPYTypeError, SPYValueError
+from ..shared.errors import SPYError, SPYTypeError, SPYValueError
 from ..shared.tools import best_match
 
 __all__ = ["Selector"]
@@ -149,6 +149,8 @@ class Selector:
         self._select_latency(data)
         self._select_discrete(data)
         self._compute_trialdefinition(data)
+        self._samplerate = getattr(data, "samplerate", None)
+        self.create_get_trial(data)
 
     # ------------------------------------------------------------------ #
 
@@ -416,6 +418,63 @@ class Selector:
             else:
                 out = np.take(out, ind, axis=ax)
         return out
+
+    # ------------------------------------------------------------------ #
+    # selected-view conveniences (reference selector.py:253-313,457-485)
+    # ------------------------------------------------------------------ #
+
+    def create_get_trial(self, data):
+        """Install ``self._get_trial``: absolute-trial-id access to the
+        SELECTED view of a trial (reference selector.py:273-313). Enables
+        ``selector.trials`` to satisfy the same indexing protocol as
+        ``data.trials``."""
+
+        def _get_trial(trl_id):
+            if trl_id not in self.trial_ids:
+                raise SPYValueError(
+                    legal="a trial part of the selection",
+                    varname="Selector.trials",
+                    actual=str(trl_id),
+                )
+            return self.select_trial_array(data, self.trial_ids.index(trl_id))
+
+        self._get_trial = _get_trial
+        return _get_trial
+
+    @property
+    def trials(self):
+        """Iterable over the SELECTED view of the selected trials, indexed
+        by ABSOLUTE trial id (reference selector.py:253-271):
+        ``selection.trials[11]`` is the selected slice of original trial 11,
+        valid only if trial 11 is part of the selection."""
+        from .util import TrialIndexer
+
+        if self.sampleinfo is None:
+            return None
+        return TrialIndexer(self, self.trial_ids)
+
+    @property
+    def sampleinfo(self):
+        """nTrials x 2 array of selected [start, end] sample indices
+        (reference selector.py:457-463)."""
+        if self.trialdefinition is None:
+            return None
+        return self.trialdefinition[:, :2]
+
+    @sampleinfo.setter
+    def sampleinfo(self, sinfo):
+        raise SPYError("Cannot set sampleinfo. Use `Selector.trialdefinition` instead.")
+
+    @property
+    def trialintervals(self):
+        """nTrials x 2 array of selected [start, end] times in seconds
+        (reference selector.py:469-481)."""
+        if self.trialdefinition is None or self._samplerate is None:
+            return None
+        si = self.sampleinfo.astype(float)
+        start_end = si - si[:, :1]
+        start_end[:, 1] -= 1  # last time POINT, not exclusive bound
+        return (start_end + self.trialdefinition[:, 2:3]) / float(self._samplerate)
 
     def __repr__(self):
         return self.__str__()

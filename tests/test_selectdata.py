@@ -293,3 +293,66 @@ class TestSelectionThroughCompute:
         assert np.allclose(s[..., 0], f[..., 2], atol=1e-6)
         assert np.allclose(s[..., 1], f[..., 0], atol=1e-6)
         assert np.allclose(s[..., 2], f[..., 2], atol=1e-6)
+
+
+class TestSelectorViewSurface:
+    """Selector.trials / sampleinfo / trialintervals / create_get_trial
+    (reference selector.py:253-313,457-481): absolute-trial-id access to
+    the selected VIEW, and the selected trialdefinition derivatives."""
+
+    def _data(self):
+        ad = spy.synthdata.white_noise(
+            nTrials=5, nChannels=4, nSamples=40, samplerate=100.0, seed=7
+        )
+        # give trials distinct offsets so trialintervals is nontrivial
+        trl = np.array(ad.trialdefinition)
+        trl[:, 2] = -10
+        ad.trialdefinition = trl
+        return ad
+
+    def test_trials_absolute_indexing(self):
+        ad = self._data()
+        ad.selectdata(trials=[1, 3], channel=[0, 2], inplace=True)
+        sel = ad.selection
+        view = sel.trials
+        assert len(view) == 2
+        got = view[3]
+        want = np.asarray(ad.trials[3])[:, [0, 2]]
+        assert np.allclose(got, want)
+        # unselected trial ids are rejected
+        with pytest.raises(Exception, match="existing trial|part of the selection"):
+            view[0]
+        # iteration yields the selected view of each selected trial
+        its = list(iter(view))
+        assert len(its) == 2 and all(t.shape == (40, 2) for t in its)
+
+    def test_trials_respects_latency(self):
+        ad = self._data()
+        ad.selectdata(trials=[2], latency=[-0.05, 0.1], inplace=True)
+        sel = ad.selection
+        got = sel.trials[2]
+        tvec = (np.arange(40) - 10) / 100.0
+        keep = (tvec >= -0.05) & (tvec <= 0.1)
+        assert got.shape[0] == keep.sum()
+        assert np.allclose(got, np.asarray(ad.trials[2])[keep])
+
+    def test_sampleinfo_and_trialintervals(self):
+        ad = self._data()
+        ad.selectdata(trials=[0, 4], latency=[0.0, 0.2], inplace=True)
+        sel = ad.selection
+        si = sel.sampleinfo
+        assert si.shape == (2, 2)
+        assert np.allclose(si, sel.trialdefinition[:, :2])
+        ti = sel.trialintervals
+        # selected window starts at t=0.0; 21 samples -> last point 0.2 s
+        assert np.allclose(ti, np.array([[0.0, 0.2], [0.0, 0.2]]))
+        with pytest.raises(Exception, match="Cannot set"):
+            sel.sampleinfo = si
+
+    def test_no_selection_defaults(self):
+        ad = self._data()
+        ad.selectdata(inplace=True)
+        sel = ad.selection
+        assert len(sel.trials) == 5
+        assert np.allclose(sel.trials[2], np.asarray(ad.trials[2]))
+        assert sel.trialintervals.shape == (5, 2)
