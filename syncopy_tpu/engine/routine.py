@@ -118,6 +118,9 @@ def _dispatch_with_recovery(thunk, rebuild=None, what="device dispatch"):
     raise last  # pragma: no cover — loop always re-raises on the last attempt
 
 
+#: one-shot flag so the trial-store-bypass warning fires once per process
+_FINGERPRINT_BYPASS_LOGGED = False
+
 #: process-global compiled-function cache: identical (CR class, cfg,
 #: shapes, mesh) reuse the XLA executable across frontend calls — without
 #: this every frontend invocation would re-trace and re-compile
@@ -474,14 +477,26 @@ class ComputationalRoutine:
 
     def _selection_fingerprint(self, data):
         """Hashable description of the active selection's gather plan (for
-        the HBM trial-store cache key)."""
+        the HBM trial-store cache key). Returns None — disabling the trial
+        store for this run — when the selection cannot be fingerprinted;
+        that is correctness-safe but a silent perf cliff, so it is logged
+        (once per process) to keep the bypass visible."""
         sel = self.selector
         try:
             parts = [tuple(sel.trial_ids)]
             for k in range(len(sel.trial_ids)):
                 parts.append(repr(sel.trial_indexer(data, k)))
             return hash(tuple(parts))
-        except Exception:
+        except Exception as exc:
+            global _FINGERPRINT_BYPASS_LOGGED
+            if not _FINGERPRINT_BYPASS_LOGGED:
+                _FINGERPRINT_BYPASS_LOGGED = True
+                get_logger().warning(
+                    "%s: selection cannot be fingerprinted (%s) — the HBM "
+                    "trial store is bypassed for this run (repeated analyses "
+                    "will re-upload their inputs)",
+                    self.__class__.__name__, repr(exc)[:120],
+                )
             return None
 
     def _plan_fast_gather(self, data):
