@@ -147,6 +147,13 @@ class GrangerCausality(_AVRoutine):
     # replicate) — declared so the engine never has to guess from shapes
     aux_per_trial = frozenset(metadata_keys)
 
+    # multi-replicate chunks (jackknife LOO averages) run through lax.map,
+    # never jax.vmap: the axon XLA pipeline miscompiles the batched rewrite
+    # of the Wilson lax.while_loop (divergence at >=128 ch even for a
+    # batch of ONE — BASELINE.md round-3 root cause). Serialization costs
+    # nothing here: each factorization is itself batched over frequency.
+    sequential_batch = True
+
     def __init__(self, rtol=5e-6, nIter=100, cond_max=1e4):
         super().__init__(rtol=float(rtol), nIter=int(nIter), cond_max=float(cond_max))
 

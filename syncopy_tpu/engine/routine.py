@@ -325,6 +325,13 @@ class ComputationalRoutine:
     #: coincidentally equals the chunk size would otherwise misclassify).
     aux_per_trial = None
 
+    #: batch multi-trial chunks via ``lax.map`` (serial scan, body traced
+    #: unbatched) instead of ``jax.vmap``. Set True on routines containing a
+    #: ``lax.while_loop`` that the batching rewrite must never touch
+    #: (Wilson factorization — the axon platform miscompiles the vmapped
+    #: loop; see BASELINE.md round-3 root cause).
+    sequential_batch = False
+
     def __init__(self, **cfg):
         self.cfg = dict(cfg)
         self.keeptrials = True
@@ -361,6 +368,19 @@ class ComputationalRoutine:
                 batch[0], *(a[0] for a in aux), **cfg
             )
             return jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], res)
+        if self.sequential_batch:
+            # lax.map = scan over the leading axis: the trial body is traced
+            # ONCE, UNBATCHED, and executed serially — no batched
+            # while_loop rewrite, which the axon XLA pipeline miscompiles
+            # for Wilson factorizations (vmap diverges at >=128 ch even at
+            # batch size 1). Routines whose per-trial work is itself a large
+            # batched linalg program (GrangerCausality: the factorization is
+            # batched over frequency) lose nothing to the serialization —
+            # the chip is saturated per replicate already.
+            return jax.lax.map(
+                lambda xs: self.process_single_trial(xs[0], *xs[1:], **cfg),
+                (batch,) + tuple(aux),
+            )
         return jax.vmap(lambda x, *a: self.process_single_trial(x, *a, **cfg))(batch, *aux)
 
     def per_trial_inputs(self, data, trial_positions):
@@ -821,10 +841,19 @@ class ComputationalRoutine:
             per_trial = (in_bytes + out_bytes) * 2
             # CRs with large internal workspaces (e.g. CWT FFT banks)
             # declare them so chunk sizing respects HBM
+            budget = self._chunk_budget
             mem_hook = getattr(self, "device_bytes_per_trial", None)
             if mem_hook is not None:
-                per_trial = max(per_trial, int(mem_hook(shp, out_shp, out_dt)))
-            chunk = max(n_shard, int(self._chunk_budget // max(per_trial, 1)))
+                workspace = int(mem_hook(shp, out_shp, out_dt))
+                if self.sequential_batch:
+                    # lax.map runs ONE trial body at a time: the declared
+                    # workspace is live once per chunk (reused across scan
+                    # iterations), not once per row — reserve it off the
+                    # budget and size the chunk by the stacked i/o alone
+                    budget = max(budget - workspace, per_trial)
+                else:
+                    per_trial = max(per_trial, workspace)
+            chunk = max(n_shard, int(budget // max(per_trial, 1)))
             chunk = min(chunk, MAX_CHUNK_TRIALS)
             # round to a power of two and keep it FIXED regardless of the
             # trial count: partial chunks are zero-padded so every chunk of

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["csd_accumulate", "pallas_supported"]
+__all__ = ["csd_accumulate", "csd_accumulate_tiled", "pallas_supported"]
 
 
 def _csd_kernel(ar_ref, ai_ref, or_ref, oi_ref):

@@ -888,3 +888,103 @@ class TestBatchOfOneBypass:
             "the one-row trial-average must not be vmapped: {}".format(
                 vmapped_batch_shapes)
         )
+
+
+class TestSequentialBatch:
+    """CRs with ``sequential_batch = True`` must run multi-row chunks
+    through ``lax.map`` (body traced unbatched, executed serially) instead
+    of ``jax.vmap`` — the insurance against the axon platform's batched
+    while_loop miscompile for ANY chunk size, not just batch-of-one."""
+
+    class _SeqCR(ComputationalRoutine):
+        valid_kws = []
+        sequential_batch = True
+
+        def process_single_trial(self, trial, **cfg):
+            # contains a while_loop on purpose: the hazardous construct
+            import jax
+
+            def body(state):
+                i, acc = state
+                return i + 1, acc + trial
+
+            def cond(state):
+                return state[0] < 3
+
+            _, acc = jax.lax.while_loop(cond, body, (0, jnp.zeros_like(trial)))
+            return acc, {"peak": jnp.max(trial)}
+
+        def process_metadata(self, data, out):  # pragma: no cover
+            pass
+
+    def test_multi_row_batch_avoids_vmap(self, monkeypatch):
+        import jax
+
+        from syncopy_tpu.engine import routine
+
+        calls = []
+        orig_vmap = jax.vmap
+
+        def spy_vmap(*args, **kwargs):
+            calls.append(True)
+            return orig_vmap(*args, **kwargs)
+
+        monkeypatch.setattr(routine.jax, "vmap", spy_vmap)
+        cr = self._SeqCR()
+        batch = jnp.arange(24, dtype=jnp.float32).reshape(4, 3, 2)
+        out, info = cr.process_batch(batch)
+        assert not calls, "sequential_batch CRs must never vmap"
+        np.testing.assert_allclose(np.asarray(out), 3 * np.asarray(batch))
+        assert np.asarray(info["peak"]).shape == (4,)
+
+    def test_matches_vmap_semantics_with_aux(self):
+        """lax.map output (incl. aux rows) must be indistinguishable from
+        the vmapped structure."""
+
+        class SeqAux(ComputationalRoutine):
+            valid_kws = []
+            sequential_batch = True
+
+            def process_single_trial(self, trial, gain, **cfg):
+                return trial * gain, {"g": gain}
+
+            def process_metadata(self, data, out):  # pragma: no cover
+                pass
+
+        cr = SeqAux()
+        batch = jnp.ones((3, 4, 2), dtype=jnp.float32)
+        gains = jnp.asarray([1.0, 2.0, 3.0], dtype=jnp.float32)
+        out, info = cr.process_batch(batch, gains)
+        expected = np.ones((3, 4, 2)) * np.array([1.0, 2.0, 3.0])[:, None, None]
+        np.testing.assert_allclose(np.asarray(out), expected)
+        np.testing.assert_allclose(np.asarray(info["g"]), [1.0, 2.0, 3.0])
+
+    def test_granger_jackknife_never_vmaps_wilson(self, monkeypatch):
+        """End-to-end: jackknife Granger replicates arrive at the AV stage
+        as multi-row chunks — with GrangerCausality.sequential_batch they
+        must take lax.map, so the Wilson factorization is NEVER traced
+        under a vmap batch tracer anywhere in the frontend call."""
+        from jax._src.interpreters.batching import BatchTracer
+
+        from syncopy_tpu.connectivity.AV_compRoutines import GrangerCausality
+
+        seen = []
+        orig = GrangerCausality.process_single_trial
+
+        def wrapper(self, trial, *aux, **cfg):
+            seen.append(isinstance(trial, BatchTracer))
+            return orig(self, trial, *aux, **cfg)
+
+        monkeypatch.setattr(GrangerCausality, "process_single_trial", wrapper)
+        AdjMat = np.zeros((2, 2), dtype=np.float32)
+        AdjMat[0, 1] = 0.25
+        adata = spy.synthdata.ar2_network(
+            nTrials=8, AdjMat=AdjMat, nSamples=256, seed=11,
+        )
+        res = spy.connectivityanalysis(adata, method="granger", jackknife=True)
+        assert res.info["converged"]
+        # traced at least once with a multi-row replicate chunk, and never
+        # under a vmap batch tracer
+        assert seen
+        assert not any(seen), "Wilson factorization was traced under vmap"
+        assert "jack_var" in res._registered_datasets or hasattr(res, "jack_var")
