@@ -121,25 +121,38 @@ class CrossSpectra(_CrossRoutine):
         spec = jnp.fft.rfft(tapered, n=nfft, axis=2)  # (B, K, F, C)
         if cfg["freq_idx"] is not None:
             spec = jnp.take(spec, jnp.asarray(cfg["freq_idx"]), axis=2)
-        # where-mask (not multiply): resident-input padding rows can be
-        # kernel(0) garbage incl. NaN, and NaN * 0 would poison the sum
-        mask = (jnp.arange(spec.shape[0]) < n_valid)[:, None, None, None]
-        spec = jnp.where(mask, spec, jnp.zeros((), spec.dtype))
         K = tapers.shape[0]
+        B, Kt, F, C = spec.shape
 
         from ..ops.connectivity import csd_sum_compensated
-        from ..ops.pallas_kernels import csd_accumulate, pallas_supported
+        from ..ops.pallas_kernels import (
+            csd_accumulate_tiled,
+            pallas_supported,
+            tiled_blocks_for,
+        )
 
-        n_rows = spec.shape[0] * spec.shape[1]
-        if n_rows <= 64 and pallas_supported():
-            # small slabs: a single exact-enough MXU pass through the
-            # pallas kernel (serial error <= 64*eps stays below the Wilson
-            # factorizability floor)
-            B, Kt, F, C = spec.shape
-            slab = jnp.transpose(spec, (2, 0, 1, 3)).reshape(F, B * Kt, C)
-            cs_re, cs_im = csd_accumulate(jnp.real(slab), jnp.imag(slab))
-            cs_sum = jax.lax.complex(cs_re, cs_im) / K
+        blocks = tiled_blocks_for(C)
+        if blocks is not None and pallas_supported():
+            # production MXU path: ONE tiled pallas pass over the spectrum
+            # — per-frequency row-group contractions on the MXU, in-kernel
+            # n_valid masking, cross-group TwoSum into (hi, lo) f32 pairs.
+            # Replaces the XLA compensated einsum, which materializes
+            # (G, F, C, C) partials in HBM (~3 GB for a 1000-trial slab)
+            # and re-reads them through a G-step fori_loop. Accumulation
+            # error <= row_block*eps (in-group MXU serial) — ~1e-6 typical
+            # on the CSD, invisible at coherence level; this path never
+            # feeds Wilson (Granger uses exact_fft / csd_sum_compensated).
+            rb, fb = blocks
+            slab = spec.reshape(B * Kt, F, C)
+            cs_sum = csd_accumulate_tiled(
+                jnp.real(slab), jnp.imag(slab), n_valid * Kt,
+                row_block=rb, freq_block=fb,
+            ) / K
         else:
+            # where-mask (not multiply): resident-input padding rows can be
+            # kernel(0) garbage incl. NaN, and NaN * 0 would poison the sum
+            mask = (jnp.arange(spec.shape[0]) < n_valid)[:, None, None, None]
+            spec = jnp.where(mask, spec, jnp.zeros((), spec.dtype))
             # many-trial sums need compensated accumulation: plain serial
             # f32 accumulation noise (~3e-5 at 1000 trials) makes the CSD
             # un-factorizable — see ops/connectivity.csd_sum_compensated

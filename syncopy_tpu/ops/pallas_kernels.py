@@ -68,6 +68,146 @@ def csd_accumulate(spec_re, spec_im, interpret=False):
     )(spec_re, spec_im)
 
 
+def _csd_tiled_kernel(nv_ref, ar_ref, ai_ref, hr_ref, lr_ref, hi_ref, li_ref,
+                      *, row_block, freq_block):
+    """One (freq-tile, row-group) step of the tiled CSD accumulation.
+
+    The output blocks persist in VMEM across the (innermost) row-group
+    grid axis: group partials — each an exact-enough MXU contraction over
+    `row_block` rows — combine via error-free TwoSum into (hi, lo)
+    double-float32 accumulators, so the cross-group accumulation carries
+    NO serial rounding at all. Total error is bounded by the in-group MXU
+    serial accumulation alone (<= row_block * eps worst case, ~sqrt(row_
+    block) * eps typical — at the default 256 rows that is ~1e-5 worst /
+    ~1e-6 typical relative, far below coherence estimator noise; the
+    factorization-grade Granger paths keep their fully compensated sums).
+    """
+    g = pl.program_id(1)
+    nv = nv_ref[0, 0]
+    row0 = g * row_block
+    rows = jax.lax.broadcasted_iota(jnp.int32, (row_block, 1, 1), 0) + row0
+    mask = rows < nv
+    # where-mask (not multiply): padding rows of resident inputs can be
+    # kernel(0) garbage incl. NaN, and NaN * 0 would poison the sum
+    ar = jnp.where(mask, ar_ref[...], 0.0)
+    ai = jnp.where(mask, ai_ref[...], 0.0)
+    dn = (((0,), (0,)), ((), ()))
+    prec = jax.lax.Precision.HIGHEST
+    first = g == 0
+
+    for f in range(freq_block):  # static unroll over the freq tile
+        xr = ar[:, f, :]
+        xi = ai[:, f, :]
+        # cs_ij = sum_n a_ni conj(a_nj):
+        #   Re = Ar^T Ar + Ai^T Ai ; Im = Ai^T Ar - Ar^T Ai
+        rr = jax.lax.dot_general(xr, xr, dn, precision=prec,
+                                 preferred_element_type=jnp.float32)
+        ii = jax.lax.dot_general(xi, xi, dn, precision=prec,
+                                 preferred_element_type=jnp.float32)
+        ri = jax.lax.dot_general(xi, xr, dn, precision=prec,
+                                 preferred_element_type=jnp.float32)
+        ir = jax.lax.dot_general(xr, xi, dn, precision=prec,
+                                 preferred_element_type=jnp.float32)
+        pre = rr + ii
+        pim = ri - ir
+
+        @pl.when(first)
+        def _(f=f, pre=pre, pim=pim):
+            hr_ref[f] = pre
+            lr_ref[f] = jnp.zeros_like(pre)
+            hi_ref[f] = pim
+            li_ref[f] = jnp.zeros_like(pim)
+
+        @pl.when(jnp.logical_not(first))
+        def _(f=f, pre=pre, pim=pim):
+            # TwoSum (Knuth): s + e == old + p exactly
+            old = hr_ref[f]
+            s = old + pre
+            bb = s - old
+            hr_ref[f] = s
+            lr_ref[f] = lr_ref[f] + ((old - (s - bb)) + (pre - bb))
+            old = hi_ref[f]
+            s = old + pim
+            bb = s - old
+            hi_ref[f] = s
+            li_ref[f] = li_ref[f] + ((old - (s - bb)) + (pim - bb))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row_block", "freq_block", "interpret")
+)
+def csd_accumulate_tiled(spec_re, spec_im, n_valid_rows, row_block=256,
+                         freq_block=4, interpret=False):
+    """
+    Accumulated cross-spectra from (N, F, C) real/imag spectral slabs:
+    ``cs[f, i, j] = sum_{n < n_valid_rows} spec[n, f, i] * conj(spec[n, f, j])``.
+
+    The production MXU path for many-row CSD trial sums (reference
+    syncopy/connectivity/csd.py:98-104 runs this as a numpy broadcast
+    product per trial): the grid tiles (frequency x row-groups), operand
+    tiles live in VMEM, each group collapses in one f32-precision MXU
+    contraction, and groups combine into (hi, lo) double-float32
+    accumulators via TwoSum — one pass over the spectrum, no (G, F, C, C)
+    partial materialization in HBM (the XLA `csd_sum_compensated` path
+    materializes ~3 GB of partials for a 1000-trial slab and re-reads
+    them through a 188-step fori_loop).
+
+    Unlike :func:`csd_accumulate`, the row masking (`n_valid_rows`, a
+    traced scalar) happens in-kernel — padding rows cost no separate
+    where-pass over the slab.
+
+    Returns (F, C, C) complex64.
+    """
+    N, F, C = spec_re.shape
+    Npad = -(-N // row_block) * row_block
+    Fpad = -(-F // freq_block) * freq_block
+    if Npad != N or Fpad != F:
+        pad = ((0, Npad - N), (0, Fpad - F), (0, 0))
+        spec_re = jnp.pad(spec_re, pad)
+        spec_im = jnp.pad(spec_im, pad)
+    nv = jnp.asarray(n_valid_rows, jnp.int32).reshape(1, 1)
+    grid = (Fpad // freq_block, Npad // row_block)
+    in_spec = pl.BlockSpec((row_block, freq_block, C), lambda f, g: (g, f, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((freq_block, C, C), lambda f, g: (f, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((Fpad, C, C), jnp.float32)
+    hr, lr, hi, li = pl.pallas_call(
+        functools.partial(_csd_tiled_kernel, row_block=row_block,
+                          freq_block=freq_block),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda f, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            in_spec, in_spec,
+        ],
+        out_specs=[out_spec, out_spec, out_spec, out_spec],
+        out_shape=[out_sds, out_sds, out_sds, out_sds],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * Fpad * Npad * C * C,
+            bytes_accessed=4 * (2 * Npad * Fpad * C + 4 * Fpad * C * C),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nv, spec_re, spec_im)
+    return jax.lax.complex(hr + lr, hi + li)[:F]
+
+
+def tiled_blocks_for(n_chan):
+    """(row_block, freq_block) keeping the VMEM working set (2 operand
+    tiles + 4 output tiles, double-buffered) comfortably under the ~16 MB
+    core budget across channel widths; None above 512 channels (the
+    output tile alone would exceed VMEM — config-#5-scale coherence runs
+    its own streamed pipeline)."""
+    if n_chan <= 128:
+        return 256, 4
+    if n_chan <= 256:
+        return 256, 2
+    if n_chan <= 512:
+        return 128, 1
+    return None
+
+
 _PALLAS_OK = None
 
 

@@ -928,3 +928,128 @@ class TestPallasCSDKernel:
         want = np.einsum("fni,fnj->fij", one, one)
         assert np.allclose(np.asarray(cs_re), want)
         assert np.allclose(np.asarray(cs_im), 0.0)
+
+
+class TestPallasTiledCSDKernel:
+    """Interpret-mode parity for the TILED pallas CSD kernel — the
+    production MXU path for many-row trial sums (in-kernel masking,
+    cross-row-group TwoSum accumulation)."""
+
+    def _oracle(self, spec, n_valid_rows):
+        spec = spec.astype(np.complex128)
+        spec = np.where(
+            (np.arange(spec.shape[0]) < n_valid_rows)[:, None, None], spec, 0
+        )
+        return np.einsum("nfi,nfj->fij", spec, np.conj(spec))
+
+    def test_matches_f64_oracle_with_masking(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.pallas_kernels import csd_accumulate_tiled
+
+        rng = np.random.default_rng(3)
+        N, F, C = 111, 101, 24  # none divisible by the block sizes
+        spec = (rng.normal(size=(N, F, C)) + 1j * rng.normal(size=(N, F, C))).astype(
+            np.complex64
+        )
+        nv = 87
+        got = np.asarray(csd_accumulate_tiled(
+            jnp.asarray(spec.real), jnp.asarray(spec.imag), nv, interpret=True
+        ))
+        want = self._oracle(spec, nv)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-5
+        assert np.allclose(got, np.conj(np.swapaxes(got, 1, 2)), atol=1e-4 * scale)
+
+    def test_nan_padding_rows_masked(self):
+        """Rows at/past n_valid_rows may be arbitrary garbage (resident
+        padding is kernel(0) output incl. NaN) — the in-kernel where-mask
+        must keep them out of the sum."""
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.pallas_kernels import csd_accumulate_tiled
+
+        rng = np.random.default_rng(4)
+        N, F, C = 40, 17, 8
+        spec = (rng.normal(size=(N, F, C)) + 1j * rng.normal(size=(N, F, C))).astype(
+            np.complex64
+        )
+        nv = 25
+        poisoned = spec.copy()
+        poisoned[nv:] = np.nan
+        got = np.asarray(csd_accumulate_tiled(
+            jnp.asarray(poisoned.real), jnp.asarray(poisoned.imag), nv,
+            interpret=True,
+        ))
+        want = self._oracle(spec, nv)
+        assert np.isfinite(got).all()
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+    def test_small_slab_and_full_mask(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.pallas_kernels import csd_accumulate_tiled
+
+        rng = np.random.default_rng(5)
+        spec = (rng.normal(size=(3, 2, 4)) + 1j * rng.normal(size=(3, 2, 4))).astype(
+            np.complex64
+        )
+        got = np.asarray(csd_accumulate_tiled(
+            jnp.asarray(spec.real), jnp.asarray(spec.imag), 3, interpret=True
+        ))
+        want = self._oracle(spec, 3)
+        assert np.abs(got - want).max() / max(np.abs(want).max(), 1e-9) < 1e-5
+        # zero valid rows -> exact zero
+        got0 = np.asarray(csd_accumulate_tiled(
+            jnp.asarray(spec.real), jnp.asarray(spec.imag), 0, interpret=True
+        ))
+        assert np.all(got0 == 0)
+
+    def test_block_gating(self):
+        from syncopy_tpu.ops.pallas_kernels import tiled_blocks_for
+
+        assert tiled_blocks_for(64) == (256, 4)
+        assert tiled_blocks_for(256) == (256, 2)
+        assert tiled_blocks_for(512) == (128, 1)
+        assert tiled_blocks_for(1024) is None
+
+    def test_production_coherence_equivalence(self):
+        """The tiled path and the compensated-einsum path must agree at
+        coherence level below 1e-5 (the VERDICT acceptance bar) on the
+        production fused trial-sum shapes."""
+        import jax
+        import jax.numpy as jnp
+
+        from syncopy_tpu.connectivity.ST_compRoutines import CrossSpectra
+        from syncopy_tpu.ops.connectivity import normalize_csd
+        from syncopy_tpu.ops.pallas_kernels import csd_accumulate_tiled
+        from syncopy_tpu.shared.input_processors import process_taper
+
+        fs, T, C, B = 1000.0, 250, 16, 40
+        taper, taper_opt = process_taper(
+            "hann", None, 4, None, keeptapers=False, foimax=fs / 2,
+            samplerate=fs, nSamples=T, output="pow",
+        )
+        cr = CrossSpectra(samplerate=fs, nSamples=T, taper=taper,
+                          taper_opt=taper_opt)
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(B, T, C)).astype(np.float32)
+        nv = jnp.asarray(B, jnp.int32)
+        # compensated production path (pallas unsupported on CPU)
+        cs_comp = np.asarray(cr.process_batch_sum(jnp.asarray(x), nv, **cr.cfg))[0]
+        coh_comp = np.asarray(normalize_csd(jnp.asarray(cs_comp / B), "abs"))
+        # tiled path on the identical spectrum
+        from syncopy_tpu.ops.spectral import detrend, mtmfft
+        from syncopy_tpu.ops.windows import make_tapers
+
+        taps = jnp.asarray(make_tapers(taper, taper_opt, T, T, fs))
+        K = taps.shape[0]
+        spec = jax.vmap(lambda tr: mtmfft(detrend(tr, 0, axis=0), taps, T))(
+            jnp.asarray(x)
+        )  # (B, K, F, C)
+        slab = spec.reshape(B * K, spec.shape[2], C)
+        cs_tiled = np.asarray(csd_accumulate_tiled(
+            jnp.real(slab), jnp.imag(slab), B * K, interpret=True
+        )) / K
+        coh_tiled = np.asarray(normalize_csd(jnp.asarray(cs_tiled / B), "abs"))
+        assert np.abs(coh_tiled - coh_comp).max() < 1e-5
