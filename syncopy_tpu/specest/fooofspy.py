@@ -8,7 +8,14 @@
 # implemented here directly: robust aperiodic fit in log-log space,
 # iterative gaussian peak extraction on the flattened spectrum, joint
 # refit, and a final aperiodic refit on the peak-removed spectrum.
-# The fit is host-side scipy (a single small averaged spectrum).
+#
+# DESIGN CHOICE — the fit runs host-side (scipy curve_fit per channel), as
+# in the reference. The input is a single trial-AVERAGED spectrum of a few
+# hundred bins per channel: its readback is O(100 kB) and the Levenberg-
+# Marquardt iterations have data-dependent trip counts that XLA would have
+# to unroll pessimally, so `output="fooof*"` intentionally ends the
+# device-residency chain — the one frontend output for which the result
+# materializes on host by construction.
 
 import numpy as np
 from scipy.optimize import curve_fit
@@ -82,14 +89,35 @@ def fooofspy(data_arr, in_freqs, freq_range=None, fooof_opt=None, out_type="fooo
     details : dict with per-channel aperiodic_params, peak_params (list of
         [center, height, width]), r_squared, error, n_peaks
     """
+    if in_freqs is None:
+        raise ValueError("input frequencies are required and must not be None")
+    valid_out_types = ("fooof", "fooof_aperiodic", "fooof_peaks")
+    if out_type not in valid_out_types:
+        raise ValueError(
+            "out_type must be one of {}, got '{}'".format(valid_out_types, out_type)
+        )
     opt = dict(default_fooof_opt)
     if fooof_opt:
+        unknown = set(fooof_opt) - set(default_fooof_opt)
+        if unknown:
+            raise ValueError(
+                "invalid fooof_opt entries: {} (accepted keys: {})".format(
+                    sorted(unknown), sorted(default_fooof_opt)
+                )
+            )
         opt.update(fooof_opt)
 
     freqs = np.asarray(in_freqs, dtype=float)
     data_arr = np.atleast_2d(np.asarray(data_arr, dtype=float))
     if data_arr.shape[0] != freqs.size:
         data_arr = data_arr.T
+    if data_arr.shape[0] != freqs.size:
+        raise ValueError(
+            "signal length {} must match the number of frequency labels {}".format(
+                data_arr.shape[0] if data_arr.shape[0] != freqs.size else data_arr.shape[1],
+                freqs.size,
+            )
+        )
     mask = freqs > 0
     if freq_range is not None:
         mask &= (freqs >= freq_range[0]) & (freqs <= freq_range[1])
@@ -98,8 +126,18 @@ def fooofspy(data_arr, in_freqs, freq_range=None, fooof_opt=None, out_type="fooo
     n_chan = data_arr.shape[1]
     out = np.zeros((freqs.size, n_chan))
     details = {
-        "aperiodic_params": [], "peak_params": [], "n_peaks": [],
-        "r_squared": [], "error": [],
+        "aperiodic_params": [], "gaussian_params": [], "peak_params": [],
+        "n_peaks": [], "r_squared": [], "error": [],
+        # reference parity (syncopy/specest/fooofspy.py:27-200): the
+        # effective settings travel with the results so frontends/users can
+        # replay the fit
+        "settings_used": {
+            "out_type": out_type,
+            "freq_range": list(freq_range) if freq_range is not None else None,
+            "fooof_opt": {
+                k: (list(v) if isinstance(v, tuple) else v) for k, v in opt.items()
+            },
+        },
     }
 
     for ch in range(n_chan):
@@ -168,7 +206,17 @@ def fooofspy(data_arr, in_freqs, freq_range=None, fooof_opt=None, out_type="fooo
         col[mask] = model
         out[:, ch] = col
         details["aperiodic_params"].append([float(x) for x in ap])
-        details["peak_params"].append([[float(x) for x in p] for p in peaks])
+        # gaussian_params: the raw gaussian parameters [CF, height, sigma];
+        # peak_params: the fooof convention [CF, PW, BW] with PW the full
+        # peak model's height over the aperiodic fit AT the center
+        # frequency (overlapping gaussians stack) and BW = 2*sigma
+        # (reference fooof semantics, syncopy tests access both)
+        details["gaussian_params"].append([[float(x) for x in p] for p in peaks])
+        pk = []
+        for ctr, hgt, wid in peaks:
+            pw = float(_gaussian_model(np.asarray([ctr]), *np.ravel(peaks))[0])
+            pk.append([float(ctr), pw, float(2 * wid)])
+        details["peak_params"].append(pk)
         details["n_peaks"].append(len(peaks))
         details["r_squared"].append(float(r2))
         details["error"].append(float(mae))

@@ -158,3 +158,147 @@ class TestFooofDepth:
         for key in ("fooof_aperiodic_params", "fooof_peak_params",
                     "fooof_r_squared", "fooof_n_peaks"):
             assert any(k.startswith(key.split("_params")[0]) for k in res.info), (key, list(res.info))
+
+
+def _gen_power_spectrum(freq_range=(3, 40), freq_res=0.5,
+                        aperiodic_params=(1, 1),
+                        periodic_params=((10, 0.2, 1.25), (30, 0.15, 2)),
+                        nlv=0.001, seed=0):
+    """Replica of fooof.sim.gen.gen_power_spectrum (the generator behind the
+    reference's backend fixtures, /root/reference/syncopy/tests/backend/
+    test_fooofspy.py:17-33): linear power built in log10 space as
+    aperiodic + gaussians + white noise."""
+    freqs = np.arange(freq_range[0], freq_range[1] + freq_res / 2, freq_res)
+    offset, exponent = aperiodic_params
+    log_pow = offset - exponent * np.log10(freqs)
+    for cf, pw, bw in periodic_params:
+        log_pow = log_pow + pw * np.exp(-((freqs - cf) ** 2) / (2 * bw**2))
+    rng = np.random.default_rng(seed)
+    log_pow = log_pow + rng.normal(0, nlv, size=freqs.size)
+    return freqs, 10**log_pow
+
+
+class TestFooofReferenceFixtures:
+    """Ports of the reference backend suite (/root/reference/syncopy/tests/
+    backend/test_fooofspy.py:56-277): same synthetic spectrum definition,
+    same acceptance tolerances, same details contract and error messages."""
+
+    freqs, powers = _gen_power_spectrum()
+    fooof_opt = {"peak_width_limits": (1.0, 12.0)}
+
+    def test_output_fooof_single_channel(self):
+        spectra, details = fooofspy(
+            self.powers, self.freqs, out_type="fooof", fooof_opt=self.fooof_opt
+        )
+        assert spectra.shape == (self.freqs.size, 1)
+        assert details["settings_used"]["out_type"] == "fooof"
+        for key in ("aperiodic_params", "gaussian_params", "peak_params",
+                    "n_peaks", "r_squared", "error", "settings_used"):
+            assert key in details
+        # defaults surface in settings_used (reference :87-89)
+        assert details["settings_used"]["fooof_opt"]["peak_threshold"] == 2.0
+        # parameter recovery at the reference's own tolerances (:93-94)
+        gauss = details["gaussian_params"][0]
+        assert len(gauss) >= 2
+        by_cf = sorted(gauss, key=lambda p: p[0])
+        assert np.allclose(by_cf[0], [10, 0.2, 1.25], atol=0.5)
+        assert np.allclose(by_cf[-1], [30, 0.15, 2], atol=2.0)
+        # aperiodic offset/exponent recover the generating [1, 1]
+        assert np.allclose(details["aperiodic_params"][0], [1, 1], atol=0.25)
+
+    def test_output_fooof_several_channels(self):
+        num_channels = 3
+        powers = np.tile(self.powers, num_channels).reshape(
+            self.powers.size, num_channels, order="F"
+        )
+        spectra, details = fooofspy(
+            powers, self.freqs, out_type="fooof", fooof_opt=self.fooof_opt
+        )
+        assert spectra.shape == (self.freqs.size, num_channels)
+        assert len(details["aperiodic_params"]) == num_channels
+        # identical channels -> identical fits
+        assert np.allclose(spectra[:, 0], spectra[:, 2])
+
+    def test_output_fooof_aperiodic(self):
+        spectra, details = fooofspy(
+            self.powers, self.freqs, out_type="fooof_aperiodic",
+            fooof_opt=self.fooof_opt,
+        )
+        assert spectra.shape == (self.freqs.size, 1)
+        assert details["settings_used"]["out_type"] == "fooof_aperiodic"
+        # the aperiodic model is smooth/peak-free: monotone decreasing
+        assert np.all(np.diff(spectra[:, 0]) < 0)
+
+    def test_output_fooof_peaks(self):
+        spectra, details = fooofspy(
+            self.powers, self.freqs, out_type="fooof_peaks",
+            fooof_opt=self.fooof_opt,
+        )
+        assert spectra.shape == (self.freqs.size, 1)
+        assert details["settings_used"]["out_type"] == "fooof_peaks"
+
+    def test_together(self):
+        spec_fooof, det = fooofspy(
+            self.powers, self.freqs, out_type="fooof", fooof_opt=self.fooof_opt
+        )
+        spec_ap, _ = fooofspy(
+            self.powers, self.freqs, out_type="fooof_aperiodic",
+            fooof_opt=self.fooof_opt,
+        )
+        spec_pk, _ = fooofspy(
+            self.powers, self.freqs, out_type="fooof_peaks",
+            fooof_opt=self.fooof_opt,
+        )
+        assert spec_fooof.shape == spec_ap.shape == spec_pk.shape
+        # reference :212: the peak-only model stays below the full model
+        assert np.max(spec_pk) < np.max(spec_fooof)
+        # decomposition consistency: log-model = log-aperiodic + log-peaks
+        lm = np.log10(spec_fooof[:, 0])
+        la = np.log10(spec_ap[:, 0])
+        lp = np.log10(np.maximum(spec_pk[:, 0], 1e-20))
+        np.testing.assert_allclose(lm, la + np.maximum(lp, 0), atol=1e-6)
+
+    def test_the_fooof_opt_settings_are_used(self):
+        fooof_opt = {"peak_threshold": 3.0, "peak_width_limits": (1.0, 12.0)}
+        spectra, details = fooofspy(
+            self.powers, self.freqs, out_type="fooof_peaks", fooof_opt=fooof_opt
+        )
+        assert details["settings_used"]["fooof_opt"]["peak_threshold"] == 3.0
+        assert details["settings_used"]["fooof_opt"]["min_peak_height"] == 0.0
+
+    def test_exception_empty_freqs(self):
+        with pytest.raises(ValueError) as err:
+            fooofspy(self.powers, None)
+        assert "input frequencies are required and must not be None" in str(err.value)
+
+    def test_exception_freq_length_does_not_match_spectrum_length(self):
+        with pytest.raises(ValueError) as err:
+            fooofspy(np.vstack([self.powers, self.powers]).T,
+                     np.arange(self.powers.size + 1))
+        assert "signal length" in str(err.value)
+        assert "must match the number of frequency labels" in str(err.value)
+
+    def test_exception_on_invalid_output_type(self):
+        with pytest.raises(ValueError) as err:
+            fooofspy(self.powers, self.freqs, out_type="fooof_invalidout")
+        assert "out_type" in str(err.value)
+
+    def test_exception_on_invalid_fooof_opt_entry(self):
+        with pytest.raises(ValueError) as err:
+            fooofspy(self.powers, self.freqs,
+                     fooof_opt={"peak_threshold": 2.0, "invalid_key": 42})
+        assert "fooof_opt" in str(err.value)
+
+    def test_peak_params_convention(self):
+        """peak_params follow the fooof convention: [CF, PW over aperiodic
+        at CF, BW = 2*sigma] derived from gaussian_params."""
+        _, details = fooofspy(
+            self.powers, self.freqs, out_type="fooof", fooof_opt=self.fooof_opt
+        )
+        gauss = details["gaussian_params"][0]
+        peaks = details["peak_params"][0]
+        assert len(gauss) == len(peaks) == details["n_peaks"][0]
+        for g, p in zip(gauss, peaks):
+            assert p[0] == g[0]          # same center
+            assert p[1] >= g[1] - 1e-9   # stacked height >= own height
+            assert np.isclose(p[2], 2 * g[2])
