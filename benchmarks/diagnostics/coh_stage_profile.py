@@ -99,12 +99,20 @@ def main(n_trials=1000, n_samples=1000, n_chan=64):
         dt = _time_best(fn, (arg,), repeats=3)
         res[name] = {"wall_s": round(dt, 4),
                      "trials_per_s": round(n_trials / dt, 1)}
+        print(json.dumps({name: res[name]}), flush=True)
 
-    a = np.asarray(jax.device_get(jitted["full_old"](x)))
-    b = np.asarray(jax.device_get(jitted["full_new"](x)))
-    c = np.asarray(jax.device_get(jitted["production"](x)))
-    res["coh_dev_old_vs_new"] = float(np.abs(a - b).max())
-    res["coh_dev_new_vs_production"] = float(np.abs(b - c).max())
+    # numerical A/B on the max |old - new| REDUCED ON DEVICE (scalar
+    # readbacks only: full-array device_get of these results hit an
+    # UNIMPLEMENTED runtime error through the tunnel)
+    try:
+        dev = jax.jit(lambda x: (
+            jnp.max(jnp.abs(jitted["full_old"](x) - jitted["full_new"](x))),
+            jnp.max(jnp.abs(jitted["full_new"](x) - jitted["production"](x))),
+        ))(x)
+        res["coh_dev_old_vs_new"] = float(np.asarray(jax.device_get(dev[0])))
+        res["coh_dev_new_vs_production"] = float(np.asarray(jax.device_get(dev[1])))
+    except Exception as exc:  # keep the timing table even if A/B flakes
+        res["ab_error"] = str(exc).splitlines()[0][:200]
     print(json.dumps(res, indent=1))
     return res
 
