@@ -137,39 +137,48 @@ def main():
         print(json.dumps(run_config5_device()))
         return
 
-    ad = make_data(NTRIALS)
-
-    # full warm-up run: compiles every chunk shape (persistent-cached)
-    spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
-
-    # best of 3 to damp tunnel-bandwidth jitter; if the tunnel is in a
-    # degraded window (a single run already takes >15 s) stop early so the
-    # benchmark still completes
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        coh = spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
-        t1 = time.perf_counter()
-        times.append(t1 - t0)
-        if t1 - t0 > 15.0:
-            break
-    tpu_rate = NTRIALS / min(times)
-
+    # PRIMARY metric: the device-bound kernel rate for the north-star
+    # workload — reproducible within a few % run-to-run. The tunnel-bound
+    # frontend number (dispatch + readback through a ~25 MB/s link whose
+    # bandwidth swings >10x between runs) is reported as a labeled
+    # secondary so round-over-round comparisons track the framework, not
+    # tunnel weather (VERDICT r3 action #4).
     base_rate = max(numpy_baseline_rate(), numpy_baseline_rate())
+    device = device_only_metrics()
+    dev_rate = device.get("coh_device", {}).get("trials_per_s")
+
     result = {
-        "metric": "trials/sec for mtmfft+coherence (1000x64ch x 1s @ 1kHz)",
-        "value": round(tpu_rate, 2),
+        "metric": "device-bound mtmfft+coherence kernel trials/sec "
+                  "(1000x64ch x 1s @ 1kHz; tunnel excluded)",
+        "value": dev_rate,
         "unit": "trials/sec",
-        "vs_baseline": round(tpu_rate / base_rate, 2),
+        "vs_baseline": round(dev_rate / base_rate, 2) if dev_rate else None,
+        "device": device,
     }
-    # device-bound companion metrics (same chip, no tunnel in the loop);
-    # never let them break the primary line
-    if os.environ.get("SPY_BENCH_SKIP_DEVICE", "") != "1":
+
+    # secondary: the tunnel-bound end-to-end frontend call (high variance)
+    if os.environ.get("SPY_BENCH_SKIP_TUNNEL", "") != "1":
         try:
-            result["device"] = device_only_metrics()
-        except Exception as exc:  # degraded tunnel / compile-service flake
+            ad = make_data(NTRIALS)
+            # warm-up compiles every chunk shape (persistent-cached)
+            spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                spy.connectivityanalysis(ad, method="coh", tapsmofrq=2)
+                t1 = time.perf_counter()
+                times.append(t1 - t0)
+                if t1 - t0 > 15.0:
+                    break
+            result["tunnel_bound"] = {
+                "warm_trials_per_s": round(NTRIALS / min(times), 2),
+                "vs_baseline": round(NTRIALS / min(times) / base_rate, 2),
+                "note": "end-to-end frontend incl. tunnel dispatch+readback; "
+                        "documented variance band 2015-3928 trials/s",
+            }
+        except Exception as exc:
             first = (str(exc).splitlines() or [repr(exc)])[0]
-            result["device"] = {"error": first[:200]}
+            result["tunnel_bound"] = {"error": first[:200]}
     print(json.dumps(result))
     return result
 

@@ -206,6 +206,185 @@ def _flops_fft(batch_rows, n):
     return 2.5 * batch_rows * n * np.log2(max(n, 2))
 
 
+def _record(results, name, fn, args, n_items, repeats, flops=None):
+    """Compile, time, and record one device-bound row."""
+    import jax
+
+    jax.block_until_ready(fn(*args))
+    dt = _time_best(fn, args, repeats)
+    f = _cost_flops(fn, *args) if flops is None else flops
+    results[name] = {
+        "trials_per_s": round(n_items / dt, 1),
+        "wall_s": round(dt, 4),
+        "flops": f or 0.0,
+        "util_vs_peak": round((f or 0.0) / dt / PEAK_FLOPS, 4),
+    }
+    return results[name]
+
+
+def _matrix_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
+    """Device-bound rows for the remaining production kernels: corr (FFT
+    cross-correlation), csd (per-trial CSD stack), ppc (streamed resultant
+    reduction), mtmconvol (sliding-window spectrogram) — VERDICT r3
+    action #3; reference scope benchmarks/benchmarks.py:8-81 + BASELINE
+    configs #2/#3."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncopy_tpu.ops.connectivity import (
+        cross_covariance_trial,
+        cross_spectra_trial,
+        normalize_ccov,
+    )
+    from syncopy_tpu.ops.stft import mtmconvol
+    from syncopy_tpu.ops.windows import make_tapers
+
+    # -- corr: trial-averaged FFT cross-correlation (config #3 sibling).
+    # chunked trial sum (the keeptrials=False engine shape) + 0-lag
+    # normalization; chunks keep the (L, C, C) correlation workspace
+    # bounded. ------------------------------------------------------------ #
+    corr_chunk = 50  # (chunk, L, C, C) correlation workspace ~1.7 GB
+    n_corr_chunks = max(n_trials // corr_chunk, 1)
+
+    @jax.jit
+    def corr_chunk_sum(xc):
+        cc = jax.vmap(lambda t: cross_covariance_trial(t, polyremoval=0))(xc)
+        return jnp.sum(cc, axis=0)
+
+    @jax.jit
+    def corr_finalize(acc):
+        return normalize_ccov(acc[None] / n_trials)
+
+    def corr_run(x):
+        acc = None
+        for i in range(n_corr_chunks):
+            s = corr_chunk_sum(x[i * corr_chunk : (i + 1) * corr_chunk])
+            acc = s if acc is None else acc + s
+        return corr_finalize(acc)
+
+    _record(results, "corr_device", corr_run, (x,), n_trials, repeats,
+            flops=(_cost_flops(corr_chunk_sum, x[:corr_chunk]) or 0.0) * n_corr_chunks)
+
+    # -- csd: per-trial multitaper CSD stack kept resident (keeptrials=True
+    # production path, method='csd') ------------------------------------- #
+    csd_batch = 128
+
+    @jax.jit
+    def csd_stack(xb):
+        return jax.vmap(
+            lambda t: cross_spectra_trial(t, fs, n_samples, taper="hann")[0]
+        )(xb)
+
+    _record(results, "csd_device", csd_stack, (x[:csd_batch],), csd_batch, repeats)
+
+    # -- ppc: streamed resultant-vector reduction over single-trial CSDs
+    # (the O(n) PPCReduction path replacing the reference's O(n^2) pair
+    # loop, connectivity_analysis.py:624-667) ----------------------------- #
+    ppc_chunk = 125
+    n_ppc_chunks = max(n_trials // ppc_chunk, 1)
+
+    @jax.jit
+    def ppc_chunk_sum(xc):
+        cs = jax.vmap(
+            lambda t: cross_spectra_trial(t, fs, n_samples, taper="hann")[0]
+        )(xc)
+        return jnp.sum(cs / jnp.abs(cs), axis=0)
+
+    @jax.jit
+    def ppc_finalize(u_sum):
+        power = (u_sum * jnp.conj(u_sum)).real
+        return ((power - n_trials) / (n_trials * (n_trials - 1))).astype(jnp.float32)
+
+    def ppc_run(x):
+        acc = None
+        for i in range(n_ppc_chunks):
+            s = ppc_chunk_sum(x[i * ppc_chunk : (i + 1) * ppc_chunk])
+            acc = s if acc is None else acc + s
+        return ppc_finalize(acc)
+
+    _record(results, "ppc_device", ppc_run, (x,), n_trials, repeats,
+            flops=(_cost_flops(ppc_chunk_sum, x[:ppc_chunk]) or 0.0) * n_ppc_chunks)
+
+    # -- mtmconvol: sliding-window spectrogram, config #2 shape ----------- #
+    nperseg = 250
+    taps = jnp.asarray(make_tapers("hann", None, nperseg, nperseg, fs))
+    centers = jnp.arange(nperseg // 2, n_samples - nperseg // 2 + 1, 50,
+                         dtype=jnp.int32)
+    mtm_trials = 500
+
+    @jax.jit
+    def mtmconvol_stack(xb):
+        return jax.vmap(
+            lambda t: mtmconvol(t, taps, centers, nperseg, output="pow",
+                                keeptapers=False)
+        )(xb)
+
+    _record(results, "mtmconvol_device", mtmconvol_stack, (x[:mtm_trials],),
+            mtm_trials, repeats)
+    return results
+
+
+def _jackknife_granger_row(results, repeats, n_trials=200, n_chan=16,
+                           n_samples=1000, n_rep=32, fs=1000.0):
+    """Device-bound jackknife Granger (config #4 core): LOO replicate CSDs
+    factorized through lax.map — the engine's sequential_batch path — in
+    ONE program. Reports replicates/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from syncopy_tpu.connectivity.ST_compRoutines import CrossSpectra
+    from syncopy_tpu.ops.connectivity import granger, regularize_csd, wilson_sf
+    from syncopy_tpu.synthdata import ar2_network_device
+
+    adj = np.zeros((n_chan, n_chan), dtype=np.float32)
+    adj[1, 0] = 0.25
+    x = ar2_network_device(n_trials, AdjMat=adj, nSamples=n_samples, seed=7)
+    jax.block_until_ready(x)
+
+    cr = CrossSpectra(samplerate=fs, nSamples=n_samples, taper="hann",
+                      taper_opt=None, demean_taper=True, polyremoval=0,
+                      exact_fft=True)
+
+    @jax.jit
+    def build(x):
+        n = jnp.asarray(x.shape[0], dtype=jnp.int32)
+        per_trial = jax.vmap(
+            lambda t: cr.process_single_trial(t, **cr.cfg)[0]
+        )(x)  # (B, F, C, C)
+        total = cr.process_batch_sum(x, n, **cr.cfg)[0] * x.shape[0]
+        # LOO replicate averages for the first n_rep trials
+        loo = (total[None] - per_trial[:n_rep]) / (x.shape[0] - 1)
+        return jnp.real(loo), jnp.imag(loo)
+
+    @jax.jit
+    def factorize_all(re, im):
+        def one(args):
+            CSD = (args[0] + 1j * args[1]).astype(jnp.complex64)
+            CSDreg, _, _ = regularize_csd(CSD, cond_max=1e4, eps_max=1e-1)
+            H, Sigma, conv, err = wilson_sf(CSDreg, nIter=100, rtol=5e-6)
+            return granger(CSDreg, H, Sigma), conv, err
+
+        # lax.map, NEVER vmap: the batched while_loop rewrite is the
+        # platform miscompile (engine sequential_batch mirror)
+        return jax.lax.map(one, (re, im))
+
+    re, im = build(x)
+    jax.block_until_ready(re)
+    G, conv, err = factorize_all(re, im)
+    jax.block_until_ready(G)
+    dt = _time_best(lambda a, b: factorize_all(a, b)[0], (re, im), repeats)
+    row = {
+        "replicates_per_s": round(n_rep / dt, 2),
+        "wall_s": round(dt, 4),
+        "n_replicates": n_rep,
+        "n_chan": n_chan,
+        "all_converged": bool(np.asarray(jax.device_get(jnp.all(conv)))),
+        "max_rel_err": float(np.asarray(jax.device_get(jnp.max(err)))),
+    }
+    results["granger_jackknife{}_device".format(n_chan)] = row
+    return row
+
+
 def _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
     """Optional additional device-bound rows (bench.py --device-only --full):
     welch, superlet TFR, and a FIR band-pass -> hilbert-envelope -> PSD
@@ -247,10 +426,11 @@ def _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
     xb = x[:64]
 
     def sl_step(batch):
+        # production output='pow' path: magnitude-only kernel (real
+        # log/exp order accumulation), squared
         return jax.vmap(
-            lambda tr: jnp.abs(
-                superlet(tr, np.asarray(scales), order_max=5, dt=1.0 / fs)
-            ) ** 2
+            lambda tr: superlet(tr, np.asarray(scales), order_max=5,
+                                dt=1.0 / fs, magnitude_only=True) ** 2
         )(batch)
 
     fn = jax.jit(sl_step)
@@ -373,6 +553,11 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
         "max_rel_err": float(np.asarray(err)),
     }
 
+    # remaining production-kernel rows (corr/csd/ppc/mtmconvol) + the
+    # lax.map jackknife factorization — part of the DEFAULT matrix
+    _matrix_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs)
+    _jackknife_granger_row(results, repeats)
+
     if full:
         _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs)
 
@@ -400,6 +585,29 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
             "wall_s": round(dt_best, 4),
             "flops": flops,
             "util_vs_peak": round(flops / dt_best / PEAK_FLOPS, 4),
+            "converged": bool(np.asarray(conv)),
+            "max_rel_err": float(np.asarray(err)),
+        }
+
+        # -- wide-channel jackknife: 128-ch LOO replicates through the
+        # lax.map factorization, NO host fallback in the loop — proves the
+        # hazardous shape runs on-device end to end ---------------------- #
+        _jackknife_granger_row(results, repeats=1, n_trials=64, n_chan=128,
+                               n_samples=n_samples, n_rep=4)
+
+        # -- 256-channel hazard probe: does the split-program structure
+        # still converge at 2x the north-star width? --------------------- #
+        adj256 = np.zeros((256, 256), dtype=np.float32)
+        adj256[1, 0] = 0.25
+        x256 = ar2_network_device(250, AdjMat=adj256, nSamples=n_samples, seed=7)
+        jax.block_until_ready(x256)
+        gr256 = _granger_program(250, n_samples, 256, samplerate=fs)
+        G, conv, err = gr256(x256)
+        jax.block_until_ready(G)
+        dt_best = _time_best(lambda x: gr256(x)[0], (x256,), 1)
+        results["granger256_device"] = {
+            "trials_per_s": round(250 / dt_best, 1),
+            "wall_s": round(dt_best, 4),
             "converged": bool(np.asarray(conv)),
             "max_rel_err": float(np.asarray(err)),
         }

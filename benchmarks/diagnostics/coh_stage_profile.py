@@ -52,6 +52,13 @@ def main(n_trials=1000, n_samples=1000, n_chan=64):
         tapered = jnp.asarray(taps)[None, :, :, None] * xd[:, None, :, :]
         return jnp.fft.rfft(tapered, n=n_samples, axis=2)
 
+    def taper_mmfft(x):
+        from syncopy_tpu.ops.fft import rfft_via_matmul
+
+        xd = detrend(x.astype(jnp.float32), 0, axis=1)
+        tapered = jnp.asarray(taps)[None, :, :, None] * xd[:, None, :, :]
+        return rfft_via_matmul(tapered, n_samples, axis=2)
+
     def mask_comp(spec):
         mask = (jnp.arange(spec.shape[0]) < n_trials)[:, None, None, None]
         spec = jnp.where(mask, spec, jnp.zeros((), spec.dtype))
@@ -72,7 +79,7 @@ def main(n_trials=1000, n_samples=1000, n_chan=64):
         return normalize_csd(cs, "abs")
 
     def full_new(x):
-        cs = tiled(taper_fft(x)) / n_trials
+        cs = tiled(taper_mmfft(x)) / n_trials
         return normalize_csd(cs, "abs")
 
     # the production CR path (should now match full_new)
@@ -85,7 +92,8 @@ def main(n_trials=1000, n_samples=1000, n_chan=64):
         return normalize_csd(cs_sum / x.shape[0], "abs")
 
     res = {}
-    fns = {"taper_fft": taper_fft, "full_old": full_old, "full_new": full_new,
+    fns = {"taper_fft": taper_fft, "taper_mmfft": taper_mmfft,
+           "full_old": full_old, "full_new": full_new,
            "production": production}
     jitted = {k: jax.jit(v) for k, v in fns.items()}
     spec = jax.jit(taper_fft)(x)

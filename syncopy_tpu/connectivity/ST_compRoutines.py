@@ -78,6 +78,12 @@ class CrossSpectra(_CrossRoutine):
             freq_idx=None if freq_idx is None else np.asarray(freq_idx, dtype=int),
             foi=foi, exact_fft=bool(exact_fft),
         )
+        # prime the pallas probe NOW (host-side): process_batch_sum runs
+        # under jit, where the probe cannot execute and would otherwise
+        # conservatively report False (see pallas_kernels.pallas_supported)
+        from ..ops.pallas_kernels import pallas_supported
+
+        pallas_supported()
 
     def process_single_trial(self, trial, **cfg):
         nfft = cfg["nSamples"] or trial.shape[0]
@@ -118,13 +124,11 @@ class CrossSpectra(_CrossRoutine):
             cs_sum = csd_sum_df32(tapered, nfft, freq_idx=cfg["freq_idx"]) / K
             return cs_sum[None].astype(jnp.complex64)
 
-        spec = jnp.fft.rfft(tapered, n=nfft, axis=2)  # (B, K, F, C)
-        if cfg["freq_idx"] is not None:
-            spec = jnp.take(spec, jnp.asarray(cfg["freq_idx"]), axis=2)
         K = tapers.shape[0]
-        B, Kt, F, C = spec.shape
+        C = tapered.shape[-1]
 
         from ..ops.connectivity import csd_sum_compensated
+        from ..ops.fft import rfft_via_matmul
         from ..ops.pallas_kernels import (
             csd_accumulate_tiled,
             pallas_supported,
@@ -132,7 +136,20 @@ class CrossSpectra(_CrossRoutine):
         )
 
         blocks = tiled_blocks_for(C)
-        if blocks is not None and pallas_supported():
+        use_pallas = blocks is not None and pallas_supported()
+        if use_pallas:
+            # MXU-resident DFT: the platform FFT is the slowest stage of
+            # this program (~10x its traffic bound, profiled in
+            # benchmarks/diagnostics/coh_stage_profile.py) — the two-GEMM
+            # Cooley-Tukey transform replaces it at ~1.5e-7 relative error
+            spec = rfft_via_matmul(tapered, nfft, axis=2)  # (B, K, F, C)
+        else:
+            spec = jnp.fft.rfft(tapered, n=nfft, axis=2)
+        if cfg["freq_idx"] is not None:
+            spec = jnp.take(spec, jnp.asarray(cfg["freq_idx"]), axis=2)
+        B, Kt, F, C = spec.shape
+
+        if use_pallas:
             # production MXU path: ONE tiled pallas pass over the spectrum
             # — per-frequency row-group contractions on the MXU, in-kernel
             # n_valid masking, cross-group TwoSum into (hi, lo) f32 pairs.

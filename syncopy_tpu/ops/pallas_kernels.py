@@ -137,7 +137,7 @@ def _csd_tiled_kernel(nv_ref, ar_ref, ai_ref, hr_ref, lr_ref, hi_ref, li_ref,
     jax.jit, static_argnames=("row_block", "freq_block", "interpret")
 )
 def csd_accumulate_tiled(spec_re, spec_im, n_valid_rows, row_block=256,
-                         freq_block=4, interpret=False):
+                         freq_block=8, interpret=False):
     """
     Accumulated cross-spectra from (N, F, C) real/imag spectral slabs:
     ``cs[f, i, j] = sum_{n < n_valid_rows} spec[n, f, i] * conj(spec[n, f, j])``.
@@ -195,26 +195,45 @@ def csd_accumulate_tiled(spec_re, spec_im, n_valid_rows, row_block=256,
 
 def tiled_blocks_for(n_chan):
     """(row_block, freq_block) keeping the VMEM working set (2 operand
-    tiles + 4 output tiles, double-buffered) comfortably under the ~16 MB
-    core budget across channel widths; None above 512 channels (the
-    output tile alone would exceed VMEM — config-#5-scale coherence runs
+    tiles + 4 output tiles) under the ~16 MB core budget across channel
+    widths. Mosaic requires the operand block's second-to-last dim (the
+    freq tile) divisible by 8, so freq_block is pinned there and the row
+    block shrinks with width; None above 256 channels (the four (8, C, C)
+    output tiles alone would exceed VMEM — config-#5-scale coherence runs
     its own streamed pipeline)."""
     if n_chan <= 128:
-        return 256, 4
+        return 256, 8
     if n_chan <= 256:
-        return 256, 2
-    if n_chan <= 512:
-        return 128, 1
+        return 64, 8
     return None
 
 
 _PALLAS_OK = None
 
 
+def _in_active_trace():
+    try:
+        return not jax.core.trace_state_clean()
+    except Exception:
+        return False
+
+
 def pallas_supported():
-    """Probe (once) whether pallas kernels compile on the default backend."""
+    """Probe (once) whether pallas kernels compile on the default backend.
+
+    The production call site — ``CrossSpectra.process_batch_sum`` — runs
+    INSIDE a jit trace, where the probe cannot execute (the inner jit
+    inlines into the outer trace and returns a tracer; the swallowed
+    AttributeError used to cache False and silently pin the engine to the
+    non-pallas fallback forever). The probe therefore only runs when no
+    trace is active; under a trace with no cached verdict it returns
+    False for THAT call without caching. Pallas-capable routines prime
+    the probe at construction time (always host-side) so the traced call
+    sees the real verdict."""
     global _PALLAS_OK
     if _PALLAS_OK is None:
+        if _in_active_trace():
+            return False  # un-primed under trace: conservative, uncached
         try:
             if jax.default_backend() == "cpu":
                 _PALLAS_OK = False

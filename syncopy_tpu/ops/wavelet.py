@@ -571,12 +571,21 @@ def superlet_weights(scales, order_max, order_min=1, adaptive=False):
     return w, uniq
 
 
-def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False, dt=1.0):
+def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False,
+             dt=1.0, magnitude_only=False):
     """
     Superlet transform of one trial (reference superlet.py:15-108).
 
     Returns (nScales, nSamples, nChannels) complex64 — the geometric mean
-    of MorletSL wavelet transforms across orders.
+    of MorletSL wavelet transforms across orders — or, with
+    ``magnitude_only=True``, the float32 MAGNITUDE of that geometric mean.
+
+    The magnitude path is the production TFR fast path: for
+    ``output='pow'/'abs'`` only ``|gmean|`` survives, and
+    ``|prod_o spec_o^w| = exp(sum_o w log|spec_o|)`` — real log/exp on the
+    VPU instead of complex log (log + atan2) and complex exp (exp +
+    sin/cos), and float32 accumulation instead of complex64. Identical
+    magnitudes up to float rounding (tested).
     """
     w, cycle_orders = superlet_weights(scales, order_max, order_min, adaptive)
     nSamples = data.shape[0]
@@ -595,6 +604,12 @@ def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False, dt=1.0
         y = jnp.fft.ifft(k_s[:, :, None] * X[None, :, :], axis=1)
         spec = y[:, :nSamples, :]  # (O, T, C)
         wl = w_s[:, None, None]
+        if magnitude_only:
+            a = jnp.abs(spec).astype(jnp.float32)
+            # floor keeps log finite; exp of the w-weighted sum of log(1e-30)
+            # underflows to the same 0 the complex path produces at |spec|=0
+            logm = jnp.where(wl > 0, jnp.log(jnp.maximum(a, 1e-30)), 0.0)
+            return jnp.exp(jnp.sum(wl * logm, axis=0)).astype(jnp.float32)
         # complex log-power accumulation over orders; w=0 contributes 0
         logspec = jnp.where(wl > 0, jnp.log(spec), 0.0 + 0.0j)
         gmean = jnp.exp(jnp.sum(wl.astype(jnp.complex64) * logspec, axis=0))

@@ -385,12 +385,19 @@ class SuperletTransform(_TimeFreqRoutine):
 
     def process_single_trial(self, trial, *aux, **cfg):
         x = detrend(trial.astype(jnp.float32), cfg["polyremoval"], axis=0)
+        # pow/abs outputs only consume |gmean| — take the magnitude-only
+        # kernel (real log/exp accumulation over orders; no complex
+        # log/atan2/sincos transcendentals — see ops/wavelet.superlet)
+        mag_only = cfg["output"] in ("pow", "abs")
         spec = superlet(
             x, cfg["scales"], cfg["order_max"], cfg["order_min"], cfg["c_1"],
-            cfg["adaptive"], dt=1.0 / cfg["samplerate"],
+            cfg["adaptive"], dt=1.0 / cfg["samplerate"], magnitude_only=mag_only,
         )
         spec = jnp.transpose(spec, (1, 0, 2))
         toi = cfg["toi"]
         if isinstance(toi, np.ndarray):
             spec = jnp.take(spec, aux[0], axis=0)
+        if mag_only:
+            m = spec[:, None, :, :]
+            return (m * m if cfg["output"] == "pow" else m).astype(jnp.float32)
         return spectral_convert(spec[:, None, :, :], cfg["output"])

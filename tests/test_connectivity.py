@@ -1008,10 +1008,14 @@ class TestPallasTiledCSDKernel:
     def test_block_gating(self):
         from syncopy_tpu.ops.pallas_kernels import tiled_blocks_for
 
-        assert tiled_blocks_for(64) == (256, 4)
-        assert tiled_blocks_for(256) == (256, 2)
-        assert tiled_blocks_for(512) == (128, 1)
+        assert tiled_blocks_for(64) == (256, 8)
+        assert tiled_blocks_for(256) == (64, 8)
+        assert tiled_blocks_for(512) is None
         assert tiled_blocks_for(1024) is None
+        # Mosaic tiling rule: the operand block's second-to-last dim (the
+        # freq tile) must stay divisible by 8
+        for c in (16, 64, 128, 256):
+            assert tiled_blocks_for(c)[1] % 8 == 0
 
     def test_production_coherence_equivalence(self):
         """The tiled path and the compensated-einsum path must agree at
@@ -1038,18 +1042,55 @@ class TestPallasTiledCSDKernel:
         # compensated production path (pallas unsupported on CPU)
         cs_comp = np.asarray(cr.process_batch_sum(jnp.asarray(x), nv, **cr.cfg))[0]
         coh_comp = np.asarray(normalize_csd(jnp.asarray(cs_comp / B), "abs"))
-        # tiled path on the identical spectrum
-        from syncopy_tpu.ops.spectral import detrend, mtmfft
+        # the full production pallas leg: matmul-DFT spectrum + tiled Gram
+        from syncopy_tpu.ops.fft import rfft_via_matmul
+        from syncopy_tpu.ops.spectral import detrend
         from syncopy_tpu.ops.windows import make_tapers
 
         taps = jnp.asarray(make_tapers(taper, taper_opt, T, T, fs))
         K = taps.shape[0]
-        spec = jax.vmap(lambda tr: mtmfft(detrend(tr, 0, axis=0), taps, T))(
-            jnp.asarray(x)
-        )  # (B, K, F, C)
+        xd = detrend(jnp.asarray(x), 0, axis=1)
+        tapered = taps[None, :, :, None] * xd[:, None, :, :]
+        spec = rfft_via_matmul(tapered, T, axis=2)  # (B, K, F, C)
         slab = spec.reshape(B * K, spec.shape[2], C)
         cs_tiled = np.asarray(csd_accumulate_tiled(
             jnp.real(slab), jnp.imag(slab), B * K, interpret=True
         )) / K
         coh_tiled = np.asarray(normalize_csd(jnp.asarray(cs_tiled / B), "abs"))
         assert np.abs(coh_tiled - coh_comp).max() < 1e-5
+
+
+class TestMatmulFFT:
+    """MXU-resident two-stage Cooley-Tukey rfft (ops/fft.py) — the
+    spectral stage of the production coherence path on TPU."""
+
+    def test_matches_numpy_rfft(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.fft import rfft_via_matmul
+
+        rng = np.random.default_rng(8)
+        for nfft, T in ((1000, 1000), (256, 200), (360, 360)):
+            x = rng.normal(size=(3, 2, T, 5)).astype(np.float32)
+            got = np.asarray(rfft_via_matmul(jnp.asarray(x), nfft, axis=2))
+            want = np.fft.rfft(x.astype(np.float64), n=nfft, axis=2)
+            assert got.shape == want.shape
+            assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+    def test_prime_length_falls_back(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.fft import matmul_fft_split, rfft_via_matmul
+
+        assert matmul_fft_split(97) is None
+        x = np.random.default_rng(1).normal(size=(97, 2)).astype(np.float32)
+        got = np.asarray(rfft_via_matmul(jnp.asarray(x), 97, axis=0))
+        want = np.fft.rfft(x.astype(np.float64), axis=0)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+    def test_split_selection(self):
+        from syncopy_tpu.ops.fft import matmul_fft_split
+
+        for n in (1000, 1024, 500, 250, 800, 2048):
+            n1, n2 = matmul_fft_split(n)
+            assert n1 * n2 == n

@@ -198,3 +198,49 @@ class TestWaveletAnalysis:
         # edges of the largest scales are masked
         assert np.isnan(power[-1, 0, 0])
         assert not np.isnan(power[0, 200, 0])
+
+
+class TestSuperletMagnitudeOnly:
+    """The magnitude-only superlet fast path (real log/exp accumulation)
+    must reproduce |complex gmean| to float rounding — it is the
+    production kernel for output='pow'/'abs'."""
+
+    def test_matches_complex_magnitude(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.wavelet import superlet
+
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.normal(size=(400, 3)).astype(np.float32))
+        foi = np.linspace(10.0, 80.0, 9)
+        scales = (1.0 / foi) / (2 * np.pi)
+        for adaptive in (False, True):
+            zc = np.asarray(superlet(x, scales, order_max=4, adaptive=adaptive,
+                                     dt=1e-3))
+            m = np.asarray(superlet(x, scales, order_max=4, adaptive=adaptive,
+                                    dt=1e-3, magnitude_only=True))
+            assert m.dtype == np.float32
+            ref = np.abs(zc)
+            scale = ref.max()
+            assert np.abs(m - ref).max() / scale < 1e-5
+
+    def test_frontend_pow_unchanged(self):
+        """freqanalysis(method='superlet', output='pow') — now routed
+        through the magnitude kernel — must equal the complex-path power."""
+        import syncopy_tpu as spy
+        from syncopy_tpu.ops.wavelet import superlet as sl_op
+
+        adata = spy.synthdata.harmonic(nTrials=3, freq=40, samplerate=500,
+                                       nSamples=300, nChannels=2)
+        out = spy.freqanalysis(adata, method="superlet", order_max=4,
+                               foi=np.linspace(20, 100, 8), output="pow")
+        # oracle: complex kernel squared magnitude per trial
+        foi = np.asarray(out.freq)
+        scales = (1.0 / foi) / (2 * np.pi)
+        tr0 = np.asarray(adata.trials[0]).astype(np.float32)
+        zc = np.asarray(sl_op(tr0 - tr0.mean(axis=0), scales, order_max=4,
+                              dt=1.0 / 500))
+        want = np.abs(zc) ** 2  # (S, T, C)
+        got = np.asarray(out.trials[0])[:, 0, :, :]  # (T, S, C)
+        np.testing.assert_allclose(got, np.transpose(want, (1, 0, 2)),
+                                   rtol=2e-4, atol=1e-8)
