@@ -24,13 +24,28 @@
 # keep the platform FFT.
 
 import functools
+import os
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rfft_via_matmul", "matmul_fft_split"]
+__all__ = ["rfft_via_matmul", "matmul_fft_split", "tpu_rfft"]
+
+# module-level constant (one process per setting, like the other SPY_TPU_*
+# engine knobs): SPY_TPU_MATMUL_FFT=0 reverts every gated call site to the
+# platform FFT
+_USE_MATMUL_FFT = os.environ.get("SPY_TPU_MATMUL_FFT", "1") != "0"
+
+
+def tpu_rfft(x, nfft, axis=-2):
+    """``jnp.fft.rfft`` on CPU; :func:`rfft_via_matmul` on accelerator
+    backends (where the platform FFT runs ~10x above its traffic bound —
+    see the module docstring). Backend choice happens at trace time."""
+    if _USE_MATMUL_FFT and jax.default_backend() != "cpu":
+        return rfft_via_matmul(x, nfft, axis=axis)
+    return jnp.fft.rfft(x, n=nfft, axis=axis)
 
 
 def matmul_fft_split(N, max_factor=512):

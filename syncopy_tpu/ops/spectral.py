@@ -57,7 +57,9 @@ def mtmfft(data, tapers, nfft, demean_taper=False):
     tapered = tapers[:, :, None] * data[None, :, :]
     if demean_taper:
         tapered = tapered - jnp.mean(tapered, axis=1, keepdims=True)
-    return jnp.fft.rfft(tapered, n=nfft, axis=1)
+    from .fft import tpu_rfft
+
+    return tpu_rfft(tapered, nfft, axis=1)
 
 
 def mtmfft_exact(data, tapers, nfft, demean_taper=False):

@@ -13,6 +13,7 @@
 import jax
 import jax.numpy as jnp
 
+from .fft import tpu_rfft
 from .spectral import detrend, spectral_convert
 
 __all__ = ["mtmconvol", "mtmconvol_time_sharded"]
@@ -58,7 +59,7 @@ def mtmconvol(
     frames = x[idx]  # (nTime, nperseg, C) gather
     frames = detrend(frames, polyremoval, axis=1)
     tapered = frames[:, None, :, :] * tapers[None, :, :, None]
-    ftr = jnp.fft.rfft(tapered, axis=2)
+    ftr = tpu_rfft(tapered, tapered.shape[2], axis=2)
     if freq_idx is not None:
         ftr = jnp.take(ftr, jnp.asarray(freq_idx), axis=2)
     spec = spectral_convert(ftr, output)
@@ -133,7 +134,7 @@ def mtmconvol_time_sharded(
         frames = ext[idx]  # (T_local, nperseg, C)
         frames = detrend(frames, polyremoval, axis=1)
         tapered = frames[:, None, :, :] * taper_bank[None, :, :, None]
-        ftr = jnp.fft.rfft(tapered, axis=2)
+        ftr = tpu_rfft(tapered, tapered.shape[2], axis=2)
         if freq_idx is not None:
             ftr = jnp.take(ftr, jnp.asarray(freq_idx), axis=2)
         spec = spectral_convert(ftr, output)
