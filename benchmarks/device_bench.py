@@ -325,10 +325,18 @@ def _matrix_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
 
 
 def _jackknife_granger_row(results, repeats, n_trials=200, n_chan=16,
-                           n_samples=1000, n_rep=32, fs=1000.0):
+                           n_samples=1000, n_rep=32, fs=1000.0,
+                           via="map"):
     """Device-bound jackknife Granger (config #4 core): LOO replicate CSDs
-    factorized through lax.map — the engine's sequential_batch path — in
-    ONE program. Reports replicates/s."""
+    factorized either through lax.map in ONE program (``via='map'``, the
+    engine's sequential_batch path) or as one UNBATCHED program invoked
+    per replicate (``via='unbatched'``, the engine's 1-row-chunk path) —
+    both converge at 128 ch (round 4: 5.3e-7 both ways, ~12 s walls).
+    NOTE rank: LOO CSDs need n_trials * n_tapers > n_chan or the CSD is
+    singular and NO structure (device, host, any batching) can factorize
+    it — the round-4 "scan diverges at 128 ch" scare was exactly a
+    64-trial/128-ch singular CSD plus a bench-side LOO scaling bug.
+    Reports replicates/s."""
     import jax
     import jax.numpy as jnp
 
@@ -348,25 +356,42 @@ def _jackknife_granger_row(results, repeats, n_trials=200, n_chan=16,
     @jax.jit
     def build(x):
         n = jnp.asarray(x.shape[0], dtype=jnp.int32)
+        # only the first n_rep replicates are factorized — materializing
+        # the other per-trial CSDs would OOM at wide shapes (256 trials x
+        # 128 ch is a 15.7 GB stack)
         per_trial = jax.vmap(
             lambda t: cr.process_single_trial(t, **cr.cfg)[0]
-        )(x)  # (B, F, C, C)
-        total = cr.process_batch_sum(x, n, **cr.cfg)[0] * x.shape[0]
-        # LOO replicate averages for the first n_rep trials
-        loo = (total[None] - per_trial[:n_rep]) / (x.shape[0] - 1)
+        )(x[:n_rep])  # (n_rep, F, C, C)
+        # process_batch_sum returns the trial SUM (tapers averaged)
+        total = cr.process_batch_sum(x, n, **cr.cfg)[0]
+        loo = (total[None] - per_trial) / (x.shape[0] - 1)
         return jnp.real(loo), jnp.imag(loo)
 
-    @jax.jit
-    def factorize_all(re, im):
-        def one(args):
-            CSD = (args[0] + 1j * args[1]).astype(jnp.complex64)
-            CSDreg, _, _ = regularize_csd(CSD, cond_max=1e4, eps_max=1e-1)
-            H, Sigma, conv, err = wilson_sf(CSDreg, nIter=100, rtol=5e-6)
-            return granger(CSDreg, H, Sigma), conv, err
+    def one(args):
+        CSD = (args[0] + 1j * args[1]).astype(jnp.complex64)
+        CSDreg, _, _ = regularize_csd(CSD, cond_max=1e4, eps_max=1e-1)
+        H, Sigma, conv, err = wilson_sf(CSDreg, nIter=100, rtol=5e-6)
+        return granger(CSDreg, H, Sigma), conv, err
 
-        # lax.map, NEVER vmap: the batched while_loop rewrite is the
-        # platform miscompile (engine sequential_batch mirror)
-        return jax.lax.map(one, (re, im))
+    if via == "map":
+
+        @jax.jit
+        def factorize_all(re, im):
+            # lax.map, NEVER vmap: the batched while_loop rewrite is the
+            # platform miscompile (engine sequential_batch mirror)
+            return jax.lax.map(one, (re, im))
+
+    else:
+        one_prog = jax.jit(one)
+
+        def factorize_all(re, im):
+            # one unbatched executable per replicate (the engine's 1-row
+            # chunk structure): the ONLY structure verified to converge at
+            # 128 ch — scan-wrapping the while_loop diverges there
+            outs = [one_prog((re[i], im[i])) for i in range(re.shape[0])]
+            return (jnp.stack([o[0] for o in outs]),
+                    jnp.stack([o[1] for o in outs]),
+                    jnp.stack([o[2] for o in outs]))
 
     re, im = build(x)
     jax.block_until_ready(re)
@@ -378,6 +403,7 @@ def _jackknife_granger_row(results, repeats, n_trials=200, n_chan=16,
         "wall_s": round(dt, 4),
         "n_replicates": n_rep,
         "n_chan": n_chan,
+        "via": via,
         "all_converged": bool(np.asarray(jax.device_get(jnp.all(conv)))),
         "max_rel_err": float(np.asarray(jax.device_get(jnp.max(err)))),
     }
@@ -590,10 +616,11 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
         }
 
         # -- wide-channel jackknife: 128-ch LOO replicates through the
-        # lax.map factorization, NO host fallback in the loop — proves the
-        # hazardous shape runs on-device end to end ---------------------- #
-        _jackknife_granger_row(results, repeats=1, n_trials=64, n_chan=128,
-                               n_samples=n_samples, n_rep=4)
+        # engine's lax.map sequential_batch structure, NO host fallback in
+        # the loop — proves the hazardous shape runs on-device end to end.
+        # 256 trials: LOO CSDs must be full-rank (n_trials > n_chan) ------ #
+        _jackknife_granger_row(results, repeats=1, n_trials=256, n_chan=128,
+                               n_samples=n_samples, n_rep=4, via="map")
 
         # -- 256-channel hazard probe: does the split-program structure
         # still converge at 2x the north-star width? --------------------- #

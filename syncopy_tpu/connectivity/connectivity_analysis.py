@@ -266,6 +266,24 @@ def connectivityanalysis(
         from ..statistics import jackknifing as jk
         from ..statistics.summary_stats import mean as spy_mean
 
+        if method == "granger":
+            # each trial contributes rank <= nTapers to the averaged CSD, so
+            # a leave-one-out replicate has rank <= (nTrials-1)*nTapers — if
+            # that is below the channel count the CSD is SINGULAR and no
+            # Wilson factorization exists (device f32, host f64, any
+            # batching; round-4 root-cause of the 128-ch jackknife scare)
+            t_opt = (getattr(st_compRoutine, "cfg", None) or {}).get("taper_opt")
+            n_tap = int((t_opt or {}).get("Kmax", 1) or 1)
+            if (nTrials - 1) * n_tap < len(data.channel):
+                SPYWarning(
+                    "jackknife Granger with {} trials x {} taper(s) on {} "
+                    "channels: leave-one-out CSDs have rank {} < {} and are "
+                    "singular — the factorization CANNOT converge. Use more "
+                    "trials/tapers or fewer channels.".format(
+                        nTrials, n_tap, len(data.channel),
+                        (nTrials - 1) * n_tap, len(data.channel))
+                )
+
         jack_in = st_out
         st_out = spy_mean(st_out, dim="trials")
         replicates_avg = jk.trial_avg_replicates(jack_in, parallel=parallel)

@@ -48,6 +48,71 @@ def tpu_rfft(x, nfft, axis=-2):
     return jnp.fft.rfft(x, n=nfft, axis=axis)
 
 
+def tpu_ifft_crop(X, axis, n_out):
+    """First `n_out` samples of ``jnp.fft.ifft(X, axis=axis)``: platform
+    ifft + slice on CPU, :func:`ifft_via_matmul` on accelerators (which
+    never computes the cropped-away samples — wavelet banks keep only the
+    first nSamples of an L-point circular convolution)."""
+    if _USE_MATMUL_FFT and jax.default_backend() != "cpu":
+        return ifft_via_matmul(X, axis=axis, n_out=n_out)
+    idx = [slice(None)] * X.ndim
+    idx[axis] = slice(0, n_out)
+    return jnp.fft.ifft(X, axis=axis)[tuple(idx)]
+
+
+@functools.lru_cache(maxsize=32)
+def _ct_plan_inv(N, n_out):
+    split = matmul_fft_split(N)
+    if split is None:
+        return None
+    N1, N2 = split
+    # inverse decimation: k = N1*s + r, n = N2*p + q
+    #   y[N2 p + q] = (1/N) sum_r W1+[p,r] ( T+[q,r] sum_s W2+[q,s] X[N1 s + r] )
+    s = np.arange(N2)
+    q = np.arange(N2)
+    G2 = np.exp(2j * np.pi * np.outer(q, s) / N2)
+    r = np.arange(N1)
+    T = np.exp(2j * np.pi * np.outer(q, r) / N)
+    p_max = (int(n_out) - 1) // N2
+    p = np.arange(p_max + 1)
+    G1 = np.exp(2j * np.pi * np.outer(p, r) / N1) / N
+    return N1, N2, G2.astype(np.complex64), T.astype(np.complex64), G1.astype(np.complex64)
+
+
+def ifft_via_matmul(X, axis, n_out=None):
+    """
+    The first `n_out` samples of the length-N inverse DFT of complex `X`
+    along `axis`, as two batched MXU GEMM stages (complex einsums — XLA
+    decomposes them into real MXU matmuls). Restricting the output range
+    drops the p-blocks past ``n_out`` entirely — wavelet convolutions pad
+    to L >> nSamples and discard the tail, so roughly half of stage 2
+    never runs. Falls back to platform ifft for unfactorable lengths.
+    """
+    N = X.shape[axis]
+    if n_out is None:
+        n_out = N
+    plan = _ct_plan_inv(int(N), int(n_out))
+    if plan is None:
+        idx = [slice(None)] * X.ndim
+        idx[axis] = slice(0, n_out)
+        return jnp.fft.ifft(X, axis=axis)[tuple(idx)]
+    N1, N2, G2, T, G1 = plan
+
+    X = jnp.moveaxis(X, axis, -2).astype(jnp.complex64)
+    lead = X.shape[:-2]
+    C = X.shape[-1]
+    Xsr = X.reshape(lead + (N2, N1, C))  # [s, r] with k = N1*s + r
+    g2 = jnp.asarray(G2)
+    tw = jnp.asarray(T)[:, :, None]
+    g1 = jnp.asarray(G1)
+    with jax.default_matmul_precision("highest"):
+        Z = jnp.einsum("qs,...src->...qrc", g2, Xsr)
+        Z = Z * tw
+        Y = jnp.einsum("pr,...qrc->...pqc", g1, Z)  # (..., p, q, c)
+    y = Y.reshape(lead + (-1, C))[..., :n_out, :]
+    return jnp.moveaxis(y, -2, axis)
+
+
 def matmul_fft_split(N, max_factor=512):
     """Pick (N1, N2) with ``N1 * N2 == N`` minimizing the GEMM cost
     ``2*N1 + 4*N2`` (stage 1 runs 2 real GEMMs on the real input, stage 2

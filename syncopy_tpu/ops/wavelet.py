@@ -286,10 +286,14 @@ def cwt(data, wavelet, scales, dt):
 
 
 def _apply_bank(data, kernel_fft_np, L, nSamples):
+    from .fft import tpu_ifft_crop
+
     X = jnp.fft.fft(data.astype(jnp.float32), n=L, axis=0)  # (L, C)
     Y = jnp.asarray(kernel_fft_np)[:, :, None] * X[None, :, :]  # (S, L, C)
-    y = jnp.fft.ifft(Y, axis=1)
-    return y[:, :nSamples, :].astype(jnp.complex64)
+    # inverse transform on the MXU where available; only the first
+    # nSamples of the L-point circular convolution are ever consumed
+    y = tpu_ifft_crop(Y, axis=1, n_out=nSamples)
+    return y.astype(jnp.complex64)
 
 
 def cwt_time_sharded(data, wavelet, scales, dt, mesh, axis_name="trial"):
@@ -600,9 +604,11 @@ def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False,
     W = jnp.asarray(w.T, dtype=jnp.float32)  # (S, O)
 
     def one_scale(args):
+        from .fft import tpu_ifft_crop
+
         k_s, w_s = args  # (O, L), (O,)
-        y = jnp.fft.ifft(k_s[:, :, None] * X[None, :, :], axis=1)
-        spec = y[:, :nSamples, :]  # (O, T, C)
+        spec = tpu_ifft_crop(k_s[:, :, None] * X[None, :, :], axis=1,
+                             n_out=nSamples)  # (O, T, C)
         wl = w_s[:, None, None]
         if magnitude_only:
             a = jnp.abs(spec).astype(jnp.float32)

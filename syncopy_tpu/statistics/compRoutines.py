@@ -120,7 +120,14 @@ class LOOAverage(ComputationalRoutine):
 
     def process_single_trial(self, trial, avg, **cfg):
         n = cfg["n_trials"]
-        return ((n * avg - trial) / (n - 1)).astype(trial.dtype)
+        # algebraically identical to (n*avg - trial)/(n-1), but WITHOUT
+        # the large-scale subtraction: n*avg - trial cancels at n times
+        # the result's magnitude, losing ~log2(n) mantissa bits — at
+        # n=1000 that is ~6e-5 relative inconsistency, enough to make a
+        # wide-channel jackknife CSD replicate un-factorizable in float32
+        # (Wilson floors ~100x above it). avg + (avg - trial)/(n-1)
+        # subtracts at the operands' own scale and stays ~ulp-accurate.
+        return (avg + (avg - trial) / (n - 1)).astype(trial.dtype)
 
     def process_metadata(self, data, out):
         out.trialdefinition = self.default_trialdefinition(data, out)

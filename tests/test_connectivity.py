@@ -1094,3 +1094,33 @@ class TestMatmulFFT:
         for n in (1000, 1024, 500, 250, 800, 2048):
             n1, n2 = matmul_fft_split(n)
             assert n1 * n2 == n
+
+
+class TestMatmulIFFT:
+    """Cropped inverse matmul DFT (ops/fft.py) — the wavelet-bank inverse
+    transform stage on TPU."""
+
+    def test_matches_numpy_ifft(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.fft import ifft_via_matmul
+
+        rng = np.random.default_rng(9)
+        for N, n_out in ((2048, 1000), (250, 250), (360, 100)):
+            X = (rng.normal(size=(2, N, 3))
+                 + 1j * rng.normal(size=(2, N, 3))).astype(np.complex64)
+            got = np.asarray(ifft_via_matmul(jnp.asarray(X), axis=1, n_out=n_out))
+            want = np.fft.ifft(X.astype(np.complex128), axis=1)[:, :n_out]
+            assert got.shape == want.shape
+            assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+    def test_prime_length_falls_back(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.fft import ifft_via_matmul
+
+        X = (np.random.default_rng(2).normal(size=(89, 2))
+             + 1j * np.random.default_rng(3).normal(size=(89, 2))).astype(np.complex64)
+        got = np.asarray(ifft_via_matmul(jnp.asarray(X), axis=0, n_out=40))
+        want = np.fft.ifft(X.astype(np.complex128), axis=0)[:40]
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-6

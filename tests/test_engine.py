@@ -988,3 +988,31 @@ class TestSequentialBatch:
         assert seen
         assert not any(seen), "Wilson factorization was traced under vmap"
         assert "jack_var" in res._registered_datasets or hasattr(res, "jack_var")
+
+
+class TestLOOAccuracy:
+    """LOO replicate arithmetic must not lose mantissa bits to large-scale
+    cancellation: (n*avg - x)/(n-1) subtracts at n times the result's
+    magnitude (~log2(n) bits lost; at n=1000 the ~6e-5 relative noise is
+    enough to make a wide-channel jackknife CSD un-factorizable in f32).
+    The algebraically identical avg + (avg - x)/(n-1) stays ~ulp-accurate
+    (round-4 root cause of the 128-ch jackknife divergence, alongside the
+    rank-deficiency hazard)."""
+
+    def test_loo_average_matches_f64(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.statistics.compRoutines import LOOAverage
+
+        rng = np.random.default_rng(5)
+        n = 1000
+        trials = rng.normal(size=(n, 32)).astype(np.float64) + 10.0
+        avg64 = trials.mean(axis=0)
+        cr = LOOAverage(n_trials=n, avg=avg64.astype(np.float32))
+        got = np.asarray(cr.process_single_trial(
+            jnp.asarray(trials[0].astype(np.float32)),
+            jnp.asarray(avg64.astype(np.float32)), n_trials=n))
+        want = (avg64 * n - trials[0]) / (n - 1)
+        # naive f32 arithmetic would land ~6e-5 away; the rewritten form
+        # stays within a few ulp of the f64 value
+        assert np.max(np.abs(got - want) / np.abs(want)) < 3e-7
