@@ -128,7 +128,7 @@ class CrossSpectra(_CrossRoutine):
         C = tapered.shape[-1]
 
         from ..ops.connectivity import csd_sum_compensated
-        from ..ops.fft import rfft_via_matmul
+        from ..ops.fft import tpu_rfft
         from ..ops.pallas_kernels import (
             csd_accumulate_tiled,
             pallas_supported,
@@ -138,11 +138,12 @@ class CrossSpectra(_CrossRoutine):
         blocks = tiled_blocks_for(C)
         use_pallas = blocks is not None and pallas_supported()
         if use_pallas:
-            # MXU-resident DFT: the platform FFT is the slowest stage of
-            # this program (~10x its traffic bound, profiled in
-            # benchmarks/diagnostics/coh_stage_profile.py) — the two-GEMM
-            # Cooley-Tukey transform replaces it at ~1.5e-7 relative error
-            spec = rfft_via_matmul(tapered, nfft, axis=2)  # (B, K, F, C)
+            # MXU-resident DFT for non-pow2 lengths: the platform FFT is
+            # the slowest stage of this program there (~10x its traffic
+            # bound, profiled in benchmarks/diagnostics/
+            # coh_stage_profile.py) — the two-GEMM Cooley-Tukey transform
+            # replaces it at ~1.5e-7 relative error
+            spec = tpu_rfft(tapered, nfft, axis=2)  # (B, K, F, C)
         else:
             spec = jnp.fft.rfft(tapered, n=nfft, axis=2)
         if cfg["freq_idx"] is not None:

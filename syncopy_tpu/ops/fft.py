@@ -37,23 +37,64 @@ __all__ = ["rfft_via_matmul", "matmul_fft_split", "tpu_rfft"]
 # engine knobs): SPY_TPU_MATMUL_FFT=0 reverts every gated call site to the
 # platform FFT
 _USE_MATMUL_FFT = os.environ.get("SPY_TPU_MATMUL_FFT", "1") != "0"
+# GEMM precision for the DFT stages: "highest" = exact f32 (6-pass bf16),
+# "high" = bf16_3x (~2^-21 per-op relative error, ~2x the matmul rate).
+# Power/TFR magnitude paths tolerate "high" easily (estimator noise is
+# orders of magnitude larger); default stays exact.
+_MATMUL_PRECISION = os.environ.get("SPY_TPU_MATMUL_FFT_PRECISION", "highest")
+
+
+def _prefer_matmul(N):
+    """Measured rule (v5e, 2026-08-19): the matmul transform wins for
+    NON-power-of-two lengths, where the platform FFT pays mixed-radix
+    overheads far above its traffic bound (N=1000 rfft: 58 -> 32 ms;
+    L=3456 superlet ifft: +30 % throughput). For power-of-two lengths the
+    platform radix-2 FFT wins (L=2048 wavelet ifft: matmul REGRESSED
+    1768 -> 1012 trials/s) — keep it there."""
+    return _USE_MATMUL_FFT and N & (N - 1) != 0 and jax.default_backend() != "cpu"
+
+
+def preferred_fft_len(n):
+    """Smallest 'fast' transform length >= `n` for a padded convolution:
+    the next power of two, or — when the MXU matmul transform will run it
+    (accelerator backend, matmul FFT enabled) — the smallest {2,3}-smooth
+    length below that power of two. Measured on v5e (superlet bank,
+    n=3388): L=3456 through :func:`ifft_via_matmul` beats L=4096 through
+    the platform radix-2 ifft by ~30 % (the 16 % length saving compounds
+    with the MXU rate at mixed-radix sizes)."""
+    n = int(n)
+    p2 = 1 << max((n - 1).bit_length(), 0)
+    if not (_USE_MATMUL_FFT and jax.default_backend() != "cpu"):
+        return p2
+    best = p2
+    p3 = 3
+    while p3 < p2:
+        p2r = 1
+        while p2r * p3 < n:
+            p2r <<= 1
+        cand = p2r * p3
+        if cand < best and matmul_fft_split(cand) is not None:
+            best = cand
+        p3 *= 3
+    return best
 
 
 def tpu_rfft(x, nfft, axis=-2):
-    """``jnp.fft.rfft`` on CPU; :func:`rfft_via_matmul` on accelerator
-    backends (where the platform FFT runs ~10x above its traffic bound —
-    see the module docstring). Backend choice happens at trace time."""
-    if _USE_MATMUL_FFT and jax.default_backend() != "cpu":
+    """``jnp.fft.rfft``, or :func:`rfft_via_matmul` on accelerator
+    backends for non-power-of-two lengths (see :func:`_prefer_matmul`).
+    Backend choice happens at trace time."""
+    if _prefer_matmul(int(nfft)):
         return rfft_via_matmul(x, nfft, axis=axis)
     return jnp.fft.rfft(x, n=nfft, axis=axis)
 
 
 def tpu_ifft_crop(X, axis, n_out):
     """First `n_out` samples of ``jnp.fft.ifft(X, axis=axis)``: platform
-    ifft + slice on CPU, :func:`ifft_via_matmul` on accelerators (which
-    never computes the cropped-away samples — wavelet banks keep only the
-    first nSamples of an L-point circular convolution)."""
-    if _USE_MATMUL_FFT and jax.default_backend() != "cpu":
+    ifft + slice, or :func:`ifft_via_matmul` on accelerators for
+    non-power-of-two lengths (which never computes the cropped-away
+    samples — wavelet banks keep only the first nSamples of an L-point
+    circular convolution)."""
+    if _prefer_matmul(int(X.shape[axis])):
         return ifft_via_matmul(X, axis=axis, n_out=n_out)
     idx = [slice(None)] * X.ndim
     idx[axis] = slice(0, n_out)
@@ -105,7 +146,7 @@ def ifft_via_matmul(X, axis, n_out=None):
     g2 = jnp.asarray(G2)
     tw = jnp.asarray(T)[:, :, None]
     g1 = jnp.asarray(G1)
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(_MATMUL_PRECISION):
         Z = jnp.einsum("qs,...src->...qrc", g2, Xsr)
         Z = Z * tw
         Y = jnp.einsum("pr,...qrc->...pqc", g1, Z)  # (..., p, q, c)
@@ -192,7 +233,7 @@ def rfft_via_matmul(x, nfft, axis=-2):
     f2r, f2i = jnp.asarray(F2r), jnp.asarray(F2i)
     tr = jnp.asarray(Tr)[:, :, None]
     ti = jnp.asarray(Ti)[:, :, None]
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(_MATMUL_PRECISION):
         Yr = jnp.einsum("rp,...pqc->...rqc", f1r, x5)
         Yi = jnp.einsum("rp,...pqc->...rqc", f1i, x5)
         Zr = Yr * tr - Yi * ti

@@ -190,7 +190,32 @@ def get_optimal_wavelet_scales(scale_from_period, nSamples, dt, dj=0.25, s0=None
 
 
 def _next_fast_len(n):
-    return 1 << (int(n) - 1).bit_length()
+    """Padded-convolution FFT length: next power of two, or a smaller
+    {2,3}-smooth length when the MXU matmul transform will run it (see
+    ops.fft.preferred_fft_len — measured +30 % on the superlet bank)."""
+    from .fft import preferred_fft_len
+
+    return preferred_fft_len(int(n))
+
+
+def _scale_buckets(Ls):
+    """Group scale indices by padded transform length: ``[(L, [i, ...])]``
+    sorted by L, each index list in original scale order. The lowest
+    frequencies dictate a support (and hence FFT length) the high
+    frequencies don't need — running one bank per length bucket cuts the
+    convolution traffic and GEMM work by the length ratio."""
+    buckets = {}
+    for i, L in enumerate(Ls):
+        buckets.setdefault(int(L), []).append(i)
+    return sorted(buckets.items())
+
+
+def _reassemble_scales(pieces, index_groups, axis=0):
+    """Concatenate per-bucket results and restore original scale order."""
+    order = np.concatenate([np.asarray(g) for g in index_groups])
+    out = jnp.concatenate(pieces, axis=axis)
+    inv = np.argsort(order)
+    return jnp.take(out, jnp.asarray(inv), axis=axis)
 
 
 @functools.lru_cache(maxsize=64)
@@ -279,10 +304,24 @@ def cwt(data, wavelet, scales, dt):
     nSamples = data.shape[0]
     name = type(wavelet).__name__
     param = getattr(wavelet, "w0", None) if name == "Morlet" else getattr(wavelet, "m", None)
-    kfft, L = _wavelet_kernel_fft(
-        (name, param), tuple(np.asarray(scales).tolist()), float(dt), int(nSamples), None
-    )
-    return _apply_bank(data, kfft, L, nSamples)
+    scales_t = tuple(np.asarray(scales).tolist())
+    # per-scale padded length (same support rule as _wavelet_kernel_fft):
+    # one bank per length bucket keeps the long transforms for the low
+    # frequencies only
+    Ls = [_next_fast_len(nSamples + int(np.ceil(10 * s / dt)) + 1)
+          for s in scales_t]
+    pieces, groups = [], []
+    for L_b, idx in _scale_buckets(Ls):
+        kfft, L_built = _wavelet_kernel_fft(
+            (name, param), tuple(scales_t[i] for i in idx), float(dt),
+            int(nSamples), None,
+        )
+        assert L_built == L_b, (L_built, L_b)
+        pieces.append(_apply_bank(data, kfft, L_b, nSamples))
+        groups.append(idx)
+    if len(pieces) == 1:
+        return pieces[0]
+    return _reassemble_scales(pieces, groups, axis=0)
 
 
 def _apply_bank(data, kernel_fft_np, L, nSamples):
@@ -597,13 +636,9 @@ def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False,
     # keep c_1 as a float: fractional base cycle counts are valid MorletSL
     # bandwidths (the frontend coerces to int, the ops API need not)
     cycles_t = tuple(float(c_1) * int(o) for o in cycle_orders)
-    bank, L = _superlet_bank_fft(scales_t, float(dt), int(nSamples), cycles_t)
-
-    X = jnp.fft.fft(data.astype(jnp.float32), n=L, axis=0)  # (L, C)
-    K = jnp.swapaxes(jnp.asarray(bank), 0, 1)  # (S, O, L)
     W = jnp.asarray(w.T, dtype=jnp.float32)  # (S, O)
 
-    def one_scale(args):
+    def scale_block(X, args):
         from .fft import tpu_ifft_crop
 
         k_s, w_s = args  # (O, L), (O,)
@@ -621,10 +656,29 @@ def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False,
         gmean = jnp.exp(jnp.sum(wl.astype(jnp.complex64) * logspec, axis=0))
         return gmean.astype(jnp.complex64)  # (T, C)
 
-    # lax.map over scales: one (O, L, C) block live at a time instead of
-    # the full (O, S, L, C) bank — under the engine's trial vmap this is
-    # what lets the chunk size reach hundreds of trials
-    return jax.lax.map(one_scale, (K, W))
+    # per-scale padded length (same support rule as _superlet_bank_fft):
+    # low frequencies need supports the high frequencies don't — one bank
+    # per length bucket keeps traffic and GEMM work ∝ each scale's own L
+    max_c = max(cycles_t)
+    Ls = [_next_fast_len(nSamples + int(np.ceil(10 * s * max_c / dt)) + 1)
+          for s in scales_t]
+    pieces, groups = [], []
+    for L_b, idx in _scale_buckets(Ls):
+        bank, L_built = _superlet_bank_fft(
+            tuple(scales_t[i] for i in idx), float(dt), int(nSamples), cycles_t
+        )
+        assert L_built == L_b, (L_built, L_b)
+        X = jnp.fft.fft(data.astype(jnp.float32), n=L_b, axis=0)  # (L_b, C)
+        K = jnp.swapaxes(jnp.asarray(bank), 0, 1)  # (S_b, O, L_b)
+        W_b = W[np.asarray(idx)]
+        # lax.map over scales: one (O, L, C) block live at a time instead
+        # of the full (O, S, L, C) bank — under the engine's trial vmap
+        # this is what lets the chunk size reach hundreds of trials
+        pieces.append(jax.lax.map(functools.partial(scale_block, X), (K, W_b)))
+        groups.append(idx)
+    if len(pieces) == 1:
+        return pieces[0]
+    return _reassemble_scales(pieces, groups, axis=0)
 
 
 # Reference exports both names for the same class (wavelets/transform.py:11,614).

@@ -658,6 +658,19 @@ class TestGrangerFromSpectra:
         # the point is it is finite and sane, not tight
         assert var[0, 5:, 1, 0].max() < 10.0
 
+    def test_jackknife_rank_deficiency_warns(self, monkeypatch):
+        """LOO CSD rank (nTrials-1)*nTapers below the channel count means a
+        SINGULAR replicate CSD — the frontend must say so up front instead
+        of letting Wilson grind to non-convergence (round-4 root cause of
+        the 128-ch jackknife scare)."""
+        monkeypatch.setenv("SPY_GRANGER_HOST_FALLBACK", "0")
+        # 4 trials x 1 hann taper on 8 channels: LOO rank 3 < 8
+        dd = spy.synthdata.white_noise(nTrials=4, nSamples=128, nChannels=8,
+                                       seed=7)
+        with pytest.warns(RuntimeWarning, match="singular"):
+            spy.connectivityanalysis(dd, method="granger", taper="hann",
+                                     jackknife=True)
+
     def test_exact_fft_matches_plain(self):
         d = spy.synthdata.white_noise(nTrials=4, nSamples=300, nChannels=3, seed=4)
         plain = spy.freqanalysis(d, method="mtmfft", output="fourier")
@@ -1094,6 +1107,84 @@ class TestMatmulFFT:
         for n in (1000, 1024, 500, 250, 800, 2048):
             n1, n2 = matmul_fft_split(n)
             assert n1 * n2 == n
+
+
+class TestCcovLagGemm:
+    """The accelerator cross-covariance path (lag-batched MXU Grams) must
+    match the FFT correlation to float32 rounding, even/odd lengths,
+    including the block-tail clamp region (ops/connectivity.py)."""
+
+    @pytest.mark.parametrize("T", [1000, 999, 100, 101, 64, 65])
+    def test_gemm_matches_fft(self, T):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import _ccov_lags_fft, _ccov_lags_gemm
+
+        rng = np.random.default_rng(T)
+        x = jnp.asarray(rng.normal(size=(T, 5)).astype(np.float32))
+        n_lags = T // 2 if T % 2 == 0 else T // 2 + 1
+        delta = 1 if T % 2 == 0 else 0
+        a = np.asarray(_ccov_lags_fft(x, n_lags, delta))
+        b = np.asarray(_ccov_lags_gemm(x, n_lags, delta))
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() / np.abs(a).max() < 2e-6
+
+    def test_trial_path_uses_gemm_on_accelerator(self, monkeypatch):
+        """cross_covariance_trial must route through the GEMM lags off-CPU
+        and produce identical results either way."""
+        import jax
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops import connectivity as oc
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(200, 4)).astype(np.float32))
+        want = np.asarray(oc.cross_covariance_trial(x, polyremoval=0))
+        called = {}
+
+        real_gemm = oc._ccov_lags_gemm
+
+        def spy_gemm(*a, **k):
+            called["yes"] = True
+            return real_gemm(*a, **k)
+
+        monkeypatch.setattr(oc.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(oc, "_ccov_lags_gemm", spy_gemm)
+        got = np.asarray(oc.cross_covariance_trial(x, polyremoval=0))
+        assert called.get("yes")
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
+
+
+class TestPreferredFFTLen:
+    """{2,3}-smooth padded-convolution lengths engage only where the MXU
+    matmul transform runs (accelerator backends)."""
+
+    def test_cpu_backend_keeps_pow2(self):
+        from syncopy_tpu.ops.fft import preferred_fft_len
+
+        for n in (1000, 3388, 2048, 5):
+            L = preferred_fft_len(n)
+            assert L >= n and L & (L - 1) == 0
+
+    def test_accelerator_allows_3smooth(self, monkeypatch):
+        from syncopy_tpu.ops import fft as f
+
+        monkeypatch.setattr(f.jax, "default_backend", lambda: "tpu")
+        assert f.preferred_fft_len(3388) == 3456  # 2^7 * 27 < 4096
+        assert f.preferred_fft_len(2048) == 2048  # exact pow2 stays
+        assert f.preferred_fft_len(1025) == 1152  # 2^7 * 9 < 2048
+        # every result is factorable for the CT plan and >= n
+        for n in (3388, 1025, 700, 97, 5000):
+            L = f.preferred_fft_len(n)
+            assert L >= n
+            assert L & (L - 1) == 0 or f.matmul_fft_split(L) is not None
+
+    def test_matmul_disabled_keeps_pow2(self, monkeypatch):
+        from syncopy_tpu.ops import fft as f
+
+        monkeypatch.setattr(f.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(f, "_USE_MATMUL_FFT", False)
+        assert f.preferred_fft_len(3388) == 4096
 
 
 class TestMatmulIFFT:

@@ -129,6 +129,47 @@ class TestSuperlet:
         assert sl.freq[np.argmax(arr)] == pytest.approx(40, abs=5)
 
 
+class TestScaleBuckets:
+    """Per-scale FFT-length bucketing (ops/wavelet.py): wide scale ranges
+    split into multiple padded lengths; every scale row must equal the
+    single-scale computation (which is trivially one bucket)."""
+
+    def test_cwt_bucketed_rows_match_single_scale(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.fft import preferred_fft_len
+        from syncopy_tpu.ops.wavelet import Morlet, cwt
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(400, 3)).astype(np.float32))
+        dt = 1 / 500.0
+        # frequencies 5..100 Hz: supports span ~20x -> multiple buckets
+        scales = Morlet().scale_from_period(1.0 / np.array([5.0, 12.0, 30.0, 80.0]))
+        Ls = {preferred_fft_len(400 + int(np.ceil(10 * s / dt)) + 1) for s in scales}
+        assert len(Ls) > 1, "expected a multi-bucket scale set"
+        full = np.asarray(cwt(x, Morlet(), scales, dt))
+        for i, s in enumerate(scales):
+            one = np.asarray(cwt(x, Morlet(), np.array([s]), dt))[0]
+            assert np.abs(full[i] - one).max() <= 1e-6 * np.abs(one).max()
+
+    def test_superlet_bucketed_rows_match_single_scale(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.wavelet import superlet
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(400, 2)).astype(np.float32))
+        dt = 1 / 500.0
+        foi = np.array([5.0, 15.0, 40.0, 90.0])
+        scales = (1.0 / foi) / (2 * np.pi)
+        full = np.asarray(superlet(x, scales, order_max=4, dt=dt,
+                                   magnitude_only=True))
+        for i, s in enumerate(scales):
+            one = np.asarray(superlet(x, np.array([s]), order_max=4, dt=dt,
+                                      magnitude_only=True))[0]
+            assert np.abs(full[i] - one).max() <= 1e-5 * np.abs(one).max()
+
+
 class TestWelch:
     def test_basic(self):
         data = spy.synthdata.harmonic(freq=30, samplerate=500, nTrials=4, nSamples=1000, nChannels=2)
