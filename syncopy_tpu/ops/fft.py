@@ -47,36 +47,32 @@ _MATMUL_PRECISION = os.environ.get("SPY_TPU_MATMUL_FFT_PRECISION", "highest")
 def _prefer_matmul(N):
     """Measured rule (v5e, 2026-08-19): the matmul transform wins for
     NON-power-of-two lengths, where the platform FFT pays mixed-radix
-    overheads far above its traffic bound (N=1000 rfft: 58 -> 32 ms;
-    L=3456 superlet ifft: +30 % throughput). For power-of-two lengths the
-    platform radix-2 FFT wins (L=2048 wavelet ifft: matmul REGRESSED
-    1768 -> 1012 trials/s) — keep it there."""
+    overheads far above its traffic bound (N=1000 rfft: 58 -> 32 ms on
+    the coherence path). For power-of-two lengths the platform radix-2
+    FFT wins (L=2048 wavelet ifft: matmul REGRESSED 1768 -> 1012
+    trials/s) — keep it there. Padded-convolution lengths are pow2 by
+    construction (preferred_fft_len), so in practice this fires for
+    analysis lengths fixed by the data (mtmfft/stft nfft)."""
     return _USE_MATMUL_FFT and N & (N - 1) != 0 and jax.default_backend() != "cpu"
 
 
 def preferred_fft_len(n):
     """Smallest 'fast' transform length >= `n` for a padded convolution:
-    the next power of two, or — when the MXU matmul transform will run it
-    (accelerator backend, matmul FFT enabled) — the smallest {2,3}-smooth
-    length below that power of two. Measured on v5e (superlet bank,
-    n=3388): L=3456 through :func:`ifft_via_matmul` beats L=4096 through
-    the platform radix-2 ifft by ~30 % (the 16 % length saving compounds
-    with the MXU rate at mixed-radix sizes)."""
+    the next power of two.
+
+    Measured dead end (v5e, 2026-08-19, superlet bank 15 scales x 64
+    trials x 64 ch): {2,3}-smooth lengths through :func:`ifft_via_matmul`
+    DID beat a single common pow2 length (467 vs 359 trials/s at
+    L=3456 vs 4096) — but per-scale length BUCKETING (ops/wavelet.py::
+    _scale_buckets) beats both, and under bucketing the pow2 platform
+    ifft wins decisively: 590 trials/s vs 419 (matmul exact-f32) / 434
+    (matmul bf16_3x). Once every scale runs near its minimal length, the
+    radix-2 platform FFT's rate advantage at pow2 outweighs any further
+    {2,3}-smooth length saving. The matmul DFT remains the right tool for
+    NON-pow2 analysis lengths fixed by the data (tpu_rfft: N=1000 rfft
+    58 -> 32 ms)."""
     n = int(n)
-    p2 = 1 << max((n - 1).bit_length(), 0)
-    if not (_USE_MATMUL_FFT and jax.default_backend() != "cpu"):
-        return p2
-    best = p2
-    p3 = 3
-    while p3 < p2:
-        p2r = 1
-        while p2r * p3 < n:
-            p2r <<= 1
-        cand = p2r * p3
-        if cand < best and matmul_fft_split(cand) is not None:
-            best = cand
-        p3 *= 3
-    return best
+    return 1 << max((n - 1).bit_length(), 0)
 
 
 def tpu_rfft(x, nfft, axis=-2):

@@ -198,16 +198,32 @@ def _next_fast_len(n):
     return preferred_fft_len(int(n))
 
 
-def _scale_buckets(Ls):
+def _scale_buckets(Ls, max_buckets=4):
     """Group scale indices by padded transform length: ``[(L, [i, ...])]``
     sorted by L, each index list in original scale order. The lowest
     frequencies dictate a support (and hence FFT length) the high
     frequencies don't need — running one bank per length bucket cuts the
-    convolution traffic and GEMM work by the length ratio."""
+    convolution traffic and GEMM work by the length ratio.
+
+    At most `max_buckets` distinct lengths: every bucket is a separate
+    sub-program (compile time, dispatch steps), so smaller buckets are
+    greedily merged into the next longer one, choosing the merge that
+    adds the least wasted work ``count * (L_next - L)`` (a longer padding
+    is always correct — linear convolution is invariant to extra zeros)."""
     buckets = {}
     for i, L in enumerate(Ls):
         buckets.setdefault(int(L), []).append(i)
-    return sorted(buckets.items())
+    items = sorted(buckets.items())
+    while len(items) > max_buckets:
+        costs = [
+            (items[k + 1][0] - items[k][0]) * len(items[k][1])
+            for k in range(len(items) - 1)
+        ]
+        k = int(np.argmin(costs))
+        merged = sorted(items[k][1] + items[k + 1][1])
+        items[k + 1] = (items[k + 1][0], merged)
+        del items[k]
+    return items
 
 
 def _reassemble_scales(pieces, index_groups, axis=0):
@@ -219,7 +235,8 @@ def _reassemble_scales(pieces, index_groups, axis=0):
 
 
 @functools.lru_cache(maxsize=64)
-def _wavelet_kernel_fft(wavelet_key, scales_key, dt, nSamples, superlet_cycles):
+def _wavelet_kernel_fft(wavelet_key, scales_key, dt, nSamples, superlet_cycles,
+                        L_override=None):
     """
     Host-side kernel bank: sample every scale's wavelet on its reference
     support, normalize like cwt_time (reference transform.py:88-108) /
@@ -242,7 +259,7 @@ def _wavelet_kernel_fft(wavelet_key, scales_key, dt, nSamples, superlet_cycles):
 
     # common FFT length covering signal + largest kernel
     Ms = [int(np.ceil(M)) + 1 for M in supports]
-    L = _next_fast_len(nSamples + max(Ms))
+    L = L_override or _next_fast_len(nSamples + max(Ms))
 
     bank = np.zeros((len(scales), L), dtype=np.complex64)
     for i, (s, M) in enumerate(zip(scales, supports)):
@@ -265,7 +282,7 @@ def _embedded_kernel(wav, s, M, dt, norm, L):
 
 
 @functools.lru_cache(maxsize=32)
-def _superlet_bank_fft(scales_key, dt, nSamples, cycles_key):
+def _superlet_bank_fft(scales_key, dt, nSamples, cycles_key, L_override=None):
     """
     Combined multi-order MorletSL bank at ONE common FFT length: the
     per-order banks of :func:`_wavelet_kernel_fft` zero-padded to the
@@ -276,7 +293,7 @@ def _superlet_bank_fft(scales_key, dt, nSamples, cycles_key):
     scales = np.asarray(scales_key)
     norm = dt**0.5 / (4 * np.pi)
     max_support = 10 * scales.max() * max(cycles_key) / dt
-    L = _next_fast_len(nSamples + int(np.ceil(max_support)) + 1)
+    L = L_override or _next_fast_len(nSamples + int(np.ceil(max_support)) + 1)
     bank = np.zeros((len(cycles_key), len(scales), L), dtype=np.complex64)
     for o, cycles in enumerate(cycles_key):
         wav = MorletSL(cycles)
@@ -312,11 +329,10 @@ def cwt(data, wavelet, scales, dt):
           for s in scales_t]
     pieces, groups = [], []
     for L_b, idx in _scale_buckets(Ls):
-        kfft, L_built = _wavelet_kernel_fft(
+        kfft, _ = _wavelet_kernel_fft(
             (name, param), tuple(scales_t[i] for i in idx), float(dt),
-            int(nSamples), None,
+            int(nSamples), None, L_override=L_b,
         )
-        assert L_built == L_b, (L_built, L_b)
         pieces.append(_apply_bank(data, kfft, L_b, nSamples))
         groups.append(idx)
     if len(pieces) == 1:
@@ -664,10 +680,10 @@ def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False,
           for s in scales_t]
     pieces, groups = [], []
     for L_b, idx in _scale_buckets(Ls):
-        bank, L_built = _superlet_bank_fft(
-            tuple(scales_t[i] for i in idx), float(dt), int(nSamples), cycles_t
+        bank, _ = _superlet_bank_fft(
+            tuple(scales_t[i] for i in idx), float(dt), int(nSamples),
+            cycles_t, L_override=L_b,
         )
-        assert L_built == L_b, (L_built, L_b)
         X = jnp.fft.fft(data.astype(jnp.float32), n=L_b, axis=0)  # (L_b, C)
         K = jnp.swapaxes(jnp.asarray(bank), 0, 1)  # (S_b, O, L_b)
         W_b = W[np.asarray(idx)]

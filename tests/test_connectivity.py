@@ -1156,35 +1156,18 @@ class TestCcovLagGemm:
 
 
 class TestPreferredFFTLen:
-    """{2,3}-smooth padded-convolution lengths engage only where the MXU
-    matmul transform runs (accelerator backends)."""
+    """Padded-convolution lengths are always pow2 (bucketed pow2 platform
+    ifft measured faster than any {2,3}-smooth matmul variant — see
+    preferred_fft_len's docstring)."""
 
-    def test_cpu_backend_keeps_pow2(self):
+    def test_pow2_everywhere(self):
         from syncopy_tpu.ops.fft import preferred_fft_len
 
-        for n in (1000, 3388, 2048, 5):
+        for n in (1000, 3388, 2048, 1025, 5, 97):
             L = preferred_fft_len(n)
             assert L >= n and L & (L - 1) == 0
-
-    def test_accelerator_allows_3smooth(self, monkeypatch):
-        from syncopy_tpu.ops import fft as f
-
-        monkeypatch.setattr(f.jax, "default_backend", lambda: "tpu")
-        assert f.preferred_fft_len(3388) == 3456  # 2^7 * 27 < 4096
-        assert f.preferred_fft_len(2048) == 2048  # exact pow2 stays
-        assert f.preferred_fft_len(1025) == 1152  # 2^7 * 9 < 2048
-        # every result is factorable for the CT plan and >= n
-        for n in (3388, 1025, 700, 97, 5000):
-            L = f.preferred_fft_len(n)
-            assert L >= n
-            assert L & (L - 1) == 0 or f.matmul_fft_split(L) is not None
-
-    def test_matmul_disabled_keeps_pow2(self, monkeypatch):
-        from syncopy_tpu.ops import fft as f
-
-        monkeypatch.setattr(f.jax, "default_backend", lambda: "tpu")
-        monkeypatch.setattr(f, "_USE_MATMUL_FFT", False)
-        assert f.preferred_fft_len(3388) == 4096
+        assert preferred_fft_len(2048) == 2048
+        assert preferred_fft_len(3388) == 4096
 
 
 class TestMatmulIFFT:

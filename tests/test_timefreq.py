@@ -152,6 +152,21 @@ class TestScaleBuckets:
             one = np.asarray(cwt(x, Morlet(), np.array([s]), dt))[0]
             assert np.abs(full[i] - one).max() <= 1e-6 * np.abs(one).max()
 
+    def test_bucket_merge_cap(self):
+        from syncopy_tpu.ops.wavelet import _scale_buckets
+
+        Ls = [512, 640, 768, 1024, 1536, 2048, 3072, 4096]
+        items = _scale_buckets(Ls, max_buckets=4)
+        assert len(items) == 4
+        # every index lands in a bucket with L >= its own requirement
+        for L_b, idx in items:
+            assert all(Ls[i] <= L_b for i in idx)
+        # all indices present exactly once
+        got = sorted(i for _, idx in items for i in idx)
+        assert got == list(range(len(Ls)))
+        # a small set stays untouched
+        assert _scale_buckets([1024, 2048]) == [(1024, [0]), (2048, [1])]
+
     def test_superlet_bucketed_rows_match_single_scale(self):
         import jax.numpy as jnp
 
