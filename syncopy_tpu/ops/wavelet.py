@@ -21,6 +21,7 @@
 
 import functools
 import math
+import os
 
 import numpy as np
 from scipy.special import gamma as _gamma
@@ -196,6 +197,9 @@ def _next_fast_len(n):
     from .fft import preferred_fft_len
 
     return preferred_fft_len(int(n))
+
+
+_SCALE_BATCH = max(int(os.environ.get("SPY_TPU_SUPERLET_SCALE_BATCH", "1")), 1)
 
 
 def _scale_buckets(Ls, max_buckets=4):
@@ -689,8 +693,12 @@ def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False,
         W_b = W[np.asarray(idx)]
         # lax.map over scales: one (O, L, C) block live at a time instead
         # of the full (O, S, L, C) bank — under the engine's trial vmap
-        # this is what lets the chunk size reach hundreds of trials
-        pieces.append(jax.lax.map(functools.partial(scale_block, X), (K, W_b)))
+        # this is what lets the chunk size reach hundreds of trials.
+        # SPY_TPU_SUPERLET_SCALE_BATCH vmaps that many scales per step
+        # (bigger FFT batches, more workspace).
+        pieces.append(jax.lax.map(
+            functools.partial(scale_block, X), (K, W_b),
+            batch_size=_SCALE_BATCH if _SCALE_BATCH > 1 else None))
         groups.append(idx)
     if len(pieces) == 1:
         return pieces[0]
