@@ -280,15 +280,23 @@ def _matrix_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
     # -- ppc: streamed resultant-vector reduction over single-trial CSDs
     # (the O(n) PPCReduction path replacing the reference's O(n^2) pair
     # loop, connectivity_analysis.py:624-667) ----------------------------- #
-    ppc_chunk = 125
+    # 500-trial chunks: without the per-trial CSD stack the workspace is
+    # just the (B, K, F, C) spectra (~0.4 GB)
+    ppc_chunk = 500
     n_ppc_chunks = max(n_trials // ppc_chunk, 1)
+
+    # production fused structure (PPCSpectra.process_batch_sum): taper +
+    # rfft + in-VMEM unit-phasor reduction (pallas) — the per-trial CSD
+    # stack never reaches HBM
+    from syncopy_tpu.connectivity.ST_compRoutines import PPCSpectra
+
+    ppc_cr = PPCSpectra(samplerate=fs, nSamples=n_samples, taper="hann",
+                        taper_opt=None, demean_taper=False, polyremoval=0)
 
     @jax.jit
     def ppc_chunk_sum(xc):
-        cs = jax.vmap(
-            lambda t: cross_spectra_trial(t, fs, n_samples, taper="hann")[0]
-        )(xc)
-        return jnp.sum(cs / jnp.abs(cs), axis=0)
+        return ppc_cr.process_batch_sum(
+            xc, jnp.asarray(xc.shape[0], jnp.int32), **ppc_cr.cfg)[0]
 
     @jax.jit
     def ppc_finalize(u_sum):

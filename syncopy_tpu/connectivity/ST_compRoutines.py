@@ -16,7 +16,8 @@ from ..ops.connectivity import (
     spectral_dyadic_product,
 )
 
-__all__ = ["CrossSpectra", "SpectralDyadicProduct", "CrossCovariance"]
+__all__ = ["CrossSpectra", "PPCSpectra", "SpectralDyadicProduct",
+           "CrossCovariance"]
 
 
 def _take_labels(labels, indexer):
@@ -93,13 +94,9 @@ class CrossSpectra(_CrossRoutine):
             freq_idx=cfg["freq_idx"],
         )
 
-    def process_batch_sum(self, batch, n_valid, **cfg):
-        """
-        Fused trial-summed cross spectra: the whole (masked) trial x taper
-        stack collapses in ONE batched contraction on the MXU instead of
-        materializing per-trial (nFreq, N, N) matrices — the engine's
-        `keeptrials=False` fast path.
-        """
+    @staticmethod
+    def _tapered_batch(batch, cfg):
+        """(B, K, T, C) detrended+tapered trial batch and the taper count."""
         from ..ops.spectral import detrend
         from ..ops.windows import make_tapers
 
@@ -111,33 +108,14 @@ class CrossSpectra(_CrossRoutine):
         tapered = tapers[None, :, :, None] * x[:, None, :, :]  # (B, K, T, C)
         if cfg["demean_taper"]:
             tapered = tapered - jnp.mean(tapered, axis=2, keepdims=True)
+        return tapered, tapers.shape[0], nfft
 
-        if cfg.get("exact_fft") and batch.shape[1] <= 1024:
-            # factorization-grade CSD: compensated double-f32 DFT + Gram —
-            # the hardware FFT's error structure otherwise floors Wilson's
-            # elementwise-relative error ~100x above the spectral noise
-            from ..ops.connectivity import csd_sum_df32
-
-            K = tapers.shape[0]
-            mask = (jnp.arange(tapered.shape[0]) < n_valid)[:, None, None, None]
-            tapered = jnp.where(mask, tapered, jnp.zeros((), tapered.dtype))
-            cs_sum = csd_sum_df32(tapered, nfft, freq_idx=cfg["freq_idx"]) / K
-            return cs_sum[None].astype(jnp.complex64)
-
-        K = tapers.shape[0]
-        C = tapered.shape[-1]
-
-        from ..ops.connectivity import csd_sum_compensated
+    @staticmethod
+    def _batch_spectra(tapered, nfft, cfg, use_matmul_dft):
+        """(B, K, F, C) one-sided spectra of a tapered batch."""
         from ..ops.fft import tpu_rfft
-        from ..ops.pallas_kernels import (
-            csd_accumulate_tiled,
-            pallas_supported,
-            tiled_blocks_for,
-        )
 
-        blocks = tiled_blocks_for(C)
-        use_pallas = blocks is not None and pallas_supported()
-        if use_pallas:
+        if use_matmul_dft:
             # MXU-resident DFT for non-pow2 lengths: the platform FFT is
             # the slowest stage of this program there (~10x its traffic
             # bound, profiled in benchmarks/diagnostics/
@@ -148,6 +126,40 @@ class CrossSpectra(_CrossRoutine):
             spec = jnp.fft.rfft(tapered, n=nfft, axis=2)
         if cfg["freq_idx"] is not None:
             spec = jnp.take(spec, jnp.asarray(cfg["freq_idx"]), axis=2)
+        return spec
+
+    def process_batch_sum(self, batch, n_valid, **cfg):
+        """
+        Fused trial-summed cross spectra: the whole (masked) trial x taper
+        stack collapses in ONE batched contraction on the MXU instead of
+        materializing per-trial (nFreq, N, N) matrices — the engine's
+        `keeptrials=False` fast path.
+        """
+        tapered, K, nfft = self._tapered_batch(batch, cfg)
+
+        if cfg.get("exact_fft") and batch.shape[1] <= 1024:
+            # factorization-grade CSD: compensated double-f32 DFT + Gram —
+            # the hardware FFT's error structure otherwise floors Wilson's
+            # elementwise-relative error ~100x above the spectral noise
+            from ..ops.connectivity import csd_sum_df32
+
+            mask = (jnp.arange(tapered.shape[0]) < n_valid)[:, None, None, None]
+            tapered = jnp.where(mask, tapered, jnp.zeros((), tapered.dtype))
+            cs_sum = csd_sum_df32(tapered, nfft, freq_idx=cfg["freq_idx"]) / K
+            return cs_sum[None].astype(jnp.complex64)
+
+        C = tapered.shape[-1]
+
+        from ..ops.connectivity import csd_sum_compensated
+        from ..ops.pallas_kernels import (
+            csd_accumulate_tiled,
+            pallas_supported,
+            tiled_blocks_for,
+        )
+
+        blocks = tiled_blocks_for(C)
+        use_pallas = blocks is not None and pallas_supported()
+        spec = self._batch_spectra(tapered, nfft, cfg, use_pallas)
         B, Kt, F, C = spec.shape
 
         if use_pallas:
@@ -176,6 +188,61 @@ class CrossSpectra(_CrossRoutine):
             # un-factorizable — see ops/connectivity.csd_sum_compensated
             cs_sum = csd_sum_compensated(spec) / K
         return cs_sum[None].astype(jnp.complex64)
+
+
+class PPCSpectra(CrossSpectra):
+    """
+    Fused single-pass pairwise phase consistency from AnalogData: the
+    single-trial cross spectra AND the unit-phasor resultant reduction
+    (Vinck 2010 Eq. 14; reference connectivity_analysis.py:624-667)
+    collapse into ONE engine pass — the per-trial CSD stack that the
+    two-pass path materializes (its HBM and readback bound) never exists.
+    ``process_batch_sum`` returns the resultant SUM of unit CSDs; the
+    frontend's fused post computes ``(|U|^2 - n) / (n (n - 1))``.
+
+    On TPU the reduction runs in the pallas kernel
+    :func:`~syncopy_tpu.ops.pallas_kernels.ppc_accumulate_tiled` (the
+    unit normalization happens in VMEM per trial); elsewhere an XLA
+    per-chunk stack fallback computes the identical sum.
+    """
+
+    def process_single_trial(self, trial, **cfg):
+        cs = super().process_single_trial(trial, **cfg)
+        # same semantics as PPCReduction.process_single_trial: exact-zero
+        # bins are 0/0 — production inputs are tapered spectra of real
+        # data where this cannot occur off the padding (which the batch
+        # paths mask by n_valid)
+        return cs / jnp.abs(cs)
+
+    def process_batch_sum(self, batch, n_valid, **cfg):
+        tapered, K, nfft = self._tapered_batch(batch, cfg)
+        C = tapered.shape[-1]
+
+        from ..ops.pallas_kernels import (
+            pallas_supported,
+            ppc_accumulate_tiled,
+            tiled_blocks_for,
+        )
+
+        blocks = tiled_blocks_for(C)
+        use_pallas = blocks is not None and pallas_supported()
+        spec = self._batch_spectra(tapered, nfft, cfg, use_pallas)
+
+        if use_pallas:
+            _, fb = blocks
+            U = ppc_accumulate_tiled(
+                jnp.real(spec), jnp.imag(spec), n_valid, freq_block=fb
+            )
+        else:
+            cs = jnp.einsum(
+                "bkfi,bkfj->bfij", spec, jnp.conj(spec),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            mag = jnp.abs(cs)
+            unit = jnp.where(mag > 0, cs / jnp.where(mag > 0, mag, 1.0), 0.0)
+            mask = (jnp.arange(unit.shape[0]) < n_valid)[:, None, None, None]
+            U = jnp.sum(jnp.where(mask, unit, jnp.zeros((), unit.dtype)), axis=0)
+        return U[None].astype(jnp.complex64)
 
 
 class SpectralDyadicProduct(_CrossRoutine):

@@ -111,11 +111,17 @@ def connectivityanalysis(
     new_cfg = get_frontend_cfg(defaults, lcls, kwargs)
 
     from .AV_compRoutines import GrangerCausality, NormalizeCrossCov, NormalizeCrossSpectra
-    from .ST_compRoutines import CrossCovariance, CrossSpectra, SpectralDyadicProduct
+    from .ST_compRoutines import (
+        CrossCovariance,
+        CrossSpectra,
+        PPCSpectra,
+        SpectralDyadicProduct,
+    )
 
     # -- single-trial stage setup ---------------------------------------- #
 
     av_compRoutine = None
+    fused_ppc = False
     if method == "corr":
         if not isinstance(data, AnalogData):
             raise SPYValueError(
@@ -149,9 +155,18 @@ def connectivityanalysis(
             check_effective_parameters(
                 CrossSpectra, defaults, lcls, besides=["jackknife", "channelcmb"]
             )
+            # fused single-pass PPC: spectra + unit-phasor reduction in one
+            # engine pass (PPCSpectra) — the per-trial CSD stack of the
+            # two-pass path never materializes. SPY_TPU_FUSED_PPC=0 reverts
+            # to the two-pass (CrossSpectra keeptrials + PPCReduction) path.
+            fused_ppc = (
+                method == "ppc" and send_idx is None
+                and os.environ.get("SPY_TPU_FUSED_PPC", "1") != "0"
+            )
             st_compRoutine, out_foi = _setup_cross_spectra(
                 data, method, nSamples, foi, foilim, tapsmofrq, nTaper, taper,
                 taper_opt, polyremoval, lenTrials, log_dict,
+                cls=PPCSpectra if fused_ppc else CrossSpectra,
             )
         else:
             # dtype check via the payload's dtype attribute — never slice
@@ -212,7 +227,8 @@ def connectivityanalysis(
     # -- run the single-trial stage --------------------------------------- #
 
     st_out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
-    st_keeptrials = bool(keeptrials or jackknife or method == "ppc")
+    st_keeptrials = bool(keeptrials or jackknife
+                         or (method == "ppc" and not fused_ppc))
 
     # operator fusion: coherence/cross-correlation = trial-averaged cross
     # quantity + normalization; the normalization runs on-device fused onto
@@ -224,6 +240,11 @@ def connectivityanalysis(
 
         if method == "coh":
             fused_post = (functools.partial(_coh_post, output=output), ("coh", output))
+        elif method == "ppc":
+            # fused PPCSpectra pass: the engine hands resultant/n; the post
+            # finalizes (|U|^2 - n)/(n (n-1)). n needs the selected trial
+            # count — filled right after initialize below.
+            fused_post = "ppc-pending"
         elif method == "corr":
             fused_post = (_corr_post, ("corr",))
         elif method in ("csd", "granger"):
@@ -233,11 +254,19 @@ def connectivityanalysis(
             fused_post = (lambda x: x, ("csd",))
 
     st_compRoutine.initialize(data, st_out._stackingDim, keeptrials=st_keeptrials)
+    if fused_post == "ppc-pending":
+        from .AV_compRoutines import PPCReduction
+
+        n_tr = st_compRoutine.numTrials
+        fused_post = (PPCReduction.make_post(n_tr), ("ppc", n_tr))
     if fused_post is not None:
         pack = unpack = None
         n_chan = int(next(iter(st_compRoutine.out_per_trial_shapes.values()))[0][-1])
         if method == "coh" and output in _COH_MIRROR_SIGN:
             pack, unpack = _make_triu_pack(n_chan, _COH_MIRROR_SIGN[output])
+        elif method == "ppc":
+            # PPC of a full dyadic CSD is symmetric real
+            pack, unpack = _make_triu_pack(n_chan, 1.0)
         elif method in ("csd", "granger"):
             pack, unpack = _make_herm_pack(n_chan)
         st_compRoutine.compute(
@@ -490,10 +519,15 @@ def _digest_channelcmb(data, channelcmb):
 
 
 def _setup_cross_spectra(data, method, nSamples, foi, foilim, tapsmofrq, nTaper,
-                         taper, taper_opt, polyremoval, lenTrials, log_dict):
+                         taper, taper_opt, polyremoval, lenTrials, log_dict,
+                         cls=None):
     """Configure the implicit mtmfft+dyadic ST routine for AnalogData input
-    (reference connectivity_analysis.py:775-872)."""
+    (reference connectivity_analysis.py:775-872). `cls` picks the routine
+    class (CrossSpectra or its fused-PPC subclass)."""
     from .ST_compRoutines import CrossSpectra
+
+    if cls is None:
+        cls = CrossSpectra
 
     foi, foilim = process_foi(foi, foilim, data.samplerate)
     if method == "granger" and (foi is not None or foilim is not None):
@@ -527,7 +561,7 @@ def _setup_cross_spectra(data, method, nSamples, foi, foilim, tapsmofrq, nTaper,
     log_dict["foi"] = out_foi
     log_dict["taper"] = taper
 
-    st = CrossSpectra(
+    st = cls(
         samplerate=data.samplerate, nSamples=nSamples, taper=taper, taper_opt=taper_opt,
         demean_taper=(method == "granger"), polyremoval=polyremoval,
         freq_idx=freq_idx, foi=out_foi,

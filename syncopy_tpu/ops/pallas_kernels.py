@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["csd_accumulate", "csd_accumulate_tiled", "pallas_supported"]
+__all__ = ["csd_accumulate", "csd_accumulate_tiled", "ppc_accumulate_tiled",
+           "pallas_supported"]
 
 
 def _csd_kernel(ar_ref, ai_ref, or_ref, oi_ref):
@@ -191,6 +192,115 @@ def csd_accumulate_tiled(spec_re, spec_im, n_valid_rows, row_block=256,
         interpret=interpret,
     )(nv, spec_re, spec_im)
     return jax.lax.complex(hr + lr, hi + li)[:F]
+
+
+def _ppc_tiled_kernel(nv_ref, ar_ref, ai_ref, ur_ref, ui_ref,
+                      *, trial_block, freq_block, n_taper):
+    """One (freq-tile, trial-group) step of the fused PPC resultant
+    accumulation: per trial, the taper-averaged CSD collapses to its unit
+    phasor CSD/|CSD| and adds into the resultant U — the per-trial CSD
+    stack never exists in HBM (the XLA path materializes ~2 GB per
+    125-trial chunk just to renormalize and sum it)."""
+    g = pl.program_id(1)
+    nv = nv_ref[0, 0]
+    first = g == 0
+    dn = (((0,), (0,)), ((), ()))
+    prec = jax.lax.Precision.HIGHEST
+
+    for f in range(freq_block):  # static unroll over the freq tile
+        acc_r = None
+        for b in range(trial_block):  # static unroll over the trial group
+            xr = ar_ref[b, :, f, :]  # (K, C)
+            xi = ai_ref[b, :, f, :]
+            rr = jax.lax.dot_general(xr, xr, dn, precision=prec,
+                                     preferred_element_type=jnp.float32)
+            ii = jax.lax.dot_general(xi, xi, dn, precision=prec,
+                                     preferred_element_type=jnp.float32)
+            ri = jax.lax.dot_general(xi, xr, dn, precision=prec,
+                                     preferred_element_type=jnp.float32)
+            ir = jax.lax.dot_general(xr, xi, dn, precision=prec,
+                                     preferred_element_type=jnp.float32)
+            cre = rr + ii  # taper sum; the 1/K taper mean cancels in the
+            cim = ri - ir  # unit normalization below
+            mag = jnp.sqrt(cre * cre + cim * cim)
+            valid = (g * trial_block + b) < nv
+            # padded trials and exact-zero bins contribute nothing
+            scale = jnp.where(jnp.logical_and(valid, mag > 0.0),
+                              1.0 / jnp.maximum(mag, 1e-37), 0.0)
+            ure = cre * scale
+            uim = cim * scale
+            if acc_r is None:
+                acc_r, acc_i = ure, uim
+            else:
+                acc_r = acc_r + ure
+                acc_i = acc_i + uim
+
+        @pl.when(first)
+        def _(f=f, acc_r=acc_r, acc_i=acc_i):
+            ur_ref[f] = acc_r
+            ui_ref[f] = acc_i
+
+        @pl.when(jnp.logical_not(first))
+        def _(f=f, acc_r=acc_r, acc_i=acc_i):
+            ur_ref[f] = ur_ref[f] + acc_r
+            ui_ref[f] = ui_ref[f] + acc_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("trial_block", "freq_block", "interpret")
+)
+def ppc_accumulate_tiled(spec_re, spec_im, n_valid_trials, trial_block=8,
+                         freq_block=8, interpret=False):
+    """
+    PPC resultant from per-trial tapered spectra (N, K, F, C):
+    ``U[f, i, j] = sum_{n < n_valid} csd_n[f, i, j] / |csd_n[f, i, j]|``
+    with ``csd_n = mean_k spec[n, k, f, i] conj(spec[n, k, f, j])``.
+
+    Grid tiles (frequency x trial-groups); the unit-phasor reduction runs
+    entirely in VMEM, so the (N, F, C, C) per-trial CSD stack — the XLA
+    streamed path's HBM bound — never materializes. Plain f32 resultant
+    accumulation: each term has magnitude <= 1 and PPC subtracts n at the
+    end, so the absolute error ~N*eps*sqrt(N) stays orders below the
+    estimator's own 1/sqrt(N) noise for any N this fits in HBM anyway.
+
+    Returns U as (F, C, C) complex64; PPC itself is
+    ``(|U|^2 - n) / (n * (n - 1))`` (reference
+    connectivity_analysis.py:624-667 runs the O(n^2) pair loop).
+    """
+    N, K, F, C = spec_re.shape
+    Npad = -(-N // trial_block) * trial_block
+    Fpad = -(-F // freq_block) * freq_block
+    if Npad != N or Fpad != F:
+        pad = ((0, Npad - N), (0, 0), (0, Fpad - F), (0, 0))
+        spec_re = jnp.pad(spec_re, pad)
+        spec_im = jnp.pad(spec_im, pad)
+    nv = jnp.asarray(n_valid_trials, jnp.int32).reshape(1, 1)
+    grid = (Fpad // freq_block, Npad // trial_block)
+    in_spec = pl.BlockSpec((trial_block, K, freq_block, C),
+                           lambda f, g: (g, 0, f, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((freq_block, C, C), lambda f, g: (f, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((Fpad, C, C), jnp.float32)
+    ur, ui = pl.pallas_call(
+        functools.partial(_ppc_tiled_kernel, trial_block=trial_block,
+                          freq_block=freq_block, n_taper=K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda f, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            in_spec, in_spec,
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[out_sds, out_sds],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * Fpad * Npad * K * C * C + 10 * Fpad * Npad * C * C,
+            bytes_accessed=4 * (2 * Npad * K * Fpad * C + 2 * Fpad * C * C),
+            transcendentals=Fpad * Npad * C * C,
+        ),
+        interpret=interpret,
+    )(nv, spec_re, spec_im)
+    return jax.lax.complex(ur, ui)[:F]
 
 
 def tiled_blocks_for(n_chan):

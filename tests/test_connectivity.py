@@ -309,6 +309,63 @@ class TestPPC:
         assert np.abs(got - ref).max() < 1e-5
 
 
+class TestFusedPPC:
+    """The fused single-pass PPC (PPCSpectra; default for AnalogData input)
+    must equal the two-pass path (CrossSpectra keeptrials + PPCReduction,
+    SPY_TPU_FUSED_PPC=0)."""
+
+    def test_fused_equals_two_pass(self, monkeypatch):
+        data = spy.synthdata.harmonic(freq=40, samplerate=500, nTrials=15,
+                                      nSamples=500, nChannels=3)
+        data += spy.synthdata.white_noise(nTrials=15, nSamples=500,
+                                          nChannels=3, seed=2)
+        fused = spy.connectivityanalysis(data, method="ppc", taper="hann")
+        monkeypatch.setenv("SPY_TPU_FUSED_PPC", "0")
+        twopass = spy.connectivityanalysis(data, method="ppc", taper="hann")
+        a, b = np.asarray(fused.data), np.asarray(twopass.data)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() < 1e-5
+        assert np.allclose(np.asarray(fused.freq), np.asarray(twopass.freq))
+        assert list(fused.channel_i) == list(twopass.channel_i)
+        # a phase-locked pair is near 1 on both
+        f40 = np.argmin(np.abs(fused.freq - 40))
+        assert a[0, f40, 0, 1] > 0.5
+
+    def test_fused_respects_selection(self):
+        data = spy.synthdata.white_noise(nTrials=20, nSamples=300,
+                                         nChannels=4, seed=9)
+        sub = spy.connectivityanalysis(data, method="ppc", taper="hann",
+                                       select={"trials": list(range(10)),
+                                               "channel": [0, 1, 2]})
+        assert np.asarray(sub.data).shape[2:] == (3, 3)
+        # PPC normalization used the SELECTED trial count: diagonal == 1
+        assert np.allclose(np.asarray(sub.data)[0, :, 0, 0], 1.0, atol=1e-4)
+
+    def test_fused_multichunk_equals_single(self):
+        """1-trial chunks (stress knob) must reproduce the one-chunk sum."""
+        import subprocess
+        import sys
+
+        code = (
+            "import os; os.environ['JAX_PLATFORMS']='cpu';"
+            "os.environ['SPY_TPU_CHUNK_BYTES']='1';"
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import numpy as np, syncopy_tpu as spy;"
+            "d = spy.synthdata.white_noise(nTrials=7, nSamples=200,"
+            " nChannels=2, seed=4);"
+            "p = spy.connectivityanalysis(d, method='ppc', taper='hann');"
+            "print('CHK', float(np.asarray(p.data)[0, 5, 0, 1]))"
+        )
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stderr[-2000:]
+        chunked = float(out.stdout.split("CHK")[1].strip().split()[0])
+        d = spy.synthdata.white_noise(nTrials=7, nSamples=200, nChannels=2,
+                                      seed=4)
+        p = spy.connectivityanalysis(d, method="ppc", taper="hann")
+        assert abs(float(np.asarray(p.data)[0, 5, 0, 1]) - chunked) < 1e-5
+
+
 class TestChannelCmb:
     def test_granger_pairwise(self):
         data = spy.synthdata.ar2_network(nTrials=80, samplerate=200, nSamples=800, seed=1)
@@ -941,6 +998,69 @@ class TestPallasCSDKernel:
         want = np.einsum("fni,fnj->fij", one, one)
         assert np.allclose(np.asarray(cs_re), want)
         assert np.allclose(np.asarray(cs_im), 0.0)
+
+
+class TestPallasPPCKernel:
+    """Interpret-mode parity for the fused PPC resultant kernel: per-trial
+    taper-averaged CSDs collapse to unit phasors and sum entirely in VMEM
+    (ops/pallas_kernels.py::ppc_accumulate_tiled)."""
+
+    def _oracle(self, spec, nv):
+        spec = spec.astype(np.complex128)
+        csd = np.einsum("nkfi,nkfj->nfij", spec, np.conj(spec)) / spec.shape[1]
+        mag = np.abs(csd)
+        unit = np.where(mag > 0, csd / np.where(mag > 0, mag, 1.0), 0.0)
+        return unit[:nv].sum(axis=0)
+
+    def test_matches_f64_oracle_with_masking(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.pallas_kernels import ppc_accumulate_tiled
+
+        rng = np.random.default_rng(5)
+        N, K, F, C = 21, 3, 11, 8  # nothing divisible by the blocks
+        spec = (rng.normal(size=(N, K, F, C))
+                + 1j * rng.normal(size=(N, K, F, C))).astype(np.complex64)
+        nv = 17
+        got = np.asarray(ppc_accumulate_tiled(
+            jnp.asarray(spec.real), jnp.asarray(spec.imag), nv, interpret=True
+        ))
+        want = self._oracle(spec, nv)
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 1e-4
+        # resultant terms are unit phasors: diagonal equals exactly nv
+        assert np.allclose(got[:, np.arange(C), np.arange(C)].real, nv,
+                           atol=1e-3)
+
+    def test_full_count_and_ppc_value(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.pallas_kernels import ppc_accumulate_tiled
+
+        rng = np.random.default_rng(8)
+        N, K, F, C = 16, 2, 8, 4
+        spec = (rng.normal(size=(N, K, F, C))
+                + 1j * rng.normal(size=(N, K, F, C))).astype(np.complex64)
+        U = np.asarray(ppc_accumulate_tiled(
+            jnp.asarray(spec.real), jnp.asarray(spec.imag), N, interpret=True
+        ))
+        want = self._oracle(spec, N)
+        ppc_got = ((U * np.conj(U)).real - N) / (N * (N - 1))
+        ppc_want = ((want * np.conj(want)).real - N) / (N * (N - 1))
+        assert np.abs(ppc_got - ppc_want).max() < 1e-4
+        # PPC of i==i is exactly 1
+        assert np.allclose(ppc_got[:, np.arange(C), np.arange(C)], 1.0,
+                           atol=1e-4)
+
+    def test_zero_trial_guard(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.pallas_kernels import ppc_accumulate_tiled
+
+        spec = np.zeros((4, 1, 3, 4), dtype=np.float32)
+        U = np.asarray(ppc_accumulate_tiled(
+            jnp.asarray(spec), jnp.asarray(spec), 0, interpret=True))
+        assert np.allclose(U, 0.0)
 
 
 class TestPallasTiledCSDKernel:
