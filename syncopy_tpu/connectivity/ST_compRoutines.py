@@ -214,6 +214,22 @@ class PPCSpectra(CrossSpectra):
         # paths mask by n_valid)
         return cs / jnp.abs(cs)
 
+    def device_bytes_per_trial(self, shp, out_shp, out_dt):
+        """Per-trial footprint: tapered copy + spectrum, plus — on the XLA
+        fallback only — the per-chunk (F, C, C) unit-CSD stack the pallas
+        kernel avoids."""
+        from ..ops.pallas_kernels import pallas_supported, tiled_blocks_for
+
+        T, C = shp[0], shp[1]
+        nfft = self.cfg["nSamples"] or T
+        fi = self.cfg["freq_idx"]
+        F = (nfft // 2 + 1) if fi is None else len(fi)
+        K = int(((self.cfg.get("taper_opt") or {}).get("Kmax", 1)) or 1)
+        spec = K * T * C * 4 + K * F * C * 8
+        if tiled_blocks_for(C) is not None and pallas_supported():
+            return spec
+        return spec + F * C * C * 8
+
     def process_batch_sum(self, batch, n_valid, **cfg):
         tapered, K, nfft = self._tapered_batch(batch, cfg)
         C = tapered.shape[-1]
@@ -322,9 +338,14 @@ class CrossCovariance(_CrossRoutine):
         super().__init__(samplerate=samplerate, polyremoval=polyremoval, norm=norm, foi=None)
 
     def device_bytes_per_trial(self, shp, out_shp, out_dt):
-        """FFT-correlation workspace: (fft_len, C, C) complex spectrum
-        product + its inverse transform."""
+        """Accelerators run the lag-GEMM path (ops/connectivity.py::
+        _ccov_lags_gemm): a (lag_block, T, C) shifted workspace + the
+        (nLags, C, C) output. CPU keeps the FFT correlation with its
+        (fft_len, C, C) spectrum product."""
         T, C = shp[0], shp[1]
+        if jax.default_backend() != "cpu":
+            n_lags = T // 2 + 1
+            return 64 * T * C * 4 + n_lags * C * C * 4
         L = 1 << int(2 * T - 1).bit_length()
         return L * C * C * 16
 
