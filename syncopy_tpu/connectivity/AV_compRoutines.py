@@ -175,17 +175,36 @@ class GrangerCausality(_AVRoutine):
 
     def process_single_trial(self, trial, **cfg):
         cdtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
-        CSD = trial[0].astype(cdtype)
-        CSDreg, factor, ini_cn = regularize_csd(CSD, cond_max=cfg["cond_max"], eps_max=1e-1)
-        H, Sigma, conv, err = wilson_sf(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
-        G = granger(CSDreg, H, Sigma)
+
+        def one(CSD):
+            CSDreg, factor, ini_cn = regularize_csd(
+                CSD, cond_max=cfg["cond_max"], eps_max=1e-1
+            )
+            H, Sigma, conv, err = wilson_sf(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
+            return granger(CSDreg, H, Sigma), conv, err, factor, ini_cn
+
+        if trial.shape[0] == 1:
+            G, conv, err, factor, ini_cn = one(trial[0].astype(cdtype))
+            G = G[None]
+        else:
+            # TIME-RESOLVED Granger (beyond the reference, which raises
+            # NotImplementedError for tf-spectra — reference
+            # connectivity_analysis.py:487): one factorization per sliding
+            # window via lax.map — NEVER vmap (the batched while_loop
+            # rewrite is the round-3 platform miscompile; scan is verified
+            # healthy to 128 channels, BASELINE.md round 4)
+            G, conv, err, factor, ini_cn = jax.lax.map(
+                one, trial.astype(cdtype)
+            )
+            conv, err = jnp.all(conv), jnp.max(err)
+            factor, ini_cn = jnp.max(factor), jnp.max(ini_cn)
         info = {
             "converged": conv,
             "max rel. err": err,
             "reg. factor": factor,
             "initial cond. num": ini_cn,
         }
-        return G[None].astype(jnp.float32), info
+        return G.astype(jnp.float32), info
 
     def process_metadata(self, data, out):
         super().process_metadata(data, out)

@@ -179,8 +179,15 @@ def connectivityanalysis(
                 )
             if method == "granger":
                 if data.data.shape[data.dimord.index("time")] != len(data.trials):
-                    raise NotImplementedError(
-                        "Time resolved Granger causality from tf-spectra not available atm"
+                    # BEYOND the reference (which raises NotImplementedError
+                    # here, connectivity_analysis.py:487): each sliding
+                    # window's trial-averaged CSD is factorized separately
+                    # (lax.map over windows on device)
+                    SPYInfo(
+                        "time-resolved Granger: factorizing one CSD per "
+                        "sliding window ({} windows per trial)".format(
+                            data.data.shape[data.dimord.index("time")]
+                            // max(len(data.trials), 1))
                     )
                 # accuracy trap: a CSD accumulated from plain-f32 FFT spectra
                 # is not exactly factorizable — Wilson floors at ~1e-4 and
@@ -608,19 +615,32 @@ def _compute_ppc(st_out, parallel=None):
 
 def _granger_host_full(st_avg, av_routine):
     """Full-matrix Granger with host float64 factorization
-    (fallback when JAX x64 is disabled)."""
+    (fallback when JAX x64 is disabled). Handles time-resolved inputs
+    (one factorization per sliding window)."""
     from ..ops.connectivity import granger_host, regularize_csd_host, wilson_sf_host
 
     cfg = av_routine.cfg
-    csd_avg = np.asarray(st_avg.trials[0])[0]  # (F, N, N)
-    CSDreg, factor, ini_cn = regularize_csd_host(csd_avg, cond_max=cfg["cond_max"], eps_max=1e-1)
-    H, Sigma, conv, err = wilson_sf_host(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
-    G = granger_host(CSDreg, H, Sigma).astype(np.float32)
+    csd_windows = np.asarray(st_avg.trials[0])  # (nTime, F, N, N)
+    G = np.empty(csd_windows.shape, dtype=np.float32)
+    convs, errs, factors, ini_cns = [], [], [], []
+    for t in range(csd_windows.shape[0]):
+        CSDreg, factor, ini_cn = regularize_csd_host(
+            csd_windows[t], cond_max=cfg["cond_max"], eps_max=1e-1)
+        H, Sigma, conv, err = wilson_sf_host(CSDreg, nIter=cfg["nIter"], rtol=cfg["rtol"])
+        G[t] = granger_host(CSDreg, H, Sigma).astype(np.float32)
+        convs.append(bool(conv))
+        errs.append(float(err))
+        factors.append(float(factor))
+        ini_cns.append(float(ini_cn))
+    conv = all(convs)
+    err = max(errs)
+    factor = max(factors)
+    ini_cn = max(ini_cns)
 
     out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
-    out.data = G[None]
+    out.data = G
     out.samplerate = st_avg.samplerate
-    out.trialdefinition = np.array([[0, 1.0, 0]])
+    out.trialdefinition = np.array([[0, float(G.shape[0]), 0]])
     out.channel_i = np.asarray(st_avg.channel_i)
     out.channel_j = np.asarray(st_avg.channel_j)
     out.freq = np.asarray(st_avg.freq)

@@ -309,6 +309,61 @@ class TestPPC:
         assert np.abs(got - ref).max() < 1e-5
 
 
+class TestTimeResolvedGranger:
+    """Granger from tf-spectra: one factorization per sliding window
+    (BEYOND the reference, which raises NotImplementedError —
+    reference connectivity_analysis.py:487)."""
+
+    def test_stationary_coupling_every_window(self):
+        data = spy.synthdata.ar2_network(nTrials=40, samplerate=200,
+                                         nSamples=800, seed=3)
+        spec = spy.freqanalysis(data, method="mtmconvol", t_ftimwin=1.25,
+                                toi=0.5, taper=None, output="fourier",
+                                polyremoval=0, demean_taper=True)
+        g = spy.connectivityanalysis(spec, method="granger")
+        arr = np.asarray(g.data)
+        n_win = spec.data.shape[0] // len(spec.trials)
+        assert arr.shape[0] == n_win and n_win > 3
+        assert g.info["converged"], g.info
+        f40 = np.argmin(np.abs(np.asarray(g.freq) - 40))
+        # the AR2 network couples 1 -> 0 at ~40 Hz in EVERY window
+        assert np.all(arr[:, f40, 1, 0] > 0.3), arr[:, f40, 1, 0]
+        assert np.all(arr[:, f40, 0, 1] < 0.1), arr[:, f40, 0, 1]
+
+    def test_coupling_onset_detected(self):
+        """Coupling switched on mid-recording must appear only in the
+        late windows."""
+        rng = np.random.default_rng(7)
+        fs, T, n_trials = 200.0, 1200, 50
+        half = T // 2
+        alpha1, alpha2 = 0.55, -0.8
+        xs = np.zeros((n_trials, T, 2), dtype=np.float64)
+        for tr in range(n_trials):
+            e = rng.normal(size=(T + 2, 2))
+            x = np.zeros((T + 2, 2))
+            for n in range(2, T + 2):
+                c = 0.25 if (n - 2) >= half else 0.0
+                x[n, 0] = alpha1 * x[n - 1, 0] + alpha2 * x[n - 2, 0] \
+                    + c * x[n - 1, 1] + e[n, 0]
+                x[n, 1] = alpha1 * x[n - 1, 1] + alpha2 * x[n - 2, 1] + e[n, 1]
+            xs[tr] = x[2:]
+        ad = spy.AnalogData(data=xs.reshape(-1, 2).astype("f4"), samplerate=fs)
+        trl = np.zeros((n_trials, 3))
+        trl[:, 0] = np.arange(n_trials) * T
+        trl[:, 1] = trl[:, 0] + T
+        ad.trialdefinition = trl
+        spec = spy.freqanalysis(ad, method="mtmconvol", t_ftimwin=1.5,
+                                toi=0.5, taper=None, output="fourier",
+                                polyremoval=0, demean_taper=True)
+        g = spy.connectivityanalysis(spec, method="granger")
+        arr = np.asarray(g.data)
+        f40 = np.argmin(np.abs(np.asarray(g.freq) - 40))
+        n_win = arr.shape[0]
+        early = arr[: n_win // 2 - 1, f40, 1, 0]
+        late = arr[n_win // 2 + 1:, f40, 1, 0]
+        assert late.mean() > 5 * max(early.mean(), 1e-3), (early, late)
+
+
 class TestFusedPPC:
     """The fused single-pass PPC (PPCSpectra; default for AnalogData input)
     must equal the two-pass path (CrossSpectra keeptrials + PPCReduction,
