@@ -174,7 +174,7 @@ def main():
                 "warm_trials_per_s": round(NTRIALS / min(times), 2),
                 "vs_baseline": round(NTRIALS / min(times) / base_rate, 2),
                 "note": "end-to-end frontend incl. tunnel dispatch+readback; "
-                        "documented variance band 2015-3928 trials/s",
+                        "documented variance band 2015-4042 trials/s",
             }
         except Exception as exc:
             first = (str(exc).splitlines() or [repr(exc)])[0]
