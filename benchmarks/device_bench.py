@@ -139,19 +139,31 @@ def _coherence_program(n_trials, n_samples, n_chan, samplerate=1000.0, tapsmofrq
     return jax.jit(step)
 
 
-def _wavelet_program(scales, dt):
-    """Morlet TFR power for a trial batch (production ops.wavelet.cwt)."""
+def _wavelet_program(scales, dt, n_samples):
+    """Morlet TFR power for a trial batch (production ops.wavelet.cwt).
+    On the direct-GEMM path the convolution bank crosses as a runtime
+    argument (the engine's device-constant form) — returns (fn, args)
+    with the bank device-put and bound."""
     import jax
     import jax.numpy as jnp
 
-    from syncopy_tpu.ops.wavelet import Morlet, cwt
+    from syncopy_tpu.ops.wavelet import Morlet, cwt, cwt_gemm_consts
 
     wav = Morlet(6)
+    bank = cwt_gemm_consts(wav, scales, dt, n_samples)
+    if bank:
+        bank_d = tuple(jax.device_put(a) for a in bank)
+
+        def step(x, br, bi):
+            return jax.vmap(
+                lambda t: jnp.abs(cwt(t, wav, scales, dt, bank=(br, bi))) ** 2)(x)
+
+        return jax.jit(step), bank_d
 
     def step(x):  # (b, T, C) -> (b, S, T, C) float32 power, stays resident
         return jax.vmap(lambda t: jnp.abs(cwt(t, wav, scales, dt)) ** 2)(x)
 
-    return jax.jit(step)
+    return jax.jit(step), ()
 
 
 def _granger_program(n_trials, n_samples, n_chan, samplerate=1000.0):
@@ -459,18 +471,26 @@ def _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
     scales = (1.0 / foi) / (2 * np.pi)
     xb = x[:64]
 
-    def sl_step(batch):
+    from syncopy_tpu.ops.wavelet import superlet_gemm_consts
+
+    sl_bank = superlet_gemm_consts(np.asarray(scales), 5, 1, 3, False,
+                                   1.0 / fs, n_samples)
+    sl_bank_d = tuple(jax.device_put(a) for a in sl_bank)
+
+    def sl_step(batch, *bank):
         # production output='pow' path: magnitude-only kernel (real
-        # log/exp order accumulation), squared
+        # log/exp order accumulation), squared; on the GEMM path the
+        # pair bank crosses as a runtime operand (device-constant form)
         return jax.vmap(
             lambda tr: superlet(tr, np.asarray(scales), order_max=5,
-                                dt=1.0 / fs, magnitude_only=True) ** 2
+                                dt=1.0 / fs, magnitude_only=True,
+                                bank=bank if bank else None) ** 2
         )(batch)
 
     fn = jax.jit(sl_step)
-    jax.block_until_ready(fn(xb))
-    dt = _time_best(fn, (xb,), repeats)
-    flops = _cost_flops(fn, xb) or 0.0
+    jax.block_until_ready(fn(xb, *sl_bank_d))
+    dt = _time_best(fn, (xb,) + sl_bank_d, repeats)
+    flops = _cost_flops(fn, xb, *sl_bank_d) or 0.0
     results["superlet_device"] = {
         "trials_per_s": round(xb.shape[0] / dt, 1), "wall_s": round(dt, 4),
         "flops": flops, "util_vs_peak": round(flops / dt / PEAK_FLOPS, 4),
@@ -535,22 +555,22 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
     # -- wavelet TFR (config #2 core), batched ------------------------- #
     foi = np.linspace(10.0, 150.0, n_scales)
     scales = Morlet(6).scale_from_period(1.0 / foi)
-    wav = _wavelet_program(np.asarray(scales), 1.0 / fs)
+    wav, wav_bank = _wavelet_program(np.asarray(scales), 1.0 / fs, n_samples)
     xb = x[:wavelet_batch]
-    jax.block_until_ready(wav(xb))  # compile
+    jax.block_until_ready(wav(xb, *wav_bank))  # compile
     n_batches = max(wavelet_trials // wavelet_batch, 1)
 
     def tfr_sweep(xb):
         last = None
         for _ in range(n_batches):
-            last = wav(xb)
+            last = wav(xb, *wav_bank)
         return last
 
     # tfr_sweep already enqueues n_batches executions per call (its own
     # amortization) and each queues a ~0.5 GB result buffer — never let
     # _time_best multiply that queue (max_inner=1)
     dt_best = _time_best(tfr_sweep, (xb,), repeats, max_inner=1)
-    per_call = _cost_flops(wav, xb)
+    per_call = _cost_flops(wav, xb, *wav_bank)
     if per_call is None:
         L = 2048  # next_fast_len(2 * n_samples) conv length
         per_call = (_flops_fft(wavelet_batch * n_chan, L)

@@ -168,6 +168,42 @@ def clear_device_cache():
     _DEVICE_CACHE.clear()
     _DEVICE_CACHE_ORDER.clear()
     _DEVICE_CACHE_SIZE[0] = 0
+    _DEVICE_CONST_CACHE.clear()
+
+
+#: HBM-resident per-CR constants (e.g. wavelet convolution banks): large
+#: numpy arrays a traced program needs, passed as RUNTIME arguments so
+#: they are uploaded once per (CR, cfg, trial shape) instead of embedded
+#: as executable literals — embedded 100 MB+ constants blow the remote
+#: compile payload limit (HTTP 413) and re-ship per chunk-size bucket.
+_DEVICE_CONST_CACHE = {}
+
+
+def _device_consts_get(cr, shp, consts_np, mesh):
+    """Device (replicated-on-mesh) versions of a CR's declared constants,
+    cached process-globally; constants must be REAL-dtype numpy arrays
+    (complex cannot cross the host->device boundary on this runtime)."""
+    if not consts_np:
+        return ()
+    key = (
+        cr.__class__.__qualname__,
+        _cfg_fingerprint(cr.cfg),
+        shp,
+        None if mesh is None else tuple(mesh.shape.items()),
+        cr.extra_cache_key(),
+    )
+    hit = _DEVICE_CONST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec())
+        dev = tuple(jax.device_put(np.asarray(a), sharding) for a in consts_np)
+    else:
+        dev = tuple(jax.device_put(np.asarray(a)) for a in consts_np)
+    _DEVICE_CONST_CACHE[key] = dev
+    return dev
 
 
 def _allocate_host_output(shape, dtype, owner):
@@ -396,6 +432,22 @@ class ComputationalRoutine:
         state, or a mid-process knob flip silently reuses the stale
         executable."""
         return None
+
+    #: traced device constants, bound by the engine for the duration of a
+    #: trace (see :meth:`device_constants`); None outside the engine
+    _live_consts = None
+
+    def device_constants(self, shp):
+        """Large REAL-dtype numpy constants the traced program needs for
+        input trial shape `shp` (e.g. a wavelet convolution bank). The
+        engine uploads them ONCE per (CR class, cfg, shp) via device_put
+        and passes them as runtime arguments; during tracing they are
+        visible to process_single_trial as ``self._live_consts`` (a tuple
+        of tracers, broadcast across the trial vmap). Embedding them as
+        closure literals instead would ship them inside every remote
+        compile payload (HTTP 413 above ~0.5 GB) and duplicate them per
+        chunk-size bucket."""
+        return ()
 
     # ------------------------------------------------------------------ #
     # initialize: shape planning (reference computational_routine.py:240-511)
@@ -869,6 +921,9 @@ class ComputationalRoutine:
             # TPU runtimes)
             aux_complex = tuple(np.iscomplexobj(np.asarray(a[:1])) for a in aux_all)
             fn = self._get_compiled(shp, mesh, in_complex, aux_complex)
+            dev_consts = _device_consts_get(
+                self, shp, tuple(self.device_constants(shp)), mesh
+            )
 
             # channel mesh axis: shard the data's channel dimension too (the
             # reference's chan_per_worker analog); batch axis 0 is the trial
@@ -908,7 +963,8 @@ class ComputationalRoutine:
                     da, _ = shard_batch(np.asarray(a), mesh)
                     dev_aux.append(da)
                 res = _dispatch_with_recovery(
-                    lambda: fn(dev_batch, jnp.asarray(n_valid, dtype=jnp.int32), *dev_aux),
+                    lambda: fn(dev_consts, dev_batch,
+                               jnp.asarray(n_valid, dtype=jnp.int32), *dev_aux),
                     what="{} chunk dispatch".format(self.__class__.__name__),
                 )
                 if isinstance(res, tuple):
@@ -1119,21 +1175,28 @@ class ComputationalRoutine:
 
             has_sum = hasattr(self, "process_batch_sum")
 
-            def batched(batch, n_valid, *aux):
+            def batched(consts, batch, n_valid, *aux):
                 batch = decode_in_jit(batch, in_complex, axis=1)
                 aux = tuple(
                     decode_in_jit(a, f, axis=1) for a, f in zip(aux, aux_complex)
                 )
                 aux_info = None
-                if not keeptrials and has_sum:
-                    # fused masked trial-sum: avoids materializing per-trial
-                    # outputs (one big MXU contraction instead)
-                    res = self.process_batch_sum(batch, n_valid, *aux, **cfg)
-                    if isinstance(res, tuple):
-                        res, aux_info = res
-                    res, _ = encode_in_jit(res, axis=0)
-                    return res if aux_info is None else (res, aux_info)
-                res = self.process_batch(batch, *aux, **cfg)
+                # bind declared device constants for the duration of the
+                # trace: process_single_trial reads self._live_consts (the
+                # trial vmap broadcasts them — in_axes=None semantics)
+                self._live_consts = consts if consts else None
+                try:
+                    if not keeptrials and has_sum:
+                        # fused masked trial-sum: avoids materializing
+                        # per-trial outputs (one big MXU contraction instead)
+                        res = self.process_batch_sum(batch, n_valid, *aux, **cfg)
+                        if isinstance(res, tuple):
+                            res, aux_info = res
+                        res, _ = encode_in_jit(res, axis=0)
+                        return res if aux_info is None else (res, aux_info)
+                    res = self.process_batch(batch, *aux, **cfg)
+                finally:
+                    self._live_consts = None
                 if isinstance(res, tuple):
                     res, aux_info = res
                 if not keeptrials:

@@ -271,17 +271,25 @@ def _wavelet_kernel_fft(wavelet_key, scales_key, dt, nSamples, superlet_cycles,
     return np.fft.fft(bank, axis=1).astype(np.complex64), L
 
 
-def _embedded_kernel(wav, s, M, dt, norm, L):
-    """Sample one scale's wavelet on its 'same'-convolution support and
-    embed it into an L-point buffer with the center rolled to index 0."""
+def _sampled_kernel(wav, s, M, dt, norm):
+    """Sample one scale's wavelet on its 'same'-convolution support
+    (cwt_time normalization when norm is None, reference
+    transform.py:88-108; cwtSL's fixed norm otherwise)."""
     t = np.arange((-M + 1) / 2.0, (M + 1) / 2.0) * dt
     if norm is not None:
         kern = norm * wav.time(t, s)
     else:
         kern = (dt**0.5 / (s * 8 * np.pi)) * wav.time(t, s)
-    K = t.size
+    return kern.astype(np.complex64)
+
+
+def _embedded_kernel(wav, s, M, dt, norm, L):
+    """Sample one scale's wavelet on its 'same'-convolution support and
+    embed it into an L-point buffer with the center rolled to index 0."""
+    kern = _sampled_kernel(wav, s, M, dt, norm)
+    K = kern.size
     buf = np.zeros(L, dtype=np.complex64)
-    buf[:K] = kern.astype(np.complex64)
+    buf[:K] = kern
     return np.roll(buf, -((K - 1) // 2))
 
 
@@ -307,7 +315,135 @@ def _superlet_bank_fft(scales_key, dt, nSamples, cycles_key, L_override=None):
     return np.fft.fft(bank, axis=2).astype(np.complex64), L
 
 
-def cwt(data, wavelet, scales, dt):
+# --------------------------------------------------------------------- #
+# Direct time-domain GEMM convolution: the MXU path for short trials.
+#
+# The FFT path runs ~(S+1) platform FFTs of the padded length L per
+# trial-channel on the VPU. For short trials the whole 'same' convolution
+# is instead ONE constant matrix G[(s, t), m] = kern_s[t - m + c_s]
+# applied as two real (S*T, T) @ (T, C) GEMMs (re/im of the analytic
+# kernels; the data is real) — S*T*T MACs instead of (S+1)*L*log L, but
+# on the systolic array, with no padding to a power of two and no
+# per-scale length buckets. Equal to the FFT path's cropped linear
+# convolution exactly (the FFT path's L >= T + K rules out wraparound).
+# --------------------------------------------------------------------- #
+
+_GEMM_BANK_CAP_BYTES = float(os.environ.get("SPY_TPU_WAVELET_GEMM_CAP", 2**31))
+
+
+def _gemm_fingerprint():
+    """Trace-time state the wavelet/superlet programs bake in — CRs
+    return this from extra_cache_key so a mid-process knob flip never
+    reuses a stale executable."""
+    import jax as _jax
+
+    return (
+        os.environ.get("SPY_TPU_WAVELET_GEMM", "auto"),
+        os.environ.get("SPY_TPU_WAVELET_GEMM_PRECISION", "highest"),
+        _jax.default_backend(),
+    )
+
+
+def _prefer_conv_gemm(nSamples, n_rows):
+    """Measured rule (v5e, 2026-08-19): the dense GEMM convolution beats
+    the padded-FFT bank for trials up to a few thousand samples — the
+    bench TFR shapes run 1.75x (Morlet, T=1000, S=30: 1744 -> 3045
+    trials/s, err 6.2e-7) and 1.45x (superlet T=1000, 75 order-scale
+    pairs: 570 -> 826, err 6.0e-6) over the platform-FFT path; GEMM
+    precision "high" measured no faster than "highest" (the default).
+    The GEMM work grows ~T^2 per trial while the FFT path grows
+    ~L log L, so long trials stay on the FFT path; the bank-byte cap
+    keeps the constant (and its one-time upload) bounded.
+    SPY_TPU_WAVELET_GEMM=1/0 forces either path."""
+    mode = os.environ.get("SPY_TPU_WAVELET_GEMM", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    if jax.default_backend() == "cpu":
+        return False
+    bank_bytes = 8.0 * n_rows * float(nSamples) ** 2
+    return nSamples <= 2048 and bank_bytes <= _GEMM_BANK_CAP_BYTES
+
+
+@functools.lru_cache(maxsize=8)
+def _conv_gemm_bank(wavelet_key, scales_key, dt, nSamples, cycles_key=None):
+    """
+    Host-side direct-convolution bank: float32 (re, im) matrices of shape
+    ``(R*T, T)`` with ``G[(r, t), m] = kern_r[t - m + c_r]`` — row block r
+    is the 'same'-mode convolution matrix of one scale (or one superlet
+    (order, scale) pair when `cycles_key` gives per-row cycle counts).
+    Rows whose kernel support exceeds the signal are simply dense.
+    """
+    T = int(nSamples)
+    if cycles_key is not None:
+        norm = dt**0.5 / (4 * np.pi)
+        specs = [
+            (MorletSL(c), s, 10 * s * c / dt, norm)
+            for s, c in zip(scales_key, cycles_key)
+        ]
+    else:
+        name, param = wavelet_key
+        wav = {"Morlet": Morlet, "Paul": Paul, "DOG": DOG,
+               "Ricker": lambda m: Ricker()}[name](param)
+        specs = [(wav, s, 10 * s / dt, None) for s in scales_key]
+
+    Gr = np.zeros((len(specs) * T, T), dtype=np.float32)
+    Gi = np.zeros((len(specs) * T, T), dtype=np.float32)
+    m = np.arange(T)[None, :]
+    t = np.arange(T)[:, None]
+    for r, (wav, s, M, norm) in enumerate(specs):
+        kern = _sampled_kernel(wav, s, M, dt, norm)
+        K = kern.size
+        idx = t - m + (K - 1) // 2
+        valid = (idx >= 0) & (idx < K)
+        block = np.where(valid, kern[np.clip(idx, 0, K - 1)], 0)
+        Gr[r * T : (r + 1) * T] = block.real
+        Gi[r * T : (r + 1) * T] = block.imag
+    return Gr, Gi
+
+
+def _apply_conv_gemm(data, Gr, Gi, n_rows, nSamples):
+    """Two real MXU GEMMs -> (n_rows, nSamples, nChannels) complex64."""
+    prec = os.environ.get("SPY_TPU_WAVELET_GEMM_PRECISION", "highest")
+    x = data.astype(jnp.float32)
+    with jax.default_matmul_precision(prec):
+        yr = jnp.asarray(Gr) @ x
+        yi = jnp.asarray(Gi) @ x
+    out = jax.lax.complex(yr, yi)
+    return out.reshape((n_rows, nSamples) + x.shape[1:])
+
+
+def cwt_gemm_consts(wavelet, scales, dt, nSamples):
+    """Engine device-constant hook for the CWT: ``(Gr, Gi)`` when the
+    direct-GEMM path will run at this trial shape, else ``()`` — the bank
+    then crosses as a runtime argument (one upload) instead of a literal
+    inside every remote compile payload."""
+    scales_t = tuple(np.asarray(scales).tolist())
+    if not _prefer_conv_gemm(int(nSamples), len(scales_t)):
+        return ()
+    name = type(wavelet).__name__
+    param = getattr(wavelet, "w0", None) if name == "Morlet" else getattr(wavelet, "m", None)
+    return _conv_gemm_bank((name, param), scales_t, float(dt), int(nSamples))
+
+
+def superlet_gemm_consts(scales, order_max, order_min, c_1, adaptive, dt, nSamples):
+    """Engine device-constant hook for the superlet: the (order, scale)
+    PAIR bank ``(Gr, Gi)`` when the direct-GEMM path will run, else ``()``.
+    Pair order matches the trace-time ``np.nonzero(w > 0)`` walk."""
+    w, cycle_orders = superlet_weights(scales, order_max, order_min, adaptive)
+    o_ids, s_ids = np.nonzero(w > 0)
+    if not _prefer_conv_gemm(int(nSamples), len(s_ids)):
+        return ()
+    scales_t = tuple(np.asarray(scales).tolist())
+    cycles_t = tuple(float(c_1) * int(o) for o in cycle_orders)
+    return _conv_gemm_bank(
+        None, tuple(scales_t[j] for j in s_ids), float(dt), int(nSamples),
+        cycles_key=tuple(cycles_t[i] for i in o_ids),
+    )
+
+
+def cwt(data, wavelet, scales, dt, bank=None):
     """
     Batched continuous wavelet transform of a single trial.
 
@@ -317,6 +453,9 @@ def cwt(data, wavelet, scales, dt):
     wavelet : Morlet/Paul/DOG/Ricker instance
     scales : 1D numpy array of scales (static)
     dt : float sample spacing
+    bank : optional (Gr, Gi) direct-convolution bank (device arrays or
+        tracers, see :func:`cwt_gemm_consts`) — forces the GEMM path with
+        the bank as a runtime operand instead of an embedded literal
 
     Returns
     -------
@@ -326,6 +465,11 @@ def cwt(data, wavelet, scales, dt):
     name = type(wavelet).__name__
     param = getattr(wavelet, "w0", None) if name == "Morlet" else getattr(wavelet, "m", None)
     scales_t = tuple(np.asarray(scales).tolist())
+    if bank is not None:
+        return _apply_conv_gemm(data, bank[0], bank[1], len(scales_t), int(nSamples))
+    if _prefer_conv_gemm(nSamples, len(scales_t)):
+        Gr, Gi = _conv_gemm_bank((name, param), scales_t, float(dt), int(nSamples))
+        return _apply_conv_gemm(data, Gr, Gi, len(scales_t), int(nSamples))
     # per-scale padded length (same support rule as _wavelet_kernel_fft):
     # one bank per length bucket keeps the long transforms for the low
     # frequencies only
@@ -635,7 +779,7 @@ def superlet_weights(scales, order_max, order_min=1, adaptive=False):
 
 
 def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False,
-             dt=1.0, magnitude_only=False):
+             dt=1.0, magnitude_only=False, bank=None):
     """
     Superlet transform of one trial (reference superlet.py:15-108).
 
@@ -656,6 +800,30 @@ def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False,
     # keep c_1 as a float: fractional base cycle counts are valid MorletSL
     # bandwidths (the frontend coerces to int, the ops API need not)
     cycles_t = tuple(float(c_1) * int(o) for o in cycle_orders)
+
+    # MXU path: only the (order, scale) pairs with nonzero geometric-mean
+    # weight are materialized as convolution rows (the adaptive SLT zeroes
+    # roughly half the order x scale grid); the weighted log accumulation
+    # across orders becomes a segment_sum over the pair -> scale map.
+    o_ids, s_ids = np.nonzero(w > 0)
+    if bank is not None or _prefer_conv_gemm(nSamples, len(s_ids)):
+        if bank is None:
+            bank = _conv_gemm_bank(
+                None, tuple(scales_t[j] for j in s_ids), float(dt),
+                int(nSamples), cycles_key=tuple(cycles_t[i] for i in o_ids),
+            )
+        spec = _apply_conv_gemm(data, bank[0], bank[1], len(s_ids), int(nSamples))
+        wp = jnp.asarray(w[o_ids, s_ids], dtype=jnp.float32)[:, None, None]
+        seg = jnp.asarray(s_ids, dtype=jnp.int32)
+        if magnitude_only:
+            a = jnp.abs(spec).astype(jnp.float32)
+            logm = wp * jnp.log(jnp.maximum(a, 1e-30))
+            acc = jax.ops.segment_sum(logm, seg, num_segments=len(scales_t))
+            return jnp.exp(acc).astype(jnp.float32)
+        logs = wp.astype(jnp.complex64) * jnp.log(spec)
+        acc = jax.ops.segment_sum(logs, seg, num_segments=len(scales_t))
+        return jnp.exp(acc).astype(jnp.complex64)
+
     W = jnp.asarray(w.T, dtype=jnp.float32)  # (S, O)
 
     def scale_block(X, args):

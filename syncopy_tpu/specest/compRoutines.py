@@ -328,21 +328,38 @@ class WaveletTransform(_TimeFreqRoutine):
             toi=toi, output=output, polyremoval=polyremoval, foi=foi, taper=None,
         )
 
+    def extra_cache_key(self):
+        from ..ops.wavelet import _gemm_fingerprint
+
+        return _gemm_fingerprint()
+
     def device_bytes_per_trial(self, shp, out_shp, out_dt):
         """CWT workspace: (nScales, fft_len, nChannels) complex buffers
-        (input spectrum broadcast, product, inverse transform)."""
-        from ..ops.wavelet import _next_fast_len
+        (input spectrum broadcast, product, inverse transform); on the
+        direct-GEMM path, the (nScales, T, C) re/im/complex buffers."""
+        from ..ops.wavelet import _next_fast_len, _prefer_conv_gemm
 
         T, C = shp[0], shp[1]
         scales = np.asarray(self.cfg["scales"])
+        if _prefer_conv_gemm(T, len(scales)):
+            return len(scales) * T * C * 16
         dt = 1.0 / self.cfg["samplerate"]
         max_support = int(np.ceil(10 * scales.max() / dt)) + 1
         L = _next_fast_len(T + max_support)
         return len(scales) * L * C * 8 * 4
 
+    def device_constants(self, shp):
+        from ..ops.wavelet import cwt_gemm_consts
+
+        return cwt_gemm_consts(
+            self.cfg["wavelet"], self.cfg["scales"],
+            1.0 / self.cfg["samplerate"], shp[0],
+        )
+
     def process_single_trial(self, trial, *aux, **cfg):
         x = detrend(trial.astype(jnp.float32), cfg["polyremoval"], axis=0)
-        spec = cwt(x, cfg["wavelet"], cfg["scales"], 1.0 / cfg["samplerate"])
+        spec = cwt(x, cfg["wavelet"], cfg["scales"], 1.0 / cfg["samplerate"],
+                   bank=self._live_consts)
         spec = jnp.transpose(spec, (1, 0, 2))  # (T, S, C)
         toi = cfg["toi"]
         if isinstance(toi, np.ndarray):
@@ -368,20 +385,42 @@ class SuperletTransform(_TimeFreqRoutine):
             toi=toi, output=output, polyremoval=polyremoval, foi=foi, taper=None,
         )
 
+    def extra_cache_key(self):
+        from ..ops.wavelet import _gemm_fingerprint
+
+        return _gemm_fingerprint()
+
     def device_bytes_per_trial(self, shp, out_shp, out_dt):
         """Superlet workspace: the kernel scans scales (lax.map), so only
         one (nOrders, L, nChannels) complex block is live per trial —
-        plus the data spectrum and the (nScales, T, C) result."""
-        from ..ops.wavelet import _next_fast_len
+        plus the data spectrum and the (nScales, T, C) result. On the
+        direct-GEMM path, the (nPairs, T, C) re/im/complex buffers."""
+        from ..ops.wavelet import _next_fast_len, _prefer_conv_gemm, superlet_weights
 
         T, C = shp[0], shp[1]
         scales = np.asarray(self.cfg["scales"])
+        w, _ = superlet_weights(
+            scales, self.cfg["order_max"], self.cfg["order_min"],
+            self.cfg["adaptive"],
+        )
+        n_pairs = int(np.count_nonzero(w > 0))
+        if _prefer_conv_gemm(T, n_pairs):
+            return n_pairs * T * C * 16
         dt = 1.0 / self.cfg["samplerate"]
         max_cycles = self.cfg["c_1"] * self.cfg["order_max"]
         max_support = int(np.ceil(10 * scales.max() * max_cycles / dt)) + 1
         L = _next_fast_len(T + max_support)
         n_orders = self.cfg["order_max"] - self.cfg["order_min"] + 1
         return (n_orders * L * C * 3 + L * C + len(scales) * T * C) * 8
+
+    def device_constants(self, shp):
+        from ..ops.wavelet import superlet_gemm_consts
+
+        return superlet_gemm_consts(
+            self.cfg["scales"], self.cfg["order_max"], self.cfg["order_min"],
+            self.cfg["c_1"], self.cfg["adaptive"],
+            1.0 / self.cfg["samplerate"], shp[0],
+        )
 
     def process_single_trial(self, trial, *aux, **cfg):
         x = detrend(trial.astype(jnp.float32), cfg["polyremoval"], axis=0)
@@ -392,6 +431,7 @@ class SuperletTransform(_TimeFreqRoutine):
         spec = superlet(
             x, cfg["scales"], cfg["order_max"], cfg["order_min"], cfg["c_1"],
             cfg["adaptive"], dt=1.0 / cfg["samplerate"], magnitude_only=mag_only,
+            bank=self._live_consts,
         )
         spec = jnp.transpose(spec, (1, 0, 2))
         toi = cfg["toi"]
