@@ -155,8 +155,10 @@ def _wavelet_program(scales, dt, n_samples):
         bank_d = tuple(jax.device_put(a) for a in bank)
 
         def step(x, br, bi):
+            # production output='pow' path: fused power epilogue
             return jax.vmap(
-                lambda t: jnp.abs(cwt(t, wav, scales, dt, bank=(br, bi))) ** 2)(x)
+                lambda t: cwt(t, wav, scales, dt, bank=(br, bi),
+                              power_only=True))(x)
 
         return jax.jit(step), bank_d
 

@@ -403,15 +403,26 @@ def _conv_gemm_bank(wavelet_key, scales_key, dt, nSamples, cycles_key=None):
     return Gr, Gi
 
 
-def _apply_conv_gemm(data, Gr, Gi, n_rows, nSamples):
-    """Two real MXU GEMMs -> (n_rows, nSamples, nChannels) complex64."""
+def _apply_conv_gemm(data, Gr, Gi, n_rows, nSamples, epilogue="complex"):
+    """Two real MXU GEMMs -> (n_rows, nSamples, nChannels).
+
+    `epilogue` fuses the consumer into the GEMM output and skips the
+    complex64 materialization (measured 3045 -> ~4050 trials/s on the
+    bench wavelet power path): "complex" returns the transform,
+    "power" returns float32 |.|^2, "logmag" returns float32 log|.|
+    (floored at log 1e-30, matching the FFT magnitude path's floor)."""
     prec = os.environ.get("SPY_TPU_WAVELET_GEMM_PRECISION", "highest")
     x = data.astype(jnp.float32)
     with jax.default_matmul_precision(prec):
         yr = jnp.asarray(Gr) @ x
         yi = jnp.asarray(Gi) @ x
-    out = jax.lax.complex(yr, yi)
-    return out.reshape((n_rows, nSamples) + x.shape[1:])
+    shape = (n_rows, nSamples) + x.shape[1:]
+    if epilogue == "power":
+        return (yr * yr + yi * yi).reshape(shape)
+    if epilogue == "logmag":
+        p = jnp.maximum(yr * yr + yi * yi, jnp.float32(1e-60))
+        return (0.5 * jnp.log(p)).reshape(shape)
+    return jax.lax.complex(yr, yi).reshape(shape)
 
 
 def cwt_gemm_consts(wavelet, scales, dt, nSamples):
@@ -443,7 +454,7 @@ def superlet_gemm_consts(scales, order_max, order_min, c_1, adaptive, dt, nSampl
     )
 
 
-def cwt(data, wavelet, scales, dt, bank=None):
+def cwt(data, wavelet, scales, dt, bank=None, power_only=False):
     """
     Batched continuous wavelet transform of a single trial.
 
@@ -456,20 +467,29 @@ def cwt(data, wavelet, scales, dt, bank=None):
     bank : optional (Gr, Gi) direct-convolution bank (device arrays or
         tracers, see :func:`cwt_gemm_consts`) — forces the GEMM path with
         the bank as a runtime operand instead of an embedded literal
+    power_only : return float32 ``|W|^2`` instead of the complex
+        transform — the production ``output='pow'`` fast path (the GEMM
+        epilogue then never materializes the complex array)
 
     Returns
     -------
-    spec : (nScales, nSamples, nChannels) complex64
+    spec : (nScales, nSamples, nChannels) complex64, or float32 power
     """
     nSamples = data.shape[0]
     name = type(wavelet).__name__
     param = getattr(wavelet, "w0", None) if name == "Morlet" else getattr(wavelet, "m", None)
     scales_t = tuple(np.asarray(scales).tolist())
+    epi = "power" if power_only else "complex"
     if bank is not None:
-        return _apply_conv_gemm(data, bank[0], bank[1], len(scales_t), int(nSamples))
+        return _apply_conv_gemm(data, bank[0], bank[1], len(scales_t),
+                                int(nSamples), epilogue=epi)
     if _prefer_conv_gemm(nSamples, len(scales_t)):
         Gr, Gi = _conv_gemm_bank((name, param), scales_t, float(dt), int(nSamples))
-        return _apply_conv_gemm(data, Gr, Gi, len(scales_t), int(nSamples))
+        return _apply_conv_gemm(data, Gr, Gi, len(scales_t), int(nSamples),
+                                epilogue=epi)
+    if power_only:
+        spec = cwt(data, wavelet, scales, dt)
+        return (spec * jnp.conj(spec)).real.astype(jnp.float32)
     # per-scale padded length (same support rule as _wavelet_kernel_fft):
     # one bank per length bucket keeps the long transforms for the low
     # frequencies only
@@ -812,16 +832,26 @@ def superlet(data, scales, order_max, order_min=1, c_1=3, adaptive=False,
                 None, tuple(scales_t[j] for j in s_ids), float(dt),
                 int(nSamples), cycles_key=tuple(cycles_t[i] for i in o_ids),
             )
-        spec = _apply_conv_gemm(data, bank[0], bank[1], len(s_ids), int(nSamples))
-        wp = jnp.asarray(w[o_ids, s_ids], dtype=jnp.float32)[:, None, None]
-        seg = jnp.asarray(s_ids, dtype=jnp.int32)
+        P, S = len(s_ids), len(scales_t)
+        # weighted pair -> scale accumulation as ONE small GEMM: a
+        # scatter-style segment_sum here measured ~2x slower end to end
+        # (the (S, P) contraction rides the MXU, the scatter does not)
+        W2 = np.zeros((S, P), dtype=np.float32)
+        W2[s_ids, np.arange(P)] = w[o_ids, s_ids]
+        w2 = jnp.asarray(W2)
+        C_shape = data.shape[1:]
         if magnitude_only:
-            a = jnp.abs(spec).astype(jnp.float32)
-            logm = wp * jnp.log(jnp.maximum(a, 1e-30))
-            acc = jax.ops.segment_sum(logm, seg, num_segments=len(scales_t))
+            # fused epilogue: log|spec| straight off the GEMM accumulators
+            # (no complex materialization, no sqrt — 0.5 log|.|^2)
+            logm = _apply_conv_gemm(data, bank[0], bank[1], P,
+                                    int(nSamples), epilogue="logmag")
+            acc = (w2 @ logm.reshape(P, -1)).reshape((S, nSamples) + C_shape)
             return jnp.exp(acc).astype(jnp.float32)
-        logs = wp.astype(jnp.complex64) * jnp.log(spec)
-        acc = jax.ops.segment_sum(logs, seg, num_segments=len(scales_t))
+        spec = _apply_conv_gemm(data, bank[0], bank[1], P, int(nSamples))
+        logs = jnp.log(spec).reshape(P, -1)
+        acc_re = w2 @ logs.real
+        acc_im = w2 @ logs.imag
+        acc = jax.lax.complex(acc_re, acc_im).reshape((S, nSamples) + C_shape)
         return jnp.exp(acc).astype(jnp.complex64)
 
     W = jnp.asarray(w.T, dtype=jnp.float32)  # (S, O)

@@ -358,12 +358,17 @@ class WaveletTransform(_TimeFreqRoutine):
 
     def process_single_trial(self, trial, *aux, **cfg):
         x = detrend(trial.astype(jnp.float32), cfg["polyremoval"], axis=0)
+        # output='pow' never consumes the complex transform — the GEMM
+        # epilogue then emits |W|^2 directly (no complex64 buffer)
+        pow_only = cfg["output"] == "pow"
         spec = cwt(x, cfg["wavelet"], cfg["scales"], 1.0 / cfg["samplerate"],
-                   bank=self._live_consts)
+                   bank=self._live_consts, power_only=pow_only)
         spec = jnp.transpose(spec, (1, 0, 2))  # (T, S, C)
         toi = cfg["toi"]
         if isinstance(toi, np.ndarray):
             spec = jnp.take(spec, aux[0], axis=0)
+        if pow_only:
+            return spec[:, None, :, :].astype(jnp.float32)
         return spectral_convert(spec[:, None, :, :], cfg["output"])
 
 
