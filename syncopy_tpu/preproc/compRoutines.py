@@ -43,6 +43,12 @@ class _PreprocRoutine(ComputationalRoutine):
 
     aux_per_trial = frozenset({"has_nan"})
 
+    def extra_cache_key(self):
+        # apply_fir/hilbert gate on the filter-GEMM knob at trace time
+        from ..ops.filtering import filter_gemm_fingerprint
+
+        return filter_gemm_fingerprint()
+
     @staticmethod
     def _nan_info(trial):
         return {"has_nan": jnp.any(jnp.isnan(trial))}

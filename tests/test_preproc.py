@@ -487,3 +487,47 @@ class TestFilterAttenuationMatrix:
         assert np.sum(mp[:q] ** 2) > 0.9 * np.sum(mp ** 2)
         # the linear-phase original is centered instead
         assert np.sum(lin[:q] ** 2) < 0.5 * np.sum(lin ** 2)
+
+
+class TestFilterGemmPath:
+    """Direct-GEMM forms of apply_fir/hilbert (ops/filtering.py): equality
+    against the FFT forms, and the preprocessing frontend end to end."""
+
+    def test_apply_fir_matches_fft(self, monkeypatch):
+        from syncopy_tpu.ops.filtering import apply_fir, design_wsinc
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((333, 3)).astype("f4"))
+        k = design_wsinc("hamming", 120, 0.2, "lp")
+        monkeypatch.setenv("SPY_TPU_FILTER_GEMM", "0")
+        ref = np.asarray(apply_fir(x, k))
+        monkeypatch.setenv("SPY_TPU_FILTER_GEMM", "1")
+        new = np.asarray(apply_fir(x, k))
+        assert np.max(np.abs(new - ref)) / np.max(np.abs(ref)) < 2e-5
+
+    @pytest.mark.parametrize("T", [250, 251])
+    def test_hilbert_matches_fft(self, monkeypatch, T):
+        from syncopy_tpu.ops.filtering import hilbert
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((T, 2)).astype("f4"))
+        monkeypatch.setenv("SPY_TPU_FILTER_GEMM", "0")
+        ref = np.asarray(hilbert(x))
+        monkeypatch.setenv("SPY_TPU_FILTER_GEMM", "1")
+        new = np.asarray(hilbert(x))
+        assert np.max(np.abs(new - ref)) / np.max(np.abs(ref)) < 2e-5
+
+    def test_preprocessing_frontend_parity(self, monkeypatch):
+        rng = np.random.default_rng(4)
+        trls = [rng.standard_normal((400, 3)).astype("f4") for _ in range(3)]
+        data = spy.AnalogData(data=trls, samplerate=1000.0)
+        monkeypatch.setenv("SPY_TPU_FILTER_GEMM", "0")
+        ref = spy.preprocessing(data, filter_class="firws", filter_type="bp",
+                                freq=[20, 60], order=200, hilbert="abs")
+        monkeypatch.setenv("SPY_TPU_FILTER_GEMM", "1")
+        new = spy.preprocessing(data, filter_class="firws", filter_type="bp",
+                                freq=[20, 60], order=200, hilbert="abs")
+        ra, rb = np.asarray(new.data), np.asarray(ref.data)
+        assert np.max(np.abs(ra - rb)) / np.max(np.abs(rb)) < 2e-5
