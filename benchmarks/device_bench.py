@@ -253,17 +253,17 @@ def _matrix_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
     from syncopy_tpu.ops.stft import mtmconvol
     from syncopy_tpu.ops.windows import make_tapers
 
-    # -- corr: trial-averaged FFT cross-correlation (config #3 sibling).
-    # chunked trial sum (the keeptrials=False engine shape) + 0-lag
-    # normalization; chunks keep the (L, C, C) correlation workspace
-    # bounded. ------------------------------------------------------------ #
-    corr_chunk = 50  # (chunk, L, C, C) correlation workspace ~1.7 GB
+    # -- corr: trial-averaged cross-correlation (config #3 sibling), the
+    # production fused keeptrials=False structure: frequency-domain trial
+    # Gram per chunk (ccov_batch_sum) + 0-lag normalization. ---------------- #
+    from syncopy_tpu.ops.connectivity import ccov_batch_sum
+
+    corr_chunk = 500
     n_corr_chunks = max(n_trials // corr_chunk, 1)
 
     @jax.jit
     def corr_chunk_sum(xc):
-        cc = jax.vmap(lambda t: cross_covariance_trial(t, polyremoval=0))(xc)
-        return jnp.sum(cc, axis=0)
+        return ccov_batch_sum(xc, xc.shape[0])
 
     @jax.jit
     def corr_finalize(acc):

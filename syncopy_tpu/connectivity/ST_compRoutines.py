@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from ..engine.routine import ComputationalRoutine
 from ..ops.connectivity import (
+    ccov_batch_sum,
     cross_covariance_trial,
     cross_spectra_trial,
     spectral_dyadic_product,
@@ -338,19 +339,42 @@ class CrossCovariance(_CrossRoutine):
         super().__init__(samplerate=samplerate, polyremoval=polyremoval, norm=norm, foi=None)
 
     def device_bytes_per_trial(self, shp, out_shp, out_dt):
-        """Accelerators run the lag-GEMM path (ops/connectivity.py::
+        """Per-trial footprint. Fused keeptrials=False path: one (L_fft, C)
+        complex spectrum row per trial (the (L_fft, C, C) Gram is a fixed
+        per-chunk cost, charged to the first trial's share conservatively
+        via the output term the engine already adds). keeptrials=True on
+        accelerators runs the lag-GEMM path (ops/connectivity.py::
         _ccov_lags_gemm): a (lag_block, T, C) shifted workspace + the
         (nLags, C, C) output. CPU keeps the FFT correlation with its
         (fft_len, C, C) spectrum product."""
         T, C = shp[0], shp[1]
+        L = 1 << int(2 * T - 1).bit_length()
+        if not self.keeptrials:
+            return T * C * 4 + (L // 2 + 1) * C * 8
         if jax.default_backend() != "cpu":
             n_lags = T // 2 + 1
             return 64 * T * C * 4 + n_lags * C * C * 4
-        L = 1 << int(2 * T - 1).bit_length()
         return L * C * C * 16
 
     def process_single_trial(self, trial, **cfg):
         return cross_covariance_trial(trial, polyremoval=cfg["polyremoval"], norm=cfg["norm"])
+
+    def process_batch_sum(self, batch, n_valid, **cfg):
+        """Fused masked trial sum: frequency-domain Gram accumulation +
+        one inverse FFT (ops/connectivity.py::ccov_batch_sum). `norm`
+        is per-trial (divides by each trial's own stds) and cannot fuse —
+        fall back to summing per-trial outputs in that case (the corr
+        frontend never averages normed trials: norm=bool(keeptrials))."""
+        if cfg["norm"]:
+            per_trial = jax.vmap(
+                lambda t: cross_covariance_trial(
+                    t, polyremoval=cfg["polyremoval"], norm=True)
+            )(batch)
+            mask = (jnp.arange(batch.shape[0]) < n_valid)[:, None, None, None, None]
+            return jnp.sum(
+                jnp.where(mask, per_trial, jnp.zeros((), per_trial.dtype)), axis=0
+            )
+        return ccov_batch_sum(batch, n_valid, polyremoval=cfg["polyremoval"])
 
     def process_metadata(self, data, out):
         sdim = 0

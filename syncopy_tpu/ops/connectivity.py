@@ -139,6 +139,30 @@ def _ccov_lags_gemm(x, n_lags, delta, block=64):
     return R.reshape(n_blocks * block, C, C)[:n_out]
 
 
+def _ccov_lag_geometry(T):
+    """Lag count and the even-length upper-triangle offset.
+
+    The reference fills the upper triangle by reversing the 'same'-mode
+    slice (ST_compRoutines.py:603-607), which lands on R_ij(l+1) for
+    even trial lengths and R_ij(l) for odd ones — reproduce exactly."""
+    n_lags = T // 2 if T % 2 == 0 else T // 2 + 1
+    delta = 1 if T % 2 == 0 else 0
+    return n_lags, delta
+
+
+def _ccov_assemble(R, T):
+    """(nLags, C, C) overlap-normalized cross-covariance from raw lags
+    ``R[l, i, j] = sum_m x_i[m] x_j[m-l]`` (length >= n_lags + delta)."""
+    n_lags, delta = _ccov_lag_geometry(T)
+    lower = R[:n_lags]  # R_ij(l), used for i >= j
+    upper = R[delta : n_lags + delta]  # R_ij(l+delta) fills i < j
+    n_chan = R.shape[-1]
+    low_mask = jnp.tril(jnp.ones((n_chan, n_chan), dtype=bool))
+    CC = jnp.where(low_mask[None], lower, upper)
+    overlap = jnp.arange(T, T - n_lags, -1).astype(jnp.float32)
+    return CC / overlap[:, None, None]
+
+
 def cross_covariance_trial(trial, polyremoval=0, norm=False):
     """
     Single-trial cross-covariance at non-negative lags (reference
@@ -151,26 +175,48 @@ def cross_covariance_trial(trial, polyremoval=0, norm=False):
     """
     x = detrend(trial.astype(jnp.float32), polyremoval, axis=0)
     T = x.shape[0]
-    n_lags = T // 2 if T % 2 == 0 else T // 2 + 1
-    # the reference fills the upper triangle by reversing the 'same'-mode
-    # slice (ST_compRoutines.py:603-607), which lands on R_ij(l+1) for
-    # even trial lengths and R_ij(l) for odd ones — reproduce exactly
-    delta = 1 if T % 2 == 0 else 0
+    n_lags, delta = _ccov_lag_geometry(T)
     if jax.default_backend() != "cpu":
         R = _ccov_lags_gemm(x, n_lags, delta)
     else:
         R = _ccov_lags_fft(x, n_lags, delta)
-    lower = R[:n_lags]  # R_ij(l), used for i >= j
-    upper = R[delta : n_lags + delta]  # R_ij(l+delta) fills i < j
-    n_chan = x.shape[1]
-    low_mask = jnp.tril(jnp.ones((n_chan, n_chan), dtype=bool))
-    CC = jnp.where(low_mask[None], lower, upper)
-    overlap = jnp.arange(T, T - n_lags, -1).astype(jnp.float32)
-    CC = CC / overlap[:, None, None]
+    CC = _ccov_assemble(R, T)
     if norm:
         stds = jnp.std(x, axis=0)
         CC = CC / (stds[:, None] * stds[None, :])
     return CC[:, None, :, :].astype(jnp.float32)
+
+
+def ccov_batch_sum(batch, n_valid, polyremoval=0):
+    """
+    Masked trial-SUMMED cross-covariance at non-negative lags — the
+    keeptrials=False fast path (reference AV_compRoutines.py:165-218
+    averages per-trial outputs; here the per-trial lag tensors never
+    exist).
+
+    Per-trial cross-covariance is linear in the per-trial cross spectrum,
+    so the trial sum accumulates in the FREQUENCY domain as one
+    per-frequency trial Gram on the MXU — ``S[f, i, j] = sum_b X[b, f, i]
+    conj(X[b, f, j])`` — followed by a SINGLE inverse FFT for the whole
+    batch. That is ~100x fewer FLOPs than summing per-trial lag-GEMMs
+    (one (C, T, C) Gram per trial vs one (B, C, C) Gram per frequency),
+    and both heavy stages are MXU/radix-2 work.
+
+    Returns ``(nLags, 1, C, C)`` float32, equal to
+    ``sum_b cross_covariance_trial(batch[b])`` over the first ``n_valid``
+    rows (FFT-roundtrip rounding only).
+    """
+    B, T, _ = batch.shape
+    x = detrend(batch.astype(jnp.float32), polyremoval, axis=1)
+    # where-mask (not multiply): padding rows can be NaN garbage
+    mask = (jnp.arange(B) < n_valid)[:, None, None]
+    x = jnp.where(mask, x, jnp.zeros((), x.dtype))
+    L = 1 << int(2 * T - 1).bit_length()
+    X = jnp.fft.rfft(x, n=L, axis=1)  # (B, Lf, C)
+    with jax.default_matmul_precision("highest"):
+        S = jnp.einsum("bfi,bfj->fij", X, jnp.conj(X))
+    R = jnp.fft.irfft(S, n=L, axis=0)
+    return _ccov_assemble(R, T)[:, None, :, :].astype(jnp.float32)
 
 
 # ------------------------------------------------------------------------ #

@@ -1330,6 +1330,54 @@ class TestCcovLagGemm:
         assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
 
 
+class TestCcovBatchSum:
+    """The fused keeptrials=False cross-covariance path (frequency-domain
+    trial Gram + one inverse FFT, ops/connectivity.py::ccov_batch_sum)
+    must match the per-trial sum to FFT rounding, mask padding rows
+    (including NaN garbage), and the norm=True CR fallback must keep
+    per-trial normalization semantics."""
+
+    @pytest.mark.parametrize("T", [1000, 999, 64])
+    def test_matches_per_trial_sum(self, T):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import (
+            ccov_batch_sum,
+            cross_covariance_trial,
+        )
+
+        rng = np.random.default_rng(T)
+        x = rng.normal(size=(6, T, 4)).astype(np.float32)
+        pad = np.full((2, T, 4), np.nan, np.float32)  # masked garbage rows
+        xb = jnp.asarray(np.concatenate([x, pad]))
+        want = sum(
+            np.asarray(cross_covariance_trial(xb[i], polyremoval=1))
+            for i in range(6)
+        )
+        got = np.asarray(ccov_batch_sum(xb, 6, polyremoval=1))
+        assert got.shape == want.shape
+        assert np.isfinite(got).all()
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
+
+    def test_cr_norm_fallback(self):
+        """CrossCovariance.process_batch_sum with norm=True sums per-trial
+        NORMALIZED covariances (not the fused linear path)."""
+        import jax.numpy as jnp
+
+        from syncopy_tpu.connectivity.ST_compRoutines import CrossCovariance
+        from syncopy_tpu.ops.connectivity import cross_covariance_trial
+
+        rng = np.random.default_rng(7)
+        xb = jnp.asarray(rng.normal(size=(5, 100, 3)).astype(np.float32))
+        cr = CrossCovariance(samplerate=1.0, polyremoval=0, norm=True)
+        got = np.asarray(cr.process_batch_sum(xb, 4, **cr.cfg))
+        want = sum(
+            np.asarray(cross_covariance_trial(xb[i], polyremoval=0, norm=True))
+            for i in range(4)
+        )
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
+
+
 class TestPreferredFFTLen:
     """Padded-convolution lengths are always pow2 (bucketed pow2 platform
     ifft measured faster than any {2,3}-smooth matmul variant — see
