@@ -518,6 +518,36 @@ def _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
         "trials_per_s": round(n_trials / dt, 1), "wall_s": round(dt, 4),
         "flops": flops, "util_vs_peak": round(flops / dt / PEAK_FLOPS, 4),
     }
+
+    # -- corr at the reference's config #3 shape (128 ch x 500 trials):
+    # the reference headline is ~64 trials/s warm (BASELINE.md) ----------- #
+    from syncopy_tpu.ops.connectivity import ccov_batch_sum, normalize_ccov
+    from syncopy_tpu.synthdata import ar2_network_device
+
+    adj128 = np.zeros((128, 128), dtype=np.float32)
+    adj128[1, 0] = 0.25
+    x128 = ar2_network_device(500, AdjMat=adj128, nSamples=n_samples, seed=5)
+    jax.block_until_ready(x128)
+    c128_chunk = 250
+
+    @jax.jit
+    def c128_sum(xc):
+        return ccov_batch_sum(xc, xc.shape[0])
+
+    @jax.jit
+    def c128_fin(acc):
+        return normalize_ccov(acc[None] / 500)
+
+    def c128_run(xa):
+        acc = None
+        for i in range(500 // c128_chunk):
+            s = c128_sum(xa[i * c128_chunk : (i + 1) * c128_chunk])
+            acc = s if acc is None else acc + s
+        return c128_fin(acc)
+
+    _record(results, "corr128_device", c128_run, (x128,), 500, repeats,
+            flops=(_cost_flops(c128_sum, x128[:c128_chunk]) or 0.0)
+            * (500 // c128_chunk))
     return results
 
 
