@@ -473,6 +473,7 @@ def wilson_env_fingerprint():
     return (
         os.environ.get("SPY_TPU_WILSON_INV", "ns").lower(),
         os.environ.get("SPY_TPU_WILSON_GFORCE", "1"),
+        os.environ.get("SPY_TPU_WILSON_PLUS", "fft").lower(),
     )
 
 
@@ -647,11 +648,18 @@ def _plus_operator_onesided(g, M):
     the transforms collapse to irfft/rfft over ``M = 2F - 2`` points —
     half the FFT and downstream matrix work per iteration.
 
+    ``SPY_TPU_WILSON_PLUS=gemm`` routes through the precomputed-matrix
+    form (:func:`_plus_operator_onesided_gemm`) instead of the two
+    platform FFTs — the operator is a fixed R-linear map over
+    (Re g, Im g), so it collapses to four (F, F) x (F, N^2) MXU GEMMs.
+
     Parameters
     ----------
     g : (F, N, N) complex — non-negative-frequency half
     M : int — full two-sided length (2F - 2)
     """
+    if os.environ.get("SPY_TPU_WILSON_PLUS", "fft").lower() == "gemm":
+        return _plus_operator_onesided_gemm(g, M)
     rdtype = jnp.float64 if g.dtype == jnp.complex128 else jnp.float32
     beta = jnp.fft.irfft(g, n=M, axis=0).astype(rdtype)
     beta = beta.at[0].multiply(0.5)
@@ -659,6 +667,50 @@ def _plus_operator_onesided(g, M):
     beta = beta.at[M // 2].multiply(0.5)
     beta = beta.at[M // 2 + 1 :].set(0.0)
     gp = jnp.fft.rfft(beta, axis=0).astype(g.dtype)
+    return gp, g0
+
+
+@functools.lru_cache(maxsize=8)
+def _plus_gemm_consts(F, M, f64=False):
+    """Host-precomputed matrices of the one-sided []+ operator as an
+    R-linear map: ``gp = (Br + i Bi) @ Re g + (Cr + i Ci) @ Im g`` and
+    ``g0 = r0 @ Re g``. Built from the irfft/weight/rfft composition in
+    float64, cast to the working precision."""
+    n = np.arange(M // 2 + 1)[:, None]  # only lags 0..M/2 survive the window
+    k = np.arange(F)[None, :]
+    c = np.full(F, 2.0)
+    c[0] = 1.0
+    c[F - 1] = 1.0 if M % 2 == 0 else 2.0  # Nyquist bin counted once
+    ang = 2 * np.pi * n * k / M
+    Ar = c * np.cos(ang) / M  # beta from Re g
+    Ai = -c * np.sin(ang) / M  # beta from Im g (zero cols at k=0, M/2)
+    w = np.ones(M // 2 + 1)
+    w[0] = 0.5
+    w[M // 2] = 0.5
+    Rf = np.exp(-2j * np.pi * np.arange(F)[:, None] * n.T / M)  # (F, M/2+1)
+    Bc = Rf @ (w[:, None] * Ar)
+    Cc = Rf @ (w[:, None] * Ai)
+    r0 = 0.5 * Ar[0]  # beta[0] *= 0.5 precedes the g0 extraction
+    dt = np.float64 if f64 else np.float32
+    return (Bc.real.astype(dt), Bc.imag.astype(dt),
+            Cc.real.astype(dt), Cc.imag.astype(dt), r0.astype(dt))
+
+
+def _plus_operator_onesided_gemm(g, M):
+    """One-sided []+ as four (F, F) x (F, N^2) real GEMMs — MXU work in
+    place of the two platform FFTs, and (load-bearing on this platform)
+    an FFT-free Wilson loop body. Bit-for-bit it differs from the FFT
+    form only by accumulation order (~1e-6 relative at F=501/f32)."""
+    F = g.shape[0]
+    f64 = g.dtype == jnp.complex128
+    Br, Bi, Cr, Ci, r0 = _plus_gemm_consts(int(F), int(M), f64)
+    sh = g.shape
+    gr = jnp.real(g).reshape(F, -1)
+    gi = jnp.imag(g).reshape(F, -1)
+    pr = Br @ gr + Cr @ gi
+    pi = Bi @ gr + Ci @ gi
+    gp = (pr + 1j * pi).reshape(sh).astype(g.dtype)
+    g0 = (r0 @ gr).reshape(sh[1:]).astype(g.dtype)
     return gp, g0
 
 
