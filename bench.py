@@ -144,7 +144,13 @@ def main():
     # secondary so round-over-round comparisons track the framework, not
     # tunnel weather (VERDICT r3 action #4).
     base_rate = max(numpy_baseline_rate(), numpy_baseline_rate())
-    device = device_only_metrics()
+    # a degraded tunnel / compile-service flake must not abort the whole
+    # benchmark with no JSON line — emit a partial result instead
+    try:
+        device = device_only_metrics()
+    except Exception as exc:
+        first = (str(exc).splitlines() or [repr(exc)])[0]
+        device = {"error": first[:200]}
     dev_rate = device.get("coh_device", {}).get("trials_per_s")
 
     result = {

@@ -159,7 +159,14 @@ class CrossSpectra(_CrossRoutine):
         )
 
         blocks = tiled_blocks_for(C)
-        use_pallas = blocks is not None and pallas_supported()
+        # exact_fft asked for a factorization-grade CSD; when the trial is
+        # too long for the df32 branch above, fall back to the compensated
+        # XLA sum — the pallas tile's in-group serial MXU error
+        # (<= row_block*eps, ~3e-5 worst at row_block=256) is the same
+        # order as the plain-f32 accumulation noise that makes CSDs
+        # un-factorizable (ops/connectivity.py docstrings)
+        use_pallas = (blocks is not None and not cfg.get("exact_fft")
+                      and pallas_supported())
         spec = self._batch_spectra(tapered, nfft, cfg, use_pallas)
         B, Kt, F, C = spec.shape
 

@@ -204,6 +204,8 @@ def _ppc_tiled_kernel(nv_ref, ar_ref, ai_ref, ur_ref, ui_ref,
     g = pl.program_id(1)
     nv = nv_ref[0, 0]
     first = g == 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (trial_block, 1, 1), 0)
+    valid = (g * trial_block + rows) < nv  # (B, 1, 1), broadcasts over (B, K, C)
 
     # fully vectorized on the VPU: the per-trial Gram has contraction K
     # (2-3 tapers) — far too skinny for the MXU (an unrolled dot_general
@@ -211,8 +213,12 @@ def _ppc_tiled_kernel(nv_ref, ar_ref, ai_ref, ur_ref, ui_ref,
     # outer products over the whole (trial_block, K, freq_block) block in
     # exact f32 instead; transients stay ~3 MB in VMEM.
     for f in range(freq_block):  # static unroll keeps transients small
-        ar = ar_ref[:, :, f, :]  # (B, K, C)
-        ai = ai_ref[:, :, f, :]
+        # where-mask the INPUTS (not the summands): padding rows of
+        # resident inputs can be kernel(0) garbage incl. NaN, and a
+        # NaN * 0 scale would poison the resultant (same hazard the
+        # sibling _csd_tiled_kernel masks against)
+        ar = jnp.where(valid, ar_ref[:, :, f, :], 0.0)  # (B, K, C)
+        ai = jnp.where(valid, ai_ref[:, :, f, :], 0.0)
         # taper-summed per-trial Gram (the 1/K mean cancels in the unit
         # normalization): cre/cim (B, C, C)
         cre = jnp.sum(ar[:, :, :, None] * ar[:, :, None, :]
@@ -220,11 +226,9 @@ def _ppc_tiled_kernel(nv_ref, ar_ref, ai_ref, ur_ref, ui_ref,
         cim = jnp.sum(ai[:, :, :, None] * ar[:, :, None, :]
                       - ar[:, :, :, None] * ai[:, :, None, :], axis=1)
         mag = jnp.sqrt(cre * cre + cim * cim)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (trial_block, 1, 1), 0)
-        valid = (g * trial_block + rows) < nv
-        # padded trials and exact-zero bins contribute nothing
-        scale = jnp.where(jnp.logical_and(valid, mag > 0.0),
-                          1.0 / jnp.maximum(mag, 1e-37), 0.0)
+        # padded trials collapsed to exact zeros above; zero bins and
+        # padding alike contribute nothing through the mag > 0 gate
+        scale = jnp.where(mag > 0.0, 1.0 / jnp.maximum(mag, 1e-37), 0.0)
         acc_r = jnp.sum(cre * scale, axis=0)
         acc_i = jnp.sum(cim * scale, axis=0)
 

@@ -37,7 +37,7 @@ def detrend(x, polyremoval, axis=-2):
     raise ValueError("polyremoval must be None, 0 or 1")
 
 
-def mtmfft(data, tapers, nfft, demean_taper=False):
+def mtmfft(data, tapers, nfft, demean_taper=False, platform_fft=False):
     """
     Tapered Fourier transform of a single trial.
 
@@ -49,6 +49,11 @@ def mtmfft(data, tapers, nfft, demean_taper=False):
     nfft : int — FFT length (>= nSamples; zero-padding happens inside rfft)
     demean_taper : bool — subtract the post-tapering mean (needed for
         Granger; reference mtmfft.py:110-113)
+    platform_fft : bool — force ``jnp.fft.rfft`` even where the matmul DFT
+        would win on speed. Parity-sensitive complex ('fourier') outputs
+        set this: their coefficients feed downstream analyses verbatim, so
+        they keep the platform transform's ~2.4e-7 error instead of the
+        GEMM DFT's ~1e-6 (see ops/fft.py header).
 
     Returns
     -------
@@ -57,6 +62,8 @@ def mtmfft(data, tapers, nfft, demean_taper=False):
     tapered = tapers[:, :, None] * data[None, :, :]
     if demean_taper:
         tapered = tapered - jnp.mean(tapered, axis=1, keepdims=True)
+    if platform_fft:
+        return jnp.fft.rfft(tapered, n=nfft, axis=1)
     from .fft import tpu_rfft
 
     return tpu_rfft(tapered, nfft, axis=1)

@@ -69,8 +69,16 @@ class MultiTaperFFT(ComputationalRoutine):
                 cfg["samplerate"], cfg["ft_compat"],
             )
         )
-        fft_fn = mtmfft_exact if cfg.get("exact_fft") else mtmfft
-        ftr = fft_fn(x, tapers, nfft, demean_taper=cfg["demean_taper"])
+        if cfg.get("exact_fft"):
+            ftr = mtmfft_exact(x, tapers, nfft, demean_taper=cfg["demean_taper"])
+        else:
+            # parity-sensitive complex outputs keep the platform FFT
+            # (~2.4e-7 vs the matmul DFT's ~1e-6); magnitude outputs take
+            # the MXU transform where it wins (ops/fft.py::_prefer_matmul)
+            ftr = mtmfft(
+                x, tapers, nfft, demean_taper=cfg["demean_taper"],
+                platform_fft=cfg["output"] in ("fourier", "complex"),
+            )
         if cfg["freq_idx"] is not None:
             ftr = jnp.take(ftr, jnp.asarray(cfg["freq_idx"]), axis=1)
         spec = spectral_convert(ftr, cfg["output"])

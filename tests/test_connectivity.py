@@ -1117,6 +1117,28 @@ class TestPallasPPCKernel:
             jnp.asarray(spec), jnp.asarray(spec), 0, interpret=True))
         assert np.allclose(U, 0.0)
 
+    def test_nan_padding_trials_masked(self):
+        """Trials at/past n_valid may be arbitrary garbage (resident
+        padding is kernel(0) output incl. NaN) — the inputs must be
+        where-masked BEFORE the Gram, or NaN*0 poisons the resultant."""
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.pallas_kernels import ppc_accumulate_tiled
+
+        rng = np.random.default_rng(11)
+        N, K, F, C = 13, 2, 9, 6  # non-divisible by trial/freq blocks
+        spec = (rng.normal(size=(N, K, F, C))
+                + 1j * rng.normal(size=(N, K, F, C))).astype(np.complex64)
+        nv = 9
+        poisoned = spec.copy()
+        poisoned[nv:] = np.nan
+        got = np.asarray(ppc_accumulate_tiled(
+            jnp.asarray(poisoned.real), jnp.asarray(poisoned.imag), nv,
+            interpret=True))
+        want = self._oracle(spec, nv)
+        assert np.isfinite(got).all()
+        assert np.abs(got - want).max() < 1e-4
+
 
 class TestPallasTiledCSDKernel:
     """Interpret-mode parity for the TILED pallas CSD kernel — the

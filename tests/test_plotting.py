@@ -5,10 +5,19 @@ import matplotlib
 
 matplotlib.use("Agg")
 
+import matplotlib.pyplot as plt
 import numpy as np
 import pytest
 
 import syncopy_tpu as spy
+
+
+@pytest.fixture(autouse=True)
+def _close_figures():
+    """Close every figure a test created: the >20-open-figure warning
+    otherwise drowns out real matplotlib warnings."""
+    yield
+    plt.close("all")
 
 
 class TestPlotting:
