@@ -473,7 +473,7 @@ def wilson_env_fingerprint():
     return (
         os.environ.get("SPY_TPU_WILSON_INV", "ns").lower(),
         os.environ.get("SPY_TPU_WILSON_GFORCE", "1"),
-        os.environ.get("SPY_TPU_WILSON_PLUS", "fft").lower(),
+        os.environ.get("SPY_TPU_WILSON_PLUS", "auto").lower(),
     )
 
 
@@ -501,9 +501,11 @@ class _MeshShard:
         return jax.lax.with_sharding_constraint(x, self._chan)
 
 
-def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10, shard=_IdentityShard()):
+def _wilson_refine(CSD, psi, psi0, X_seed, lu_floor_seed, valid_bin, M, rtol,
+                   nRefine=10, shard=_IdentityShard()):
     """
-    Mixed-precision Newton refinement of a float32 Wilson factorization.
+    Mixed-precision Newton refinement of a float32 Wilson factorization,
+    on the ONE-SIDED frequency half.
 
     Linearizing the Wilson update around ``g = I + E`` with
     ``E = psi^{-1} R psi^{-H}`` and ``R = CSD - psi psi^H`` gives
@@ -518,29 +520,40 @@ def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10, shard=_Ident
     float32 storage of psi alone could not reconstruct small off-diagonal
     CSD entries to relative tolerance. Correction terms themselves only
     need float32: their errors are second-order in the residual.
-    """
-    Sr = jnp.real(CSDfull)
-    Si = jnp.imag(CSDfull)
-    absS = jnp.abs(CSDfull)
-    neg = (-jnp.arange(CSDfull.shape[0])) % CSDfull.shape[0]
 
-    def symmetrize(ph, pl):
-        """Exactly enforce psi(-w) = conj(psi(w)) on the double-float32
-        state. The Wilson update assumes real lag coefficients (the plus
-        operator drops Im(ifft)): conjugate-asymmetry injected by float32
-        FFT rounding in phase 1 is invisible to the update and would stall
-        the iteration permanently — in ANY precision. TwoSum keeps the
-        projection error-free so the df32 state stays intact."""
-        y = jnp.conj(ph[neg])
-        sr, er = _two_sum(jnp.real(ph), jnp.real(y))
-        si, ei = _two_sum(jnp.imag(ph), jnp.imag(y))
-        hi = (sr + 1j * si) * 0.5
-        lo = (pl + jnp.conj(pl[neg])) * 0.5 + (er + 1j * ei) * 0.5
-        return hi.astype(ph.dtype), lo.astype(ph.dtype)
+    One-sided design (round 5): every quantity is conjugate-symmetric
+    over frequency, so working on the F = M/2 + 1 non-negative bins
+    halves the residual GEMMs, the plus transforms, and the df32 updates.
+    The two-sided version needed an explicit (TwoSum-exact) conjugate
+    symmetrization each step — "asymmetry injected by f32 FFT rounding
+    stalls the iteration permanently"; in one-sided storage the ±f
+    coupling is STRUCTURAL and the only residual degree of freedom is the
+    imaginary part of the DC/Nyquist bins, projected to zero (a real-lag
+    factor is real there; the projection is exact). The inverse is seeded
+    from phase 1's Newton-Schulz state instead of a fresh batched LU —
+    the LU serializes on TPU and was the single most expensive op of the
+    old refine stage (17 ms at (501, 64, 64), x2 two-sided).
+    """
+    Sr = jnp.real(CSD)
+    Si = jnp.imag(CSD)
+    absS = jnp.abs(CSD)
+    F = CSD.shape[0]
+    # DC and (even M) Nyquist bins of a real-lag factor are real
+    real_bin = jnp.arange(F) == 0
+    if M % 2 == 0:
+        real_bin = jnp.logical_or(real_bin, jnp.arange(F) == F - 1)
+    real_bin = real_bin[:, None, None]
+
+    def project(ph, pl):
+        """Zero Im at DC/Nyquist (exact — the one-sided equivalent of the
+        two-sided conjugate symmetrization)."""
+        ph = jnp.where(real_bin, jnp.real(ph).astype(ph.dtype), ph)
+        pl = jnp.where(real_bin, jnp.real(pl).astype(pl.dtype), pl)
+        return ph, pl
 
     def residual(ph, pl):
         Rr, Ri = _csd_residual_df32(Sr, Si, jnp.real(ph), jnp.imag(ph))
-        R = (Rr + 1j * Ri).astype(CSDfull.dtype)
+        R = (Rr + 1j * Ri).astype(CSD.dtype)
         # lo-part cross terms: ~2^-24 of |S|, plain f32 GEMM suffices
         phH = jnp.conj(jnp.swapaxes(ph, 1, 2))
         plH = jnp.conj(jnp.swapaxes(pl, 1, 2))
@@ -561,12 +574,22 @@ def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10, shard=_Ident
         si, ei = _two_sum(jnp.imag(hi), jnp.imag(small))
         return s + 1j * si, lo + (e + 1j * ei)
 
-    Ident = jnp.eye(CSDfull.shape[1], dtype=CSDfull.dtype)
+    Ident = jnp.eye(CSD.shape[1], dtype=CSD.dtype)
     force_lu = os.environ.get("SPY_TPU_WILSON_INV", "ns").lower() == "lu"
 
+    def _guard_X(X):
+        # the inverse at excluded bins is never used (R is zeroed there),
+        # but NS on a near-singular psi can overflow to Inf across steps
+        # and Inf * 0 = NaN would poison E — pin those bins to I
+        return jnp.where(valid_bin, X, Ident)
+
+    def _inv_res(ph, X):
+        res = jnp.abs(Ident - ph @ X)
+        return jnp.max(jnp.where(valid_bin, res, 0.0))
+
     def _lu_with_floor(ph):
-        Xl = jnp.linalg.inv(ph)
-        return Xl, jnp.max(jnp.abs(Ident - ph @ Xl))
+        Xl = _guard_X(jnp.linalg.inv(ph))
+        return Xl, _inv_res(ph, Xl)
 
     def step(state):
         ph, pl, p0h, p0l, X, lu_floor, R, err, prev, it = state
@@ -580,20 +603,20 @@ def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10, shard=_Ident
             X, lu_floor = _lu_with_floor(ph)
         else:
             X = X @ (2 * Ident - ph @ X)
-            X = X @ (2 * Ident - ph @ X)
-            ns_res = jnp.max(jnp.abs(Ident - ph @ X))
+            X = _guard_X(X @ (2 * Ident - ph @ X))
+            ns_res = _inv_res(ph, X)
             bar = jnp.maximum(jnp.asarray(1e-6, jnp.float32), 4 * lu_floor)
             X, lu_floor = jax.lax.cond(
                 ns_res <= bar, lambda: (X, lu_floor), lambda: _lu_with_floor(ph)
             )
         p_inv = X
         E = p_inv @ R @ jnp.conj(jnp.swapaxes(p_inv, 1, 2))
-        pE, E0h = _plus_operator(shard.chan(E))
+        pE, E0h = _plus_operator_onesided(shard.chan(E), M)
         pE = shard.freq(pE)
         S = jnp.triu(E0h)
         S = S - jnp.conj(S.T)
         ph_new, pl_new = df_add(ph, pl, ph @ (pE + S))
-        ph_new, pl_new = symmetrize(ph_new, pl_new)
+        ph_new, pl_new = project(ph_new, pl_new)
         p0h_new, p0l_new = df_add(p0h, p0l, p0h @ (E0h + S))
         R_new, err_new = residual(ph_new, pl_new)
         # safeguard: never accept a step that increases the true residual
@@ -612,10 +635,15 @@ def _wilson_refine(CSDfull, psi, psi0, valid_bin, rtol, nRefine=10, shard=_Ident
         progress = err < 0.7 * prev
         return jnp.logical_and(jnp.logical_and(err >= rtol, it < nRefine), progress)
 
-    ph0, pl0 = symmetrize(psi, jnp.zeros_like(psi))
+    ph0, pl0 = project(psi, jnp.zeros_like(psi))
     zero0 = jnp.zeros_like(psi0)
     R0, err0 = residual(ph0, pl0)
-    X0, floor0 = _lu_with_floor(ph0)
+    # seed the inverse from phase 1's NS state (it inverts the PREVIOUS
+    # psi iterate — one polish round in the first step closes the gap);
+    # a fresh LU here would serialize and is only needed if the seed
+    # fails the acceptance bar, which the guarded cond handles
+    X0 = _guard_X(X_seed)
+    floor0 = jnp.maximum(lu_floor_seed, jnp.asarray(0.0, jnp.float32))
     init = (ph0, pl0, psi0, zero0, X0, floor0, R0, err0,
             jnp.asarray(jnp.inf, dtype=jnp.float32), jnp.asarray(0))
     ph, pl, p0h, p0l, _, _, _, err, _, _ = jax.lax.while_loop(cond, step, init)
@@ -648,17 +676,29 @@ def _plus_operator_onesided(g, M):
     the transforms collapse to irfft/rfft over ``M = 2F - 2`` points —
     half the FFT and downstream matrix work per iteration.
 
-    ``SPY_TPU_WILSON_PLUS=gemm`` routes through the precomputed-matrix
-    form (:func:`_plus_operator_onesided_gemm`) instead of the two
-    platform FFTs — the operator is a fixed R-linear map over
-    (Re g, Im g), so it collapses to four (F, F) x (F, N^2) MXU GEMMs.
+    The operator is a fixed R-linear map over (Re g, Im g), so it also
+    collapses to four (F, F) x (F, N^2) MXU GEMMs
+    (:func:`_plus_operator_onesided_gemm`). On TPU the GEMM form is >4x
+    faster at F=501 (granger_stage_profile.py: 2.2 ms FFT vs <0.5 ms GEMM
+    per application — the irfft/rfft pair runs on the VPU at a non-pow2
+    length) and is the DEFAULT for F <= 1201, where the (F, F) operator
+    matrices stay small (<= ~23 MB embedded constants) and the O(F^2 N^2)
+    GEMM flops still beat the platform FFT rate. ``SPY_TPU_WILSON_PLUS``
+    overrides: ``gemm`` forces the matmul form at any F, ``fft`` forces
+    the transforms.
 
     Parameters
     ----------
     g : (F, N, N) complex — non-negative-frequency half
     M : int — full two-sided length (2F - 2)
     """
-    if os.environ.get("SPY_TPU_WILSON_PLUS", "fft").lower() == "gemm":
+    mode = os.environ.get("SPY_TPU_WILSON_PLUS", "auto").lower()
+    if mode == "gemm" or (
+        mode != "fft"
+        and g.dtype == jnp.complex64
+        and g.shape[0] <= 1201
+        and jax.default_backend() != "cpu"
+    ):
         return _plus_operator_onesided_gemm(g, M)
     rdtype = jnp.float64 if g.dtype == jnp.complex128 else jnp.float32
     beta = jnp.fft.irfft(g, n=M, axis=0).astype(rdtype)
@@ -983,21 +1023,16 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
         jnp.asarray(jnp.inf, dtype=rdtype),
         jnp.asarray(jnp.inf, dtype=rdtype), jnp.asarray(0),
     )
-    psi, psi0, _, _, err, _, _, _ = jax.lax.while_loop(cond, step, init)
+    psi, psi0, X_fin, floor_fin, err, _, _, _ = jax.lax.while_loop(cond, step, init)
 
     if refine:
-        # the compensated-residual Newton refinement runs on the full
-        # circle (its exact-Gram residual machinery is two-sided)
-        psi_full = shard.freq(
-            jnp.concatenate([psi, jnp.conj(psi[nFreq - 2 : 0 : -1])], axis=0)
-        )
-        valid_full = jnp.concatenate(
-            [valid_bin, valid_bin[nFreq - 2 : 0 : -1]], axis=0
-        )
+        # one-sided compensated-residual Newton refinement, inverse seeded
+        # from phase 1's Newton-Schulz state (no fresh batched LU)
         ph, pl, p0h, p0l, err = _wilson_refine(
-            shard.freq(CSDfull), psi_full, psi0, valid_full, rtol, shard=shard
+            CSD, psi, psi0, X_fin, floor_fin.astype(jnp.float32),
+            valid_bin, M, rtol, shard=shard
         )
-        psi = (ph + pl)[:nFreq]  # rounds to the best float32 representation
+        psi = ph + pl  # rounds to the best float32 representation
         psi0 = p0h + p0l
 
     Sigma = (psi0 @ psi0.T) * scale
