@@ -501,6 +501,39 @@ class _MeshShard:
         return jax.lax.with_sharding_constraint(x, self._chan)
 
 
+def _ns_inverse_rounds(psi, X, bar, Ident, mask_res, n_rounds):
+    """Adaptive warm-started Newton-Schulz inverse refresh.
+
+    Each round is ``X <- X (2I - P)`` with ``P = psi X``, so the masked
+    residual ``max|I - P|`` needed for the acceptance test is a free
+    byproduct of the round itself (no extra GEMM, unlike the old
+    separate ``_inv_residual`` pass). Rounds run as a fixed unroll with
+    monotone-accept freeze semantics: a round is kept only while the
+    residual still exceeds `bar` AND strictly improved — NS outside its
+    convergence radius (res >= 1) diverges monotonically, and an
+    overflow makes the residual NaN, which fails every subsequent
+    comparison and freezes the state, so the caller's final acceptance
+    test (NaN <= bar is False) deterministically takes the LU branch.
+    The static op count keeps the enclosing ``lax.while_loop`` body
+    shape-stable; a converged round wastes two (F, N, N) GEMMs
+    (~0.25 ms at (501, 64, 64)) — ~70x cheaper than the serialized
+    batched LU each extra round avoids (granger_stage_profile.py:
+    lu_inv 16.9 ms vs 0.25 ms/NS round).
+    """
+    P = psi @ X
+    res = mask_res(Ident - P)
+    for _ in range(n_rounds):
+        upd = jnp.logical_and(res > bar, jnp.isfinite(res))
+        Xn = X @ (2 * Ident - P)
+        Pn = psi @ Xn
+        resn = mask_res(Ident - Pn)
+        keep = jnp.logical_and(upd, resn < res)
+        X = jnp.where(keep, Xn, X)
+        P = jnp.where(keep, Pn, P)
+        res = jnp.where(keep, resn, res)
+    return X, res
+
+
 def _wilson_refine(CSD, psi, psi0, X_seed, lu_floor_seed, valid_bin, M, rtol,
                    nRefine=10, shard=_IdentityShard()):
     """
@@ -583,9 +616,11 @@ def _wilson_refine(CSD, psi, psi0, X_seed, lu_floor_seed, valid_bin, M, rtol,
         # and Inf * 0 = NaN would poison E — pin those bins to I
         return jnp.where(valid_bin, X, Ident)
 
+    def _mask_max(d):
+        return jnp.max(jnp.where(valid_bin, jnp.abs(d), 0.0))
+
     def _inv_res(ph, X):
-        res = jnp.abs(Ident - ph @ X)
-        return jnp.max(jnp.where(valid_bin, res, 0.0))
+        return _mask_max(Ident - ph @ X)
 
     def _lu_with_floor(ph):
         Xl = _guard_X(jnp.linalg.inv(ph))
@@ -593,19 +628,19 @@ def _wilson_refine(CSD, psi, psi0, X_seed, lu_floor_seed, valid_bin, M, rtol,
 
     def step(state):
         ph, pl, p0h, p0l, X, lu_floor, R, err, prev, it = state
-        # warm-started Newton-Schulz inverse (pure GEMMs, no batched LU):
-        # refine corrections are linear in the residual, so ph moves by a
-        # near-identity factor per step and two polish rounds suffice;
-        # exact fallback (NaN-safe predicate, floor-aware bar as in
-        # phase 1) guards the drift case. Inverse error enters E only at
-        # second order.
+        # warm-started adaptive Newton-Schulz inverse (pure GEMMs, no
+        # batched LU): refine corrections are linear in the residual, so
+        # ph moves by a near-identity factor per step and 1-2 effective
+        # rounds suffice; exact fallback (NaN-safe predicate, floor-aware
+        # bar as in phase 1) guards the drift case. Inverse error enters
+        # E only at second order.
         if force_lu:
             X, lu_floor = _lu_with_floor(ph)
         else:
-            X = X @ (2 * Ident - ph @ X)
-            X = _guard_X(X @ (2 * Ident - ph @ X))
-            ns_res = _inv_res(ph, X)
             bar = jnp.maximum(jnp.asarray(1e-6, jnp.float32), 4 * lu_floor)
+            X, ns_res = _ns_inverse_rounds(
+                ph, X, bar, Ident, lambda d: _mask_max(d), n_rounds=4)
+            X = _guard_X(X)
             X, lu_floor = jax.lax.cond(
                 ns_res <= bar, lambda: (X, lu_floor), lambda: _lu_with_floor(ph)
             )
@@ -924,24 +959,18 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
     # inverse every iteration (the pre-Newton-Schulz behavior); default "ns"
     force_lu = os.environ.get("SPY_TPU_WILSON_INV", "ns").lower() == "lu"
 
-    def _ns_refresh(psi, X, n=3):
-        # Newton-Schulz inverse refresh: X <- X (2I - psi X). Quadratic
-        # convergence from the previous iterate's inverse (psi changes by
-        # a near-identity factor per Wilson step), and pure batched GEMMs
-        # — the MXU path — instead of batched LU, which serializes on TPU.
-        for _ in range(n):
-            X = X @ (2 * Ident - psi @ X)
-        return X
-
-    def _inv_residual(psi, X):
+    def _mask_max(d):
         # with g-forcing the inverse at excluded bins is never used — keep
         # their (garbage) residuals out of the acceptance metric and the LU
         # floor, or they poison the bar for every valid bin. NaN at a VALID
         # bin still fails the <= bar (NaN-safe).
-        res = jnp.abs(Ident - psi @ X)
+        res = jnp.abs(d)
         if g_force:
             res = jnp.where(valid_bin, res, 0.0)
         return jnp.max(res).astype(rdtype)
+
+    def _inv_residual(psi, X):
+        return _mask_max(Ident - psi @ X)
 
     def _lu_with_floor(psi):
         Xl = jnp.linalg.inv(psi)
@@ -965,9 +994,9 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
         if force_lu:
             X, lu_floor = _lu_with_floor(psi)
         else:
-            X = _ns_refresh(psi, X)
-            ns_res = _inv_residual(psi, X)
             bar = jnp.maximum(jnp.asarray(ns_thresh, rdtype), 4 * lu_floor)
+            X, ns_res = _ns_inverse_rounds(psi, X, bar, Ident, _mask_max,
+                                           n_rounds=6)
             X, lu_floor = jax.lax.cond(
                 ns_res <= bar,
                 lambda: (X, lu_floor),
