@@ -64,7 +64,52 @@ def connectivityanalysis(
     Methods: ``coh`` (coherence), ``corr`` (cross-correlation), ``granger``
     (nonparametric Granger-Geweke causality via Wilson factorization),
     ``csd`` (single-trial/averaged cross-spectra), ``ppc`` (pairwise phase
-    consistency). Reference: connectivity_analysis.py:51.
+    consistency).
+
+    Parameters
+    ----------
+    data : :class:`~syncopy_tpu.AnalogData` or complex :class:`~syncopy_tpu.SpectralData`
+        Time series, or pre-computed single-trial Fourier spectra
+        (``output="fourier"``, trials kept).
+    method : {"coh", "corr", "granger", "csd", "ppc"}
+        Connectivity measure (see above).
+    keeptrials : bool
+        Keep single-trial estimates ("csd"/"corr" only; the averaged
+        measures are defined across trials).
+    output : str
+        For "coh": "abs", "pow", "complex"/"fourier", "real", "imag",
+        "angle". Ignored (with a warning) by the other methods.
+    foi, foilim : array_like / [fmin, fmax] / None
+        Frequencies of interest (see :func:`~syncopy_tpu.freqanalysis`).
+    pad : "maxperlen", "nextpow2", or float
+        Trial padding policy ("corr" requires the default).
+    channelcmb : [senders, receivers] or None
+        Two channel lists restricting the pairwise computation (granger/
+        coh); results contain only the requested block.
+    polyremoval : {0, 1, None}
+        Per-trial detrend order before tapering.
+    tapsmofrq, nTaper, taper, taper_opt
+        Multi-taper controls, as in :func:`~syncopy_tpu.freqanalysis`.
+    jackknife : bool
+        Leave-one-out trial jackknife for "coh"/"granger": adds
+        bias-corrected estimates and variance via the engine-streamed LOO
+        path. Wide-channel note: the LOO cross-spectral matrices must be
+        full rank, i.e. ``(n_trials - 1) * n_tapers > n_channels``.
+    parallel : bool or None
+        Shard trials over the active device mesh (None = auto-detect).
+        ``chan_per_worker`` (via kwargs) is accepted for reference
+        compatibility but ADVISORY ONLY: the TPU engine replaces channel
+        blocking with the mesh "channel" axis (results invariant, request
+        logged). See `doc/engine.md`.
+
+    Returns
+    -------
+    :class:`~syncopy_tpu.CrossSpectralData`
+        ``(time, freq, channel_i, channel_j)`` connectivity estimates with
+        replayable ``cfg``; Granger convergence diagnostics land in
+        ``out.info``.
+
+    Reference: connectivity_analysis.py:51.
     """
     data_parser(data, varname="data", empty=False)
     if not isinstance(data, (AnalogData, SpectralData)):

@@ -151,8 +151,24 @@ class ContinuousData(BaseData):
 
 class AnalogData(ContinuousData):
     """
-    Multi-channel raw time series, dimord ``["time", "channel"]``
-    (reference continuous_data.py:391-405).
+    Multi-channel raw time series, dimord ``["time", "channel"]``.
+
+    Parameters
+    ----------
+    data : 2d array, h5py dataset, or None
+        Samples x channels payload (trials stacked along time).
+    filename : str or None
+        Backing HDF5 file (None = session temp storage).
+    trialdefinition : [nTrials x 3+] array or None
+        ``[start, stop, offset(, trialinfo...)]`` rows in samples.
+    samplerate : float
+        Sampling rate in Hz.
+    channel : list of str or None
+        Channel labels.
+    dimord : list of str
+        Dimension order (default ``["time", "channel"]``).
+
+    Reference: continuous_data.py:391-405.
     """
 
     _defaultDimord = ["time", "channel"]
@@ -180,8 +196,20 @@ class AnalogData(ContinuousData):
 
 class SpectralData(ContinuousData):
     """
-    (Time-)frequency data, dimord ``["time", "taper", "freq", "channel"]``
-    (reference continuous_data.py:533-551).
+    (Time-)frequency data, dimord ``["time", "taper", "freq", "channel"]``.
+
+    Parameters
+    ----------
+    data : 4d array, h5py dataset, or None
+        Payload (trials stacked along the time axis).
+    filename, trialdefinition, samplerate, channel, dimord
+        As in :class:`~syncopy_tpu.AnalogData`.
+    taper : list of str or None
+        Taper labels.
+    freq : 1d array or None
+        Frequency axis in Hz.
+
+    Reference: continuous_data.py:533-551.
     """
 
     _defaultDimord = ["time", "taper", "freq", "channel"]
@@ -244,8 +272,20 @@ class SpectralData(ContinuousData):
 class CrossSpectralData(ContinuousData):
     """
     Channel-pair spectral data, dimord
-    ``["time", "freq", "channel_i", "channel_j"]``
-    (reference continuous_data.py:700-723).
+    ``["time", "freq", "channel_i", "channel_j"]``.
+
+    Parameters
+    ----------
+    data : 4d array, h5py dataset, or None
+        Pairwise connectivity payload.
+    filename, trialdefinition, samplerate, dimord
+        As in :class:`~syncopy_tpu.AnalogData`.
+    channel_i, channel_j : list of str or None
+        Row/column channel labels of the pair matrix.
+    freq : 1d array or None
+        Frequency axis in Hz.
+
+    Reference: continuous_data.py:700-723.
     """
 
     _defaultDimord = ["time", "freq", "channel_i", "channel_j"]
@@ -335,7 +375,16 @@ class CrossSpectralData(ContinuousData):
 class TimeLockData(ContinuousData):
     """
     Trial-averaged, time-locked data with extra datasets ``avg``, ``var``,
-    ``cov`` (reference continuous_data.py:845-916).
+    ``cov``.
+
+    Parameters
+    ----------
+    data : 2d array, h5py dataset, or None
+        Time-locked single trials (equal length, equal offset).
+    filename, trialdefinition, samplerate, channel, dimord
+        As in :class:`~syncopy_tpu.AnalogData`.
+
+    Reference: continuous_data.py:845-916.
     """
 
     _defaultDimord = ["time", "channel"]

@@ -153,7 +153,20 @@ class DiscreteData(BaseData):
 class SpikeData(DiscreteData):
     """
     Spike data ``[sample, channel, unit]`` with optional ``waveform``
-    dataset (reference discrete_data.py:339-716).
+    dataset.
+
+    Parameters
+    ----------
+    data : [nSpikes x 3] int array, h5py dataset, or None
+        One row per spike: sample index, channel index, unit index.
+    filename, trialdefinition, samplerate, dimord
+        As in :class:`~syncopy_tpu.AnalogData`.
+    channel : list of str or None
+        Channel labels indexed by the channel column.
+    unit : list of str or None
+        Unit labels indexed by the unit column.
+
+    Reference: discrete_data.py:339-716.
     """
 
     _defaultDimord = ["sample", "channel", "unit"]
@@ -298,7 +311,19 @@ class SpikeData(DiscreteData):
 class EventData(DiscreteData):
     """
     Trigger events ``[sample, eventid]``; supports custom dimords with extra
-    columns (reference discrete_data.py:718-829).
+    columns.
+
+    Parameters
+    ----------
+    data : [nEvents x 2+] int array, h5py dataset, or None
+        One row per event: sample index, event code(, extra columns per
+        custom `dimord`).
+    filename, trialdefinition, samplerate
+        As in :class:`~syncopy_tpu.AnalogData`.
+    dimord : list of str
+        Customizable; first column must remain "sample".
+
+    Reference: discrete_data.py:718-829.
     """
 
     _defaultDimord = ["sample", "eventid"]

@@ -15,8 +15,21 @@ __all__ = ["concat"]
 
 def concat(spy_obj1, spy_obj2, dim="channel", copy=True):
     """
-    Concatenate `spy_obj2` onto `spy_obj1` along dimension `dim`
-    (any dimord entry except the stacking/time dimension).
+    Concatenate `spy_obj2` onto `spy_obj1` along dimension `dim`.
+
+    Parameters
+    ----------
+    spy_obj1, spy_obj2 : Syncopy data objects
+        Same class, same trial layout.
+    dim : str
+        Any dimord entry except the stacking/time dimension
+        (e.g. "channel").
+    copy : bool
+        Return a new object (True) or extend `spy_obj1` (False).
+
+    Returns
+    -------
+    The concatenated object.
     """
     from ..base_data import BaseData
 

@@ -23,6 +23,20 @@ def definetrial(obj, trialdefinition=None, pre=None, post=None, start=None,
     trialdefinition should be copied, an ``EventData`` object combined with
     `pre`/`post`/`trigger` (or `start`/`stop`) event codes, or `None` for one
     all-encompassing trial.
+
+    Parameters
+    ----------
+    obj : Syncopy data object
+        Object whose trials to (re)define (modified in place).
+    trialdefinition : array, Syncopy object, EventData, or None
+        See above.
+    pre, post : float
+        Seconds before/after each `trigger` event (EventData mode).
+    start, trigger, stop : int
+        Event codes delimiting each trial (EventData mode).
+    clip_edges : bool
+        Clip trial windows protruding beyond the recording instead of
+        raising.
     """
     from ..base_data import BaseData
     from ..discrete_data import EventData

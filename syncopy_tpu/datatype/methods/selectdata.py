@@ -40,9 +40,36 @@ def selectdata(
     Create a new data object from a subset of `data`, or attach the
     selection in-place (``inplace=True``) for subsequent analysis calls.
 
-    See reference methods/selectdata.py:28 for the selection semantics;
-    supported keys: trials, channel, channel_i, channel_j, latency (time
-    window in seconds), frequency, taper, unit, eventid.
+    Parameters
+    ----------
+    data : Syncopy data object
+        Object to select from.
+    trials : int, list, slice, or None
+        Trial subset.
+    channel : labels, indices, slice, or None
+        Channel subset (by name or index); `channel_i`/`channel_j` address
+        the two channel axes of :class:`~syncopy_tpu.CrossSpectralData`.
+    latency : [t0, t1] or None
+        Time window in seconds (per trial).
+    frequency : [f0, f1], values, or None
+        Frequency subset for spectral objects.
+    taper : labels/indices or None
+        Taper subset for spectral objects.
+    unit, eventid
+        Discrete-data selectors (SpikeData units, EventData event codes).
+    inplace : bool
+        Attach the selection to `data` for subsequent analysis calls
+        instead of materializing a new object.
+    clear : bool
+        Remove an in-place selection.
+    parallel : bool or None
+        Shard the materializing copy over the active mesh.
+
+    Returns
+    -------
+    A new data object (or None for ``inplace=True``).
+
+    Reference: methods/selectdata.py:28.
     """
     if data.data is None:
         raise SPYError("Cannot select from empty object")

@@ -12,10 +12,24 @@ __all__ = ["show"]
 
 def show(data, squeeze=True, **kwargs):
     """
-    Return (selected) data as a numpy array. Any selection kwargs
-    (``trials``, ``channel``, ``latency``, ``frequency``, ...) are applied as
-    a transient in-place selection; an existing in-place selection is
-    honored when no kwargs are given.
+    Return (selected) data as a numpy array.
+
+    Parameters
+    ----------
+    data : Syncopy data object
+        Object to read from.
+    squeeze : bool
+        Drop singleton dimensions from the result.
+    **kwargs
+        Selection keywords (``trials``, ``channel``, ``latency``,
+        ``frequency``, ...) applied as a transient in-place selection; an
+        existing in-place selection is honored when no kwargs are given.
+
+    Returns
+    -------
+    numpy.ndarray or list of arrays
+        One array per selected trial (a single trial returns the bare
+        array).
     """
     if data.data is None:
         return None

@@ -26,6 +26,19 @@ def load_ft_raw(filename, list_only=False, select_structures=None, include_field
     structs load in-memory. Pre-7.3 files go through scipy and always load
     in-memory (the format is not chunkable).
 
+    Parameters
+    ----------
+    filename : str
+        ``.mat`` file (v7.3 HDF5-based or pre-7.3).
+    list_only : bool
+        Only list the struct names found, load nothing.
+    select_structures : sequence of str or None
+        Restrict loading to these struct names.
+    include_fields : sequence of str or None
+        Extra struct fields to attach to ``.info`` (e.g. "cfg").
+    mem_use : int
+        Host-RAM budget in MB (streaming rule above).
+
     Returns a dict mapping struct name -> AnalogData (fields beyond
     trial/time/label/fsample/trialinfo are attached to ``.info`` when listed
     in `include_fields`). With ``list_only=True``, just the struct names.

@@ -151,6 +151,24 @@ def load_nwb(filename, memuse=3000, container=None, validate=False,
     `container`, every loaded object is additionally saved into the given
     ``*.spy`` container folder (reference load_nwb.py:243-375); with
     `validate=True` the file's NWB 2.x structure is checked first.
+
+    Parameters
+    ----------
+    filename : str
+        Path to the ``.nwb`` file.
+    memuse : int
+        Host-RAM budget in MB; larger acquisitions stream to disk-backed
+        HDF5 storage.
+    container : str or None
+        Optional ``*.spy`` container to additionally save every object to.
+    validate : bool
+        Check NWB 2.x structure before reading.
+    default_spike_data_samplerate : float or None
+        Samplerate for spike series that do not declare one.
+
+    Returns
+    -------
+    A single data object, or a dict keyed by series name.
     """
     import h5py
 

@@ -21,10 +21,28 @@ __all__ = ["load"]
 @unwrap_cfg
 def load(filename, tag=None, dataclass=None, checksum=False, mode="r+", out=None):
     """
-    Load object(s) from a ``*.spy`` container directory or a single data
-    file. With a container holding multiple objects, `tag`/`dataclass`
-    filter the candidates; a single match is returned as an object, multiple
-    matches as a dict keyed by filename.
+    Load object(s) from a ``*.spy`` container directory or a single file.
+
+    Parameters
+    ----------
+    filename : str
+        Container directory (``*.spy``) or single data-file path.
+    tag : str or None
+        Filename filter when the container holds multiple objects.
+    dataclass : str or None
+        Dataclass filter, e.g. "analog" (file-extension based).
+    checksum : bool
+        Verify the stored SHA checksum against the on-disk payload.
+    mode : {"r+", "r"}
+        HDF5 open mode for the returned object's dataset.
+    out : Syncopy data object or None
+        Pre-allocated object to load into.
+
+    Returns
+    -------
+    A single matching object, or a dict keyed by filename for multiple
+    matches. All datasets stored in the file are restored (including
+    attached ones like ``irregular_time``).
     """
     fpath = os.path.abspath(os.path.expanduser(str(filename)))
 

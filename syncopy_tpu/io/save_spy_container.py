@@ -26,9 +26,27 @@ __all__ = ["save"]
 @unwrap_cfg
 def save(out, container=None, tag=None, filename=None, overwrite=False, memuse=100):
     """
-    Save `out` to disk. Either give `container` (a ``*.spy`` directory,
-    created on demand; optional `tag` distinguishes multiple objects) or an
-    explicit `filename`.
+    Save `out` to disk.
+
+    Parameters
+    ----------
+    out : Syncopy data object
+        The object to save (any dataclass).
+    container : str or None
+        Path to a ``*.spy`` container directory (created on demand).
+    tag : str or None
+        Label distinguishing multiple objects inside one container.
+    filename : str or None
+        Explicit target path (mutually exclusive with `container`/`tag`).
+    overwrite : bool
+        Replace an existing file of the same name.
+    memuse : int
+        Host-RAM budget in MB for the copy loop (larger payloads stream
+        chunk-wise).
+
+    Returns
+    -------
+    The saved object, now backed by the new file (with ``.info`` sidecar).
     """
     from ..datatype.base_data import BaseData
 

@@ -72,6 +72,16 @@ def cleanup(older_than=24, interactive=False, only_current_session=False):
     prompts; pass ``interactive=True`` for parity, but stdin-less runtimes
     get auto-deletion). With ``only_current_session=True`` only files created
     by THIS Python session are considered.
+
+    Parameters
+    ----------
+    older_than : int or float
+        Age threshold in hours for dead-session files.
+    interactive : bool
+        Prompt before deleting (reference parity); stdin-less runtimes
+        auto-delete.
+    only_current_session : bool
+        Restrict to files created by this Python session.
     """
     from ..datatype.util import __sessionid__, live_session_ids, storage_dir
 

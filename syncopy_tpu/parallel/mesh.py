@@ -103,6 +103,11 @@ def set_active_mesh(mesh):
 
 
 def active_mesh():
+    """Return the globally installed :class:`jax.sharding.Mesh` (or None).
+
+    Set with :func:`~syncopy_tpu.use_mesh` / ``set_active_mesh``; frontends
+    with ``parallel=None`` auto-detect it.
+    """
     return _ACTIVE_MESH
 
 

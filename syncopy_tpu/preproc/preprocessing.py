@@ -44,7 +44,48 @@ def preprocessing(
     """
     Preprocessing of continuous raw data: Butterworth (IIR) or windowed-sinc
     (FIR) filtering with lp/hp/bp/bs responses, detrending, z-scoring,
-    rectification and Hilbert transform. Reference: preprocessing.py:45.
+    rectification and Hilbert transform.
+
+    Parameters
+    ----------
+    data : :class:`~syncopy_tpu.AnalogData`
+        Raw multi-channel time series.
+    filter_class : {"but", "firws", None}
+        Butterworth IIR (associative-scan biquad cascade on device) or
+        windowed-sinc FIR (GEMM/overlap FIR on device); None applies only
+        the non-filter steps (detrend/zscore/rectify/hilbert).
+    filter_type : {"lp", "hp", "bp", "bs"}
+        Low-pass, high-pass, band-pass, or band-stop response.
+    freq : float or [f1, f2]
+        Cutoff (lp/hp) or band edges (bp/bs) in Hz.
+    order : int or None
+        Filter order; None = reference defaults (but: 4; firws: data-driven
+        transition-band rule).
+    direction : {"twopass", "onepass", "onepass-minphase"}
+        Filter direction; "twopass" is zero-phase forward-backward,
+        "onepass-minphase" converts the FIR to minimum phase (firws only).
+    window : str
+        FIR design window (firws), e.g. "hamming", "blackman", "kaiser".
+    polyremoval : {0, 1, None}
+        Demean (0) or linearly detrend (1) each trial first.
+    zscore : bool
+        Standardize each channel per trial after filtering.
+    rectify : bool
+        Full-wave rectification (absolute value); exclusive with `hilbert`.
+    hilbert : {False, "abs", "complex", "real", "imag", "absreal",
+        "absimag", "angle"}
+        Analytic-signal transform of the filtered data.
+    keeptrials : bool
+        If False, average the preprocessed trials.
+    parallel : bool or None
+        Shard trials over the active device mesh (None = auto-detect).
+
+    Returns
+    -------
+    :class:`~syncopy_tpu.AnalogData`
+        Filtered data with identical trial layout and replayable ``cfg``.
+
+    Reference: preprocessing.py:45.
     """
     data_parser(data, varname="data", dataclass="AnalogData", empty=False)
 

@@ -36,7 +36,37 @@ def resampledata(
     """
     Change the sampling rate: ``'downsample'`` (integer factor, optional
     explicit anti-alias filter) or ``'resample'`` (rational polyphase with
-    implicit windowed-sinc anti-aliasing). Reference: resampledata.py:31.
+    implicit windowed-sinc anti-aliasing).
+
+    Parameters
+    ----------
+    data : :class:`~syncopy_tpu.AnalogData`
+        Continuous data to resample.
+    resamplefs : float
+        Target sampling rate in Hz. "downsample" requires an integer
+        division of ``data.samplerate``; "resample" accepts any rational
+        ratio.
+    method : {"resample", "downsample"}
+        Polyphase rational resampling (implicit anti-alias FIR) or plain
+        decimation (optionally preceded by an explicit filter via
+        `lpfreq`).
+    lpfreq : float or None
+        Explicit anti-alias low-pass cutoff in Hz for "downsample";
+        for "resample", overrides the implicit FIR's cutoff.
+    order : int or None
+        Anti-alias FIR order (None = reference default rule).
+    keeptrials : bool
+        If False, average the resampled trials.
+    parallel : bool or None
+        Shard trials over the active device mesh (None = auto-detect).
+
+    Returns
+    -------
+    :class:`~syncopy_tpu.AnalogData`
+        Resampled data with samplerate ``resamplefs`` and rescaled
+        trial definition.
+
+    Reference: resampledata.py:31.
     """
     data_parser(data, varname="data", dataclass="AnalogData", empty=False)
 

@@ -162,9 +162,22 @@ def SPYLog(msg, loglevel="INFO", caller=None):
 
 
 def log(msg, level="IMPORTANT", par=False, caller=None):
-    """Log `msg` to the package logger (reference errors.py:398-473 `log`);
-    `par=True` routes to the per-host parallel logger; `caller` is prefixed
-    onto the message for provenance."""
+    """Log `msg` to the package logger.
+
+    Parameters
+    ----------
+    msg : str
+        The message.
+    level : str
+        Logging level name; the custom "IMPORTANT" level (25) is routed
+        numerically so it clears the default threshold.
+    par : bool
+        Route to the per-host parallel logger instead.
+    caller : str or None
+        Prefixed onto the message for provenance.
+
+    Reference: errors.py:398-473.
+    """
     import logging
 
     from .log import IMPORTANT, get_parallel_logger

@@ -149,12 +149,25 @@ def best_match(source, selection, span=False, tol=None, squash_duplicates=False)
     """
     Find the closest matches of `selection` inside the 1d array `source`.
 
-    Returns ``(values, idx)`` with ``source[idx] == values``. With
-    ``span=True``, `selection` is a closed interval ``[lo, hi]`` and all
-    elements of `source` inside it are returned. With `tol` set, raises
-    :class:`~syncopy_tpu.shared.errors.SPYValueError` if any query deviates
-    by >= `tol` from every source element. ``squash_duplicates`` drops
-    repeated matches (keeping first-occurrence order).
+    Parameters
+    ----------
+    source : 1d array
+        Values to match against (e.g. the frequency axis).
+    selection : array_like
+        Query values, or a ``[lo, hi]`` interval with ``span=True``.
+    span : bool
+        Treat `selection` as a closed interval and return all of `source`
+        inside it.
+    tol : float or None
+        If set, raise :class:`SPYValueError` when any query deviates by
+        >= `tol` from every source element.
+    squash_duplicates : bool
+        Drop repeated matches (keeping first-occurrence order).
+
+    Returns
+    -------
+    (values, idx) : tuple of arrays
+        With ``source[idx] == values``.
 
     Parity: reference tools.py:224-345 (same semantics, fresh implementation).
     """

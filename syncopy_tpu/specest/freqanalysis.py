@@ -73,6 +73,86 @@ def freqanalysis(
     wavelets), ``welch`` (overlapping-segment averaged periodogram).
     FieldTrip-compatible ``cfg``/``select`` conventions apply.
 
+    Parameters
+    ----------
+    data : :class:`~syncopy_tpu.AnalogData`
+        Multi-channel time-series with trial definition.
+    method : {"mtmfft", "mtmconvol", "wavelet", "superlet", "welch"}
+        Spectral estimation method (see above).
+    output : str
+        Result transform of the complex spectrum: "pow" (squared
+        magnitude), "abs", "fourier" (complex), "real", "imag", "angle",
+        "absreal", "absimag", or the FOOOF flavours "fooof",
+        "fooof_aperiodic", "fooof_peaks" (mtmfft + keeptrials=False only).
+    keeptrials : bool
+        If False, average spectra across trials (fused on-device reduction).
+    foi : array_like or None
+        Frequencies of interest in Hz; snapped to the available FFT bins
+        (``mtmfft``/``mtmconvol``) or used exactly (wavelet/superlet scales).
+    foilim : [fmin, fmax] or None
+        Frequency window of interest (mutually exclusive with `foi`).
+    pad : "maxperlen", "nextpow2", or float
+        Trial padding policy: longest-trial length, next power of two, or
+        an absolute length in seconds.
+    polyremoval : {0, 1, None}
+        Per-trial polynomial detrend before tapering: 0 = demean,
+        1 = linear detrend, None = off.
+    taper : str or None
+        Window function ("hann", "dpss", anything in
+        :mod:`scipy.signal.windows`); "dpss" enables multi-tapering.
+    demean_taper : bool
+        Demean the tapered segments (Granger pipelines set this).
+    taper_opt : dict or None
+        Extra taper parameters, e.g. ``{"Kmax": 5, "NW": 3}`` for dpss.
+    tapsmofrq : float or None
+        Spectral smoothing box in Hz (dpss); sets NW/Kmax automatically.
+    nTaper : int or None
+        Explicit dpss taper count (only with `tapsmofrq`).
+    keeptapers : bool
+        Keep the taper axis instead of averaging (requires output !=
+        "pow" conventions as in the reference).
+    toi : "all", float in [0, 1], or array_like
+        Times of interest for time-resolved methods: "all" = every sample,
+        a fraction = window overlap, or explicit time points in seconds.
+    t_ftimwin : float
+        mtmconvol/welch sliding-window length in seconds.
+    wavelet : {"Morlet", "Paul", "DOG", "Ricker", "Marr", "Mexican_hat"}
+        Mother wavelet for ``method="wavelet"``.
+    width : float
+        Morlet width parameter (nondimensional frequency).
+    order : int or None
+        Paul/DOG wavelet order; for superlets the base cycle count.
+    order_max, order_min : int
+        Superlet order range (adaptive superresolution span).
+    c_1 : int
+        Superlet base cycle count.
+    adaptive : bool
+        Superlets: scale the order with frequency (ASLT) instead of a
+        fixed multiplicative set.
+    out : :class:`~syncopy_tpu.SpectralData` or None
+        Pre-allocated output object (None = create new).
+    fooof_opt : dict or None
+        FOOOF fit options (peak_width_limits, max_n_peaks, ...).
+    ft_compat : bool
+        Mirror FieldTrip's spectral normalization conventions exactly.
+    exact_fft : bool
+        Compensated double-f32 DFT for CSD-grade accuracy on TPU
+        (used by the Granger pipeline).
+    parallel : bool or None
+        Shard trials over the active :func:`~syncopy_tpu.use_mesh` device
+        mesh (None = auto-detect).
+    chan_per_worker : int or None
+        Accepted for reference compatibility but ADVISORY ONLY in the TPU
+        engine: channel-block splitting is replaced by the mesh "channel"
+        axis (results are invariant; a log note records the request).
+        See `doc/engine.md`.
+
+    Returns
+    -------
+    :class:`~syncopy_tpu.SpectralData`
+        Complex or real spectra with dimord ``["time", "taper", "freq",
+        "channel"]`` and replayable ``cfg`` provenance.
+
     Reference: syncopy/specest/freqanalysis.py:62.
     """
     data_parser(data, varname="data", dataclass="AnalogData", empty=False)

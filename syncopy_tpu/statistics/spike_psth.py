@@ -36,8 +36,34 @@ def spike_psth(
 ):
     """
     Peristimulus time histogram of :class:`~syncopy_tpu.SpikeData`.
-    Returns :class:`~syncopy_tpu.TimeLockData` with per-trial histograms
-    (``keeptrials=True``) plus ``avg``/``var`` datasets.
+
+    Parameters
+    ----------
+    data : :class:`~syncopy_tpu.SpikeData`
+        Spike samples with dimord ``["sample", "channel", "unit"]``.
+    binsize : "rice", "sqrt", or float
+        Bin width rule (Rice or square-root histogram rules on the
+        average spike count) or an explicit width in seconds.
+    output : {"rate", "spikecount", "proportion"}
+        Firing rate (Hz), raw counts, or per-trial spike proportion.
+    latency : "maxperiod", "minperiod", "prestim", "poststim", or [t0, t1]
+        Analysis window relative to trial offsets; array = explicit window
+        in seconds.
+    vartriallen : bool
+        Accept trials that do not fully cover the latency window (bins
+        outside a trial contribute NaN and are excluded from averages).
+    keeptrials : bool
+        Keep per-trial histograms (the trial average/variance land in the
+        ``avg``/``var`` datasets either way).
+    parallel : bool or None
+        Shard trials over the active device mesh (None = auto-detect).
+
+    Returns
+    -------
+    :class:`~syncopy_tpu.TimeLockData`
+        Time-locked histograms, one channel per (channelN, unitM) pair,
+        plus ``avg``/``var`` datasets.
+
     Reference: spike_psth.py:37.
     """
     data_parser(

@@ -24,8 +24,27 @@ __all__ = ["mean", "std", "var", "median", "itc"]
 @unwrap_select
 @detect_parallel_client
 def mean(spy_data, dim, keeptrials=True, parallel=None, **kwargs):
-    """Average along `dim` (any dimord label or 'trials');
-    reference summary_stats.py:24."""
+    """Average a Syncopy object along one dimension.
+
+    Parameters
+    ----------
+    spy_data : Syncopy data object
+        Any dataclass (AnalogData, SpectralData, CrossSpectralData, ...).
+    dim : str
+        A dimord label of `spy_data` (e.g. "channel", "freq", "time") or
+        "trials" for the across-trial average (engine-streamed on device).
+    keeptrials : bool
+        For dimension statistics: keep per-trial results (ignored for
+        dim="trials").
+    parallel : bool or None
+        Shard trials over the active device mesh (None = auto-detect).
+
+    Returns
+    -------
+    Same class as `spy_data` with the reduced dimension singleton.
+
+    Reference: summary_stats.py:24.
+    """
     return _statistics(spy_data, "mean", dim, keeptrials, parallel=parallel, **kwargs)
 
 
@@ -33,7 +52,11 @@ def mean(spy_data, dim, keeptrials=True, parallel=None, **kwargs):
 @unwrap_select
 @detect_parallel_client
 def std(spy_data, dim, keeptrials=True, parallel=None, **kwargs):
-    """Standard deviation along `dim`; reference summary_stats.py:58."""
+    """Standard deviation along `dim`.
+
+    Parameters as in :func:`~syncopy_tpu.mean`; dim="trials" streams a
+    centered-moment reduction on device. Reference: summary_stats.py:58.
+    """
     return _statistics(spy_data, "std", dim, keeptrials, parallel=parallel, **kwargs)
 
 
@@ -41,7 +64,11 @@ def std(spy_data, dim, keeptrials=True, parallel=None, **kwargs):
 @unwrap_select
 @detect_parallel_client
 def var(spy_data, dim, keeptrials=True, parallel=None, **kwargs):
-    """Variance along `dim`; reference summary_stats.py:91."""
+    """Variance along `dim`.
+
+    Parameters as in :func:`~syncopy_tpu.mean`; dim="trials" streams a
+    centered-moment reduction on device. Reference: summary_stats.py:91.
+    """
     return _statistics(spy_data, "var", dim, keeptrials, parallel=parallel, **kwargs)
 
 
@@ -49,7 +76,12 @@ def var(spy_data, dim, keeptrials=True, parallel=None, **kwargs):
 @unwrap_select
 @detect_parallel_client
 def median(spy_data, dim, keeptrials=True, parallel=None, **kwargs):
-    """Median along `dim`; reference summary_stats.py:124."""
+    """Median along `dim`.
+
+    Parameters as in :func:`~syncopy_tpu.mean`. dim="trials" requires
+    host stacking (order statistic); dimension medians run per trial.
+    Reference: summary_stats.py:124.
+    """
     return _statistics(spy_data, "median", dim, keeptrials, parallel=parallel, **kwargs)
 
 
@@ -57,9 +89,22 @@ def median(spy_data, dim, keeptrials=True, parallel=None, **kwargs):
 @unwrap_select
 @detect_parallel_client
 def itc(spec_data, parallel=None, **kwargs):
-    """
-    Inter-trial coherence of complex spectra (Kuramoto order parameter);
-    reference summary_stats.py:156-205.
+    """Inter-trial coherence of complex spectra.
+
+    Parameters
+    ----------
+    spec_data : :class:`~syncopy_tpu.SpectralData`
+        Complex spectra (``output="fourier"``, trials kept).
+    parallel : bool or None
+        Shard trials over the active device mesh (None = auto-detect).
+
+    Returns
+    -------
+    :class:`~syncopy_tpu.SpectralData`
+        Real-valued ITC (Kuramoto order parameter of the unit phasors,
+        in [0, 1]), streamed across trials on device.
+
+    Reference: summary_stats.py:156-205.
     """
     data_parser(spec_data, varname="spec_data", dataclass="SpectralData", empty=False)
     # dtype via attribute — element access would force a device-resident

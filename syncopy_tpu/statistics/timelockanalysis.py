@@ -53,9 +53,33 @@ def timelockanalysis(
 ):
     """
     Trial average/variance (and optional channel covariance) of AnalogData
-    after latency-based time locking. Returns a
-    :class:`~syncopy_tpu.TimeLockData` with ``avg``/``var``(/``cov``)
-    datasets. Reference: timelockanalysis.py:37.
+    after latency-based time locking.
+
+    Parameters
+    ----------
+    data : :class:`~syncopy_tpu.AnalogData`
+        Continuous data; trials are cut/padded to the latency window.
+    latency : "maxperiod", "minperiod", "prestim", "poststim", or [t0, t1]
+        Time-lock window relative to trial offsets.
+    covariance : bool
+        Also compute the (channel x channel) covariance across the
+        time-locked samples (``cov`` dataset).
+    ddof : int or None
+        Delta degrees of freedom for variance/covariance (None = 1).
+    trials : "all" or array_like
+        Trial subset to include.
+    keeptrials : bool
+        Keep the time-locked single trials in the primary dataset
+        (``avg``/``var`` are computed either way).
+    parallel : bool or None
+        Shard trials over the active device mesh (None = auto-detect).
+
+    Returns
+    -------
+    :class:`~syncopy_tpu.TimeLockData`
+        With ``avg``/``var`` (and optional ``cov``) datasets.
+
+    Reference: timelockanalysis.py:37.
     """
     data_parser(data, varname="data", empty=False, dataclass="AnalogData")
     if ddof is not None:
