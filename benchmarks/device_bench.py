@@ -35,18 +35,64 @@ import time
 import numpy as np
 
 PEAK_FLOPS = float(os.environ.get("SPY_TPU_PEAK_FLOPS", 1.97e14))
+# v5e HBM bandwidth (819 GB/s); override for other chips
+PEAK_HBM_BPS = float(os.environ.get("SPY_TPU_PEAK_HBM_BPS", 8.19e11))
 
 
 def _cost_flops(jitted, *args):
     """XLA cost-model flop count for one call; None when unavailable."""
+    return _cost_metrics(jitted, *args)[0]
+
+
+def _cost_metrics(jitted, *args):
+    """XLA cost-model (flops, bytes accessed) for one call; None when
+    unavailable. "bytes accessed" counts every operand + output touch of
+    every HLO — an upper bound on HBM traffic (fusion keeps some of it in
+    registers/VMEM), so the memory roofline fraction derived from it is
+    OPTIMISTIC about how close to the bandwidth wall the kernel runs."""
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0] if cost else {}
         f = float(cost.get("flops", 0.0))
-        return f if f > 0 else None
+        b = float(cost.get("bytes accessed", 0.0))
+        return (f if f > 0 else None), (b if b > 0 else None)
     except Exception:
-        return None
+        return None, None
+
+
+def _roofline(dt, flops, bytes_):
+    """Classify one timed kernel against the chip's dual roofline.
+
+    arithmetic intensity AI = flops/byte; ridge = PEAK_FLOPS/PEAK_HBM_BPS
+    (~240 flops/B on v5e): AI below the ridge means the BINDING limit is
+    HBM bandwidth, above it the MXU/VPU flops. `bound_frac` is the
+    achieved fraction of the binding roofline; rows where both fractions
+    are tiny AND the wall is micro-dispatch-short are latency-bound
+    (VERDICT r4 action #3)."""
+    out = {}
+    fl = (flops or 0.0) / dt
+    bw = (bytes_ or 0.0) / dt
+    out["gflops_per_s"] = round(fl / 1e9, 1)
+    out["gbytes_per_s"] = round(bw / 1e9, 1)
+    out["util_vs_peak"] = round(fl / PEAK_FLOPS, 4)
+    out["util_vs_hbm"] = round(bw / PEAK_HBM_BPS, 4)
+    if not flops or not bytes_:
+        out["bound"] = "unknown"
+        out["bound_frac"] = None
+        return out
+    ridge = PEAK_FLOPS / PEAK_HBM_BPS
+    ai = flops / bytes_
+    out["arith_intensity"] = round(ai, 2)
+    if ai >= ridge:
+        out["bound"], out["bound_frac"] = "compute", out["util_vs_peak"]
+    else:
+        out["bound"], out["bound_frac"] = "memory", out["util_vs_hbm"]
+    # a kernel achieving <15% of its binding roofline with a sub-5 ms wall
+    # is dominated by per-dispatch/enqueue overheads, not the chip
+    if out["bound_frac"] < 0.15 and dt < 5e-3:
+        out["bound"] = "latency"
+    return out
 
 
 def _drain(res):
@@ -71,7 +117,7 @@ def _drain(res):
     return np.asarray(jax.device_get(scalar))
 
 
-def _time_best(fn, args, repeats=3, max_inner=8):
+def _time_best(fn, args, repeats=3, max_inner=32):
     """Best-of-N steady-state wall-clock (first call outside: compiled).
 
     Each repeat enqueues `inner` back-to-back executions and ends with a
@@ -221,18 +267,20 @@ def _flops_fft(batch_rows, n):
 
 
 def _record(results, name, fn, args, n_items, repeats, flops=None):
-    """Compile, time, and record one device-bound row."""
+    """Compile, time, and record one device-bound row (roofline-tagged)."""
     import jax
 
     jax.block_until_ready(fn(*args))
     dt = _time_best(fn, args, repeats)
-    f = _cost_flops(fn, *args) if flops is None else flops
+    f, b = _cost_metrics(fn, *args)
+    if flops is not None:
+        f = flops
     results[name] = {
         "trials_per_s": round(n_items / dt, 1),
         "wall_s": round(dt, 4),
         "flops": f or 0.0,
-        "util_vs_peak": round((f or 0.0) / dt / PEAK_FLOPS, 4),
     }
+    results[name].update(_roofline(dt, f, b))
     return results[name]
 
 
@@ -461,11 +509,12 @@ def _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
     fn = jax.jit(welch_step)
     jax.block_until_ready(fn(x))
     dt = _time_best(fn, (x,), repeats)
-    flops = _cost_flops(fn, x) or 0.0
+    flops, nbytes = _cost_metrics(fn, x)
     results["welch_device"] = {
         "trials_per_s": round(n_trials / dt, 1), "wall_s": round(dt, 4),
-        "flops": flops, "util_vs_peak": round(flops / dt / PEAK_FLOPS, 4),
+        "flops": flops or 0.0,
     }
+    results["welch_device"].update(_roofline(dt, flops, nbytes))
 
     # -- superlet TFR (config #2 sibling); the scale-scanned kernel keeps
     # one (b, nOrders, L, C) block live, so the batch can be wide -------- #
@@ -492,11 +541,12 @@ def _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
     fn = jax.jit(sl_step)
     jax.block_until_ready(fn(xb, *sl_bank_d))
     dt = _time_best(fn, (xb,) + sl_bank_d, repeats)
-    flops = _cost_flops(fn, xb, *sl_bank_d) or 0.0
+    flops, nbytes = _cost_metrics(fn, xb, *sl_bank_d)
     results["superlet_device"] = {
         "trials_per_s": round(xb.shape[0] / dt, 1), "wall_s": round(dt, 4),
-        "flops": flops, "util_vs_peak": round(flops / dt / PEAK_FLOPS, 4),
+        "flops": flops or 0.0,
     }
+    results["superlet_device"].update(_roofline(dt, flops, nbytes))
 
     # -- preproc pipeline: FIR bp -> hilbert envelope -> mean PSD -------- #
     kernel = jnp.asarray(design_wsinc("hamming", 400, (8.0 / fs, 12.0 / fs), "bp"))
@@ -513,11 +563,12 @@ def _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
     fn = jax.jit(pipe_step)
     jax.block_until_ready(fn(x))
     dt = _time_best(fn, (x,), repeats)
-    flops = _cost_flops(fn, x) or 0.0
+    flops, nbytes = _cost_metrics(fn, x)
     results["preproc_pipeline_device"] = {
         "trials_per_s": round(n_trials / dt, 1), "wall_s": round(dt, 4),
-        "flops": flops, "util_vs_peak": round(flops / dt / PEAK_FLOPS, 4),
+        "flops": flops or 0.0,
     }
+    results["preproc_pipeline_device"].update(_roofline(dt, flops, nbytes))
 
     # -- corr at the reference's config #3 shape (128 ch x 500 trials):
     # the reference headline is ~64 trials/s warm (BASELINE.md) ----------- #
@@ -572,7 +623,7 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
     coh = _coherence_program(n_trials, n_samples, n_chan, samplerate=fs)
     jax.block_until_ready(coh(x))  # compile
     dt_best = _time_best(coh, (x,), repeats)
-    flops = _cost_flops(coh, x)
+    flops, nbytes = _cost_metrics(coh, x)
     if flops is None:
         K, F = 3, n_samples // 2 + 1
         flops = (_flops_fft(n_trials * K * n_chan, n_samples)
@@ -581,8 +632,8 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
         "trials_per_s": round(n_trials / dt_best, 1),
         "wall_s": round(dt_best, 4),
         "flops": flops,
-        "util_vs_peak": round(flops / dt_best / PEAK_FLOPS, 4),
     }
+    results["coh_device"].update(_roofline(dt_best, flops, nbytes))
 
     # -- wavelet TFR (config #2 core), batched ------------------------- #
     foi = np.linspace(10.0, 150.0, n_scales)
@@ -602,7 +653,7 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
     # amortization) and each queues a ~0.5 GB result buffer — never let
     # _time_best multiply that queue (max_inner=1)
     dt_best = _time_best(tfr_sweep, (xb,), repeats, max_inner=1)
-    per_call = _cost_flops(wav, xb, *wav_bank)
+    per_call, per_bytes = _cost_metrics(wav, xb, *wav_bank)
     if per_call is None:
         L = 2048  # next_fast_len(2 * n_samples) conv length
         per_call = (_flops_fft(wavelet_batch * n_chan, L)
@@ -613,8 +664,9 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
         "trials_per_s": round(n_batches * wavelet_batch / dt_best, 1),
         "wall_s": round(dt_best, 4),
         "flops": flops,
-        "util_vs_peak": round(flops / dt_best / PEAK_FLOPS, 4),
     }
+    results["wavelet_tfr_device"].update(
+        _roofline(dt_best, flops, per_bytes * n_batches if per_bytes else None))
 
     # -- Granger (config #4 core): CSD + Wilson + Granger --------------- #
     gr = _granger_program(n_trials, n_samples, n_chan, samplerate=fs)
@@ -622,10 +674,12 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
     jax.block_until_ready(G)  # compile
     dt_best = _time_best(lambda x: gr(x)[0], (x,), repeats)
     build_prog, factor_prog = gr.programs
-    flops_build = _cost_flops(build_prog, x)
-    flops_factor = _cost_flops(factor_prog, *build_prog(x))
+    flops_build, bytes_build = _cost_metrics(build_prog, x)
+    flops_factor, bytes_factor = _cost_metrics(factor_prog, *build_prog(x))
     flops = (flops_build + flops_factor
              if flops_build is not None and flops_factor is not None else None)
+    nbytes = (bytes_build + bytes_factor
+              if bytes_build is not None and bytes_factor is not None else None)
     if flops is None:
         F = n_samples // 2 + 1
         # dominated by the sliced exact Gram (~9x a plain f32 einsum)
@@ -634,10 +688,10 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
         "trials_per_s": round(n_trials / dt_best, 1),
         "wall_s": round(dt_best, 4),
         "flops": flops,
-        "util_vs_peak": round(flops / dt_best / PEAK_FLOPS, 4),
         "converged": bool(np.asarray(conv)),
         "max_rel_err": float(np.asarray(err)),
     }
+    results["granger_device"].update(_roofline(dt_best, flops, nbytes))
 
     # remaining production-kernel rows (corr/csd/ppc/mtmconvol) + the
     # lax.map jackknife factorization — part of the DEFAULT matrix
@@ -660,9 +714,10 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
         jax.block_until_ready(G)
         dt_best = _time_best(lambda x: gr(x)[0], (x128,), repeats)
         build_prog, factor_prog = gr.programs
-        fb = _cost_flops(build_prog, x128)
-        ff = _cost_flops(factor_prog, *build_prog(x128))
+        fb, bb = _cost_metrics(build_prog, x128)
+        ff, bf = _cost_metrics(factor_prog, *build_prog(x128))
         flops = fb + ff if fb is not None and ff is not None else None
+        nbytes = bb + bf if bb is not None and bf is not None else None
         if flops is None:
             F = n_samples // 2 + 1
             flops = 9.0 * 8.0 * n_trials * F * 128 * 128
@@ -670,10 +725,10 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
             "trials_per_s": round(n_trials / dt_best, 1),
             "wall_s": round(dt_best, 4),
             "flops": flops,
-            "util_vs_peak": round(flops / dt_best / PEAK_FLOPS, 4),
             "converged": bool(np.asarray(conv)),
             "max_rel_err": float(np.asarray(err)),
         }
+        results["granger128_device"].update(_roofline(dt_best, flops, nbytes))
 
         # -- wide-channel jackknife: 128-ch LOO replicates through the
         # engine's lax.map sequential_batch structure, NO host fallback in
