@@ -737,19 +737,27 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
         _jackknife_granger_row(results, repeats=1, n_trials=256, n_chan=128,
                                n_samples=n_samples, n_rep=4, via="map")
 
-        # -- 256-channel hazard probe: does the split-program structure
-        # still converge at 2x the north-star width? --------------------- #
+        # -- 256-channel probe at 2x the north-star width. 320 trials x 1
+        # hann taper: the CSD must be FULL RANK (nTrials*nTapers > nChan).
+        # The round-4 probe ran 250 trials — rank <= 250 < 256, i.e. the
+        # CSD was indefinite by construction (lam_min < 0, cond ~1.5e8 vs
+        # ~470 at 300 trials, CPU forensics in BASELINE.md round 5) and
+        # its divergence was mislabeled "platform limit". The frontend now
+        # gates such shapes to host f64 (connectivity_analysis.py
+        # _granger_rank_deficient). ---------------------------------------- #
+        n256 = 320
         adj256 = np.zeros((256, 256), dtype=np.float32)
         adj256[1, 0] = 0.25
-        x256 = ar2_network_device(250, AdjMat=adj256, nSamples=n_samples, seed=7)
+        x256 = ar2_network_device(n256, AdjMat=adj256, nSamples=n_samples, seed=7)
         jax.block_until_ready(x256)
-        gr256 = _granger_program(250, n_samples, 256, samplerate=fs)
+        gr256 = _granger_program(n256, n_samples, 256, samplerate=fs)
         G, conv, err = gr256(x256)
         jax.block_until_ready(G)
         dt_best = _time_best(lambda x: gr256(x)[0], (x256,), 1)
         results["granger256_device"] = {
-            "trials_per_s": round(250 / dt_best, 1),
+            "trials_per_s": round(n256 / dt_best, 1),
             "wall_s": round(dt_best, 4),
+            "n_trials": n256,
             "converged": bool(np.asarray(conv)),
             "max_rel_err": float(np.asarray(err)),
         }

@@ -386,6 +386,28 @@ def connectivityanalysis(
         # refinement, which matches the float64 result to ~1e-6 — see
         # ops/connectivity.py::_wilson_refine)
         out = _granger_host_full(st_out, av_compRoutine)
+    elif method == "granger" and _granger_rank_deficient(st_compRoutine, nTrials,
+                                                         st_out):
+        # PRE-FLIGHT GATE (round-5): each trial contributes rank <= nTapers
+        # to the averaged CSD, so nTrials*nTapers < nChannels means the CSD
+        # is SINGULAR by construction — the float32 device factorization
+        # cannot converge (the round-4 "256-ch platform limit" was exactly
+        # this: a 250-trial single-taper probe on 256 channels) and would
+        # burn ~26 s at 256 ch before the converged=False fallback fires.
+        # Route straight to the host float64 factorization, which operates
+        # on the eps-regularized (full-rank) matrix like the reference
+        # does; results at such shapes are regularization-dominated.
+        SPYWarning(
+            "Granger with {} trials x {} taper(s) on {} channels: the "
+            "averaged CSD has rank {} < {} and is singular — skipping the "
+            "doomed float32 device factorization and using the host "
+            "float64 path on the regularized matrix. Results depend on "
+            "the regularization; use more trials/tapers or fewer "
+            "channels.".format(
+                nTrials, _granger_n_tapers(st_compRoutine), len(st_out.channel_i),
+                nTrials * _granger_n_tapers(st_compRoutine), len(st_out.channel_i))
+        )
+        out = _granger_host_full(st_out, av_compRoutine)
     else:
         out = CrossSpectralData(dimord=list(CrossSpectralData._defaultDimord))
         av_compRoutine.initialize(st_out, out._stackingDim)
@@ -656,6 +678,22 @@ def _compute_ppc(st_out, parallel=None):
     out._log = str(st_out._log)
     out.log = "computed pairwise phase consistency over {} trials".format(n_trials)
     return out
+
+
+def _granger_n_tapers(st_compRoutine):
+    """Taper count of the ST stage (Kmax for dpss, else 1)."""
+    t_opt = (getattr(st_compRoutine, "cfg", None) or {}).get("taper_opt")
+    return int((t_opt or {}).get("Kmax", 1) or 1)
+
+
+def _granger_rank_deficient(st_compRoutine, nTrials, st_out):
+    """True when the trial-averaged CSD is singular by construction:
+    each trial contributes rank <= nTapers per frequency, so
+    nTrials * nTapers < nChannels has NO Wilson factorization (round-5
+    256-ch forensics: 250 trials x 256 ch is indefinite with lam_min < 0,
+    cond ~1.5e8; 300 trials conditions at ~470)."""
+    n_chan = len(np.asarray(st_out.channel_i))
+    return nTrials * _granger_n_tapers(st_compRoutine) < n_chan
 
 
 def _granger_host_full(st_avg, av_routine):

@@ -792,6 +792,53 @@ class TestGrangerFromSpectra:
         assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
 
 
+class TestGrangerRankGate:
+    """Pre-flight rank gate (VERDICT r4 action #2): nTrials*nTapers <
+    nChannels means the averaged CSD is singular by construction — the
+    frontend must route straight to the host-f64 path WITHOUT attempting
+    the doomed device factorization (which burns ~26 s at 256 ch)."""
+
+    def test_rank_deficient_skips_device_attempt(self, monkeypatch):
+        from syncopy_tpu.connectivity import AV_compRoutines as av
+
+        calls = {"device": 0}
+        real_wilson = av.wilson_sf
+
+        def counting(*a, **k):
+            calls["device"] += 1
+            return real_wilson(*a, **k)
+
+        monkeypatch.setattr(av, "wilson_sf", counting)
+        # 6 trials x 1 hann taper on 8 channels: rank 6 < 8 -> singular
+        adj = np.zeros((8, 8), dtype=np.float32)
+        adj[1, 0] = 0.25
+        d = spy.synthdata.ar2_network(nTrials=6, AdjMat=adj, nSamples=264, seed=11)
+        with pytest.warns(RuntimeWarning, match="singular"):
+            out = spy.connectivityanalysis(d, method="granger")
+        assert calls["device"] == 0, "device factorization attempted at a gated shape"
+        assert np.asarray(out.data).shape[-1] == 8
+        assert "converged" in out.info
+
+    def test_full_rank_not_gated(self, monkeypatch):
+        from syncopy_tpu.connectivity import connectivity_analysis as ca
+
+        # 12 trials x 1 taper on 8 channels: full rank -> normal path
+        adj = np.zeros((8, 8), dtype=np.float32)
+        adj[1, 0] = 0.25
+        d = spy.synthdata.ar2_network(nTrials=12, AdjMat=adj, nSamples=272, seed=12)
+        called = {"host_full": 0}
+        real = ca._granger_host_full
+
+        def wrapped(*a, **k):
+            called["host_full"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(ca, "_granger_host_full", wrapped)
+        out = spy.connectivityanalysis(d, method="granger")
+        assert out.info.get("converged") is True
+        assert called["host_full"] == 0
+
+
 class TestConnectivityValidationMatrix:
     """Frontend validation (reference test_connectivity.py exception
     blocks + connectivity_analysis.py:80-145 guards)."""
