@@ -185,3 +185,7 @@ __all__ = [
     "profile",
     "Timer",
 ]
+
+# namespace hygiene: the stdlib imports above are implementation details —
+# keep `dir(spy)` to the public API surface (doc/api/index.md)
+del os, sys, uuid
