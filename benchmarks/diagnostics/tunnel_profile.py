@@ -24,6 +24,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, ".")
+
 
 def main(n_trials=1000, n_chan=64, n_samples=1000):
     import jax

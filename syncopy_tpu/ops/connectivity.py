@@ -1069,14 +1069,18 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
     return Hfunc, Sigma, err < rtol, err
 
 
-def regularize_csd(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
+def csd_reg_params(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
     """
-    Condition-number loading: add the smallest ``eps*I`` (log-spaced up to
-    `eps_max`) that brings the worst per-frequency condition number below
-    `cond_max` (reference wilson_sf.py:197-262). All candidates are
-    evaluated batched; the selection is an argmax over a boolean mask.
+    Regularization parameters for :func:`regularize_csd`, computed from a
+    batched Hermitian eigendecomposition of `CSD` — the single most
+    expensive op of the whole Granger pipeline on TPU (1.75 s of a 2.39 s
+    factorization at (501, 128, 128); granger_stage_profile.py round 5).
+    Split out so callers with MANY spectrally-adjacent matrices (jackknife
+    leave-one-out replicates differ by O(1/nTrials)) can compute the
+    parameters ONCE from their mean and share them (see
+    GrangerCausality.process_batch + :func:`psd_topup`).
 
-    Returns (CSDreg, eps, initial_cond_num); ``eps = -1`` marks failure.
+    Returns (psd_shift (F,), eps scalar [-1 marks failure], ini_cond).
     """
     rdtype = jnp.float64 if CSD.dtype == jnp.complex128 else jnp.float32
     epsilons = jnp.concatenate(
@@ -1104,19 +1108,58 @@ def regularize_csd(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
     lam_floor = 1e-6 * bin_scale
     psd_shift = jnp.maximum(lam_floor - lam_min, jnp.zeros((), rdtype))
     psd_shift = jnp.where(lam_min < lam_floor, psd_shift, jnp.zeros((), rdtype))
-    CSD = CSD + (psd_shift[:, None, None] * jnp.eye(CSD.shape[1], dtype=CSD.dtype))
     lam = lam + psd_shift[:, None]
     shifted = jnp.abs(lam[None] + epsilons[:, None, None])  # (E+1, F, N)
     conds = (shifted.max(axis=2) / shifted.min(axis=2)).max(axis=1)  # (E+1,)
     ok = conds < cond_max
-    ini_cond = ini_cond_raw
     any_ok = jnp.any(ok)
     first_ok = jnp.argmax(ok)  # smallest epsilon that works (ordered ascending)
     chosen = jnp.where(any_ok, first_ok, len(epsilons) - 1)
     eps_sel = epsilons[chosen]
-    I = jnp.eye(CSD.shape[1], dtype=CSD.dtype)
-    CSDreg = CSD + eps_sel * I
     eps = jnp.where(any_ok, eps_sel, -1.0)
+    return psd_shift, eps, ini_cond_raw
+
+
+def apply_csd_reg(CSD, psd_shift, eps, eps_max=1e-3):
+    """Apply precomputed regularization: per-frequency PSD-repair shift
+    plus the global eps loading (``eps = -1`` applies `eps_max`, the
+    largest candidate — :func:`regularize_csd`'s failure behavior)."""
+    I = jnp.eye(CSD.shape[1], dtype=CSD.dtype)
+    eps_eff = jnp.where(eps < 0, jnp.asarray(eps_max, eps.dtype), eps)
+    return CSD + (psd_shift[:, None, None] + eps_eff) * I
+
+
+def psd_topup(CSDreg, rel_lift=3e-6, max_rounds=3):
+    """Cheap per-matrix safety net for SHARED regularization parameters:
+    probe positive-definiteness with one batched Cholesky (~8 ms at
+    (501, 128, 128) vs 1.75 s for eigvalsh) and lift only the failing
+    frequency bins by ``rel_lift`` of their own diagonal power, up to
+    `max_rounds` doublings. Used when jackknife replicates reuse the
+    mean-CSD regularization: an individual replicate's lambda_min can sit
+    O(1/nTrials) below the mean's, so its shared shift may under-lift."""
+    diag = jnp.abs(jnp.diagonal(CSDreg, axis1=-2, axis2=-1)).mean(axis=-1)
+    I = jnp.eye(CSDreg.shape[-1], dtype=CSDreg.dtype)
+    lift = rel_lift * diag
+    for _ in range(max_rounds):
+        L = jnp.linalg.cholesky(CSDreg)
+        bad = ~jnp.isfinite(L).all(axis=(-2, -1))
+        bad = bad[..., None, None]
+        CSDreg = jnp.where(bad, CSDreg + lift[..., None, None] * I, CSDreg)
+        lift = 2 * lift
+    return CSDreg
+
+
+def regularize_csd(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
+    """
+    Condition-number loading: add the smallest ``eps*I`` (log-spaced up to
+    `eps_max`) that brings the worst per-frequency condition number below
+    `cond_max` (reference wilson_sf.py:197-262). All candidates are
+    evaluated batched; the selection is an argmax over a boolean mask.
+
+    Returns (CSDreg, eps, initial_cond_num); ``eps = -1`` marks failure.
+    """
+    psd_shift, eps, ini_cond = csd_reg_params(CSD, cond_max, eps_max, nSteps)
+    CSDreg = apply_csd_reg(CSD, psd_shift, eps, eps_max=eps_max)
     return CSDreg, eps, ini_cond
 
 
