@@ -444,12 +444,30 @@ def _jackknife_granger_row(results, repeats, n_trials=200, n_chan=16,
         return granger(CSDreg, H, Sigma), conv, err
 
     if via == "map":
+        # the production GrangerCausality.process_batch structure (round 5):
+        # regularization parameters from ONE eigendecomposition of the
+        # replicate mean, shared by every replicate (the per-replicate
+        # eigvalsh was 73% of the factorization wall at 128 ch), with the
+        # batched-Cholesky psd_topup safety lift; factorizations via
+        # lax.map, NEVER vmap (the batched while_loop rewrite is the
+        # platform miscompile)
+        from syncopy_tpu.ops.connectivity import (
+            apply_csd_reg, csd_reg_params, psd_topup,
+        )
 
         @jax.jit
         def factorize_all(re, im):
-            # lax.map, NEVER vmap: the batched while_loop rewrite is the
-            # platform miscompile (engine sequential_batch mirror)
-            return jax.lax.map(one, (re, im))
+            rows = (re + 1j * im).astype(jnp.complex64)
+            psd_shift, eps, _ = csd_reg_params(
+                rows.mean(axis=0), cond_max=1e4, eps_max=1e-1)
+
+            def one_shared(CSD):
+                CSDreg = psd_topup(apply_csd_reg(CSD, psd_shift, eps,
+                                                 eps_max=1e-1))
+                H, Sigma, conv, err = wilson_sf(CSDreg, nIter=100, rtol=5e-6)
+                return granger(CSDreg, H, Sigma), conv, err
+
+            return jax.lax.map(one_shared, rows)
 
     else:
         one_prog = jax.jit(one)
