@@ -474,6 +474,7 @@ def wilson_env_fingerprint():
         os.environ.get("SPY_TPU_WILSON_INV", "ns").lower(),
         os.environ.get("SPY_TPU_WILSON_GFORCE", "1"),
         os.environ.get("SPY_TPU_WILSON_PLUS", "auto").lower(),
+        os.environ.get("SPY_TPU_FAST_REG", "auto").lower(),
     )
 
 
@@ -1069,6 +1070,77 @@ def _wilson_sf_impl(CSD, nIter, rtol, shard=_IdentityShard()):
     return Hfunc, Sigma, err < rtol, err
 
 
+_FAST_REG_MIN_CHAN = 96
+
+
+def _fast_reg_enabled(n_chan):
+    """Use the extents-only regularization (`csd_lam_extents`) instead of
+    the full eigendecomposition? Shape-static, so jit-safe. eigvalsh wins
+    at narrow widths (~30 ms at 64 ch) but scales catastrophically on the
+    TPU QR eigensolver (1.75 s at 128 ch = 73 % of the whole factorization,
+    granger_stage_profile.py round 5), while the Cholesky-bisection cost
+    grows only with the batched-Cholesky rate. SPY_TPU_FAST_REG: "0" never,
+    "1" always, default auto (>= 96 channels)."""
+    mode = os.environ.get("SPY_TPU_FAST_REG", "auto").lower()
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return n_chan >= _FAST_REG_MIN_CHAN
+
+
+def csd_lam_extents(CSDh, bisect_rounds=30):
+    """
+    Per-frequency EXTREME eigenvalues of a batch of Hermitian matrices
+    without an eigendecomposition — the regularization selection
+    (:func:`csd_reg_params`) only ever consumes lambda_min / lambda_max,
+    and the batched TPU eigvalsh that used to provide them is the single
+    most expensive op of the Granger pipeline at wide channel counts.
+
+    Vectorized Cholesky bisection, both ends at once: ``lam_min(A) > t``
+    iff ``A - t*I`` admits a Cholesky factor (NaN-free on this backend),
+    and ``lam_max(A) < t`` iff ``t*I - A`` does — so each round is ONE
+    batched (2F, N, N) Cholesky with per-frequency shifts, starting from
+    the Gershgorin brackets ``[min_i(a_ii - r_i), min_i a_ii]`` and
+    ``[max_i a_ii, max_i(a_ii + r_i)]``. After `bisect_rounds` halvings
+    the bracket width is ``2^-30`` of the Gershgorin span — below float32
+    resolution of the matrix itself. (A Rayleigh-quotient power iteration
+    was measured 2.2 % off lam_max on Wishart-like CSD spectra — the top
+    cluster is too flat — so both ends use the certified bisection.)
+
+    Returns ``(lo, hi, lam_max)`` with ``lo <= lam_min <= hi`` per
+    frequency — callers that must never under-estimate a repair shift use
+    `lo`; condition-number estimates use the midpoints.
+    """
+    rdtype = jnp.float64 if CSDh.dtype == jnp.complex128 else jnp.float32
+    N = CSDh.shape[-1]
+    I = jnp.eye(N, dtype=CSDh.dtype)
+    diag = jnp.real(jnp.diagonal(CSDh, axis1=-2, axis2=-1)).astype(rdtype)
+    radius = jnp.sum(jnp.abs(CSDh), axis=-1).astype(rdtype) - jnp.abs(diag)
+    lo = jnp.min(diag - radius, axis=-1)   # (F,) Gershgorin: <= lam_min
+    hi = jnp.min(diag, axis=-1)            # (F,) min diagonal: >= lam_min
+    lo_mx = jnp.max(diag, axis=-1)         # (F,) max diagonal: <= lam_max
+    hi_mx = jnp.max(diag + radius, axis=-1)  # (F,) Gershgorin: >= lam_max
+
+    def bisect(carry, _):
+        lo, hi, lo_mx, hi_mx = carry
+        mid = 0.5 * (lo + hi)
+        mid_mx = 0.5 * (lo_mx + hi_mx)
+        probe = jnp.concatenate(
+            [CSDh - mid[:, None, None] * I,
+             mid_mx[:, None, None] * I - CSDh], axis=0)
+        L = jnp.linalg.cholesky(probe)
+        pd = jnp.isfinite(jnp.real(L)).all(axis=(-2, -1))
+        pd_mn, pd_mx = pd[: CSDh.shape[0]], pd[CSDh.shape[0]:]
+        return (jnp.where(pd_mn, mid, lo), jnp.where(pd_mn, hi, mid),
+                jnp.where(pd_mx, lo_mx, mid_mx),
+                jnp.where(pd_mx, mid_mx, hi_mx)), None
+
+    (lo, hi, lo_mx, hi_mx), _ = jax.lax.scan(
+        bisect, (lo, hi, lo_mx, hi_mx), None, length=bisect_rounds)
+    return lo, hi, 0.5 * (lo_mx + hi_mx)
+
+
 def csd_reg_params(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
     """
     Regularization parameters for :func:`regularize_csd`, computed from a
@@ -1087,30 +1159,57 @@ def csd_reg_params(CSD, cond_max=1e3, eps_max=1e-3, nSteps=15):
         [jnp.zeros(1, rdtype), jnp.asarray(np.logspace(-10, np.log10(eps_max), nSteps), dtype=rdtype)]
     )
     # the CSD is Hermitian, so cond_2(CSD + eps*I) follows analytically from
-    # ONE eigendecomposition: the shifted eigenvalues are lambda_i + eps.
+    # the eigenvalue EXTREMES: the shifted eigenvalues are lambda_i + eps.
     # This replaces the reference's per-candidate SVD sweep (wilson_sf.py:
-    # 197-262) — same selection, one eigvalsh instead of nSteps*nFreq SVDs.
+    # 197-262) — same selection, one spectral sweep instead of
+    # nSteps*nFreq SVDs.
     CSDh = (CSD + jnp.conj(jnp.swapaxes(CSD, -1, -2))) / 2
-    lam = jnp.linalg.eigvalsh(CSDh).astype(rdtype)  # (F, N)
-    # PSD repair: the MXU accumulates the trial sum sequentially in f32, so
-    # a many-trial CSD can carry tiny NEGATIVE (or near-singular) smallest
-    # eigenvalues (measured ~3e-5 relative at 1000 trials). An indefinite
-    # matrix has no Wilson factorization and a near-singular one breaks the
-    # float32 iteration — lift each offending frequency's spectrum to a
-    # small floor relative to its own diagonal power; healthy bins are
-    # untouched.
-    # diagnostics must reflect the matrix as RECEIVED: record the initial
-    # condition number before any repair
-    raw_abs = jnp.abs(lam)
-    ini_cond_raw = (raw_abs.max(axis=1) / raw_abs.min(axis=1)).max()
-    lam_min = lam.min(axis=1)  # (F,)
-    bin_scale = raw_abs.max(axis=1)  # (F,)
-    lam_floor = 1e-6 * bin_scale
-    psd_shift = jnp.maximum(lam_floor - lam_min, jnp.zeros((), rdtype))
-    psd_shift = jnp.where(lam_min < lam_floor, psd_shift, jnp.zeros((), rdtype))
-    lam = lam + psd_shift[:, None]
-    shifted = jnp.abs(lam[None] + epsilons[:, None, None])  # (E+1, F, N)
-    conds = (shifted.max(axis=2) / shifted.min(axis=2)).max(axis=1)  # (E+1,)
+    if _fast_reg_enabled(CSD.shape[-1]):
+        # wide channels: lambda extents via Cholesky bisection + power
+        # iteration (the full batched eigvalsh is 1.75 s at (501,128,128) —
+        # 73 % of the whole factorization wall). The selection below only
+        # needs (lam_min, lam_max) per frequency.
+        lam_lo, lam_hi, lam_max_f = csd_lam_extents(CSDh)
+        lam_mid = 0.5 * (lam_lo + lam_hi)
+        bin_scale = jnp.maximum(jnp.abs(lam_mid), lam_max_f)  # max |lam|
+        # min |lam| per frequency: equals lam_min on the PSD bulk; for an
+        # indefinite bin |lam_min| still carries its magnitude scale (the
+        # value is a diagnostic, not part of the selection)
+        raw_min = jnp.maximum(jnp.abs(lam_mid), jnp.finfo(rdtype).tiny)
+        ini_cond_raw = (bin_scale / raw_min).max()
+        lam_floor = 1e-6 * bin_scale
+        # PSD repair (rationale below) from the bracket's LOWER edge: the
+        # shift errs on the over-lift side by at most the bracket width
+        psd_shift = jnp.maximum(lam_floor - lam_lo, jnp.zeros((), rdtype))
+        psd_shift = jnp.where(lam_lo < lam_floor, psd_shift,
+                              jnp.zeros((), rdtype))
+        smin = jnp.abs(lam_mid + psd_shift)  # >= ~lam_floor by construction
+        smax = lam_max_f + psd_shift
+        shifted_min = smin[None] + epsilons[:, None]  # (E+1, F)
+        shifted_max = smax[None] + epsilons[:, None]
+        conds = (shifted_max / shifted_min).max(axis=1)  # (E+1,)
+    else:
+        lam = jnp.linalg.eigvalsh(CSDh).astype(rdtype)  # (F, N)
+        # PSD repair: the MXU accumulates the trial sum sequentially in
+        # f32, so a many-trial CSD can carry tiny NEGATIVE (or
+        # near-singular) smallest eigenvalues (measured ~3e-5 relative at
+        # 1000 trials). An indefinite matrix has no Wilson factorization
+        # and a near-singular one breaks the float32 iteration — lift each
+        # offending frequency's spectrum to a small floor relative to its
+        # own diagonal power; healthy bins are untouched.
+        # diagnostics must reflect the matrix as RECEIVED: record the
+        # initial condition number before any repair
+        raw_abs = jnp.abs(lam)
+        ini_cond_raw = (raw_abs.max(axis=1) / raw_abs.min(axis=1)).max()
+        lam_min = lam.min(axis=1)  # (F,)
+        bin_scale = raw_abs.max(axis=1)  # (F,)
+        lam_floor = 1e-6 * bin_scale
+        psd_shift = jnp.maximum(lam_floor - lam_min, jnp.zeros((), rdtype))
+        psd_shift = jnp.where(lam_min < lam_floor, psd_shift,
+                              jnp.zeros((), rdtype))
+        lam = lam + psd_shift[:, None]
+        shifted = jnp.abs(lam[None] + epsilons[:, None, None])  # (E+1, F, N)
+        conds = (shifted.max(axis=2) / shifted.min(axis=2)).max(axis=1)
     ok = conds < cond_max
     any_ok = jnp.any(ok)
     first_ok = jnp.argmax(ok)  # smallest epsilon that works (ordered ascending)

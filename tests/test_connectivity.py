@@ -562,6 +562,95 @@ class TestPSDRepair:
         assert np.allclose(creg, csd, atol=1e-7)
 
 
+class TestFastRegExtents:
+    """Wide-channel regularization runs WITHOUT an eigendecomposition
+    (``csd_lam_extents``: Cholesky bisection of both spectral extremes —
+    the batched TPU eigvalsh is 73 % of the whole Granger factorization
+    wall at 128 ch, granger_stage_profile.py round 5). The fast path must
+    reproduce the eigvalsh path's regularization selection exactly."""
+
+    def _wishart(self, F, N, K, seed=0, indefinite_bins=()):
+        rng = np.random.default_rng(seed)
+        A = rng.normal(size=(F, N, K)) + 1j * rng.normal(size=(F, N, K))
+        C = (A @ A.conj().transpose(0, 2, 1) / K).astype(np.complex64)
+        for b in indefinite_bins:
+            lam_min = np.linalg.eigvalsh(C[b]).min()
+            C[b] -= (lam_min + 1e-5 * np.abs(C[b]).max()) * np.eye(N)
+        return C
+
+    def test_extents_match_eigvalsh(self):
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import csd_lam_extents
+
+        C = self._wishart(17, 96, 120, seed=2, indefinite_bins=(3,))
+        Ch = (C + C.conj().transpose(0, 2, 1)) / 2
+        lam = np.linalg.eigvalsh(Ch.astype(np.complex128))
+        lo, hi, lmax = [np.asarray(x) for x in csd_lam_extents(jnp.asarray(Ch))]
+        scale = np.abs(lam).max(axis=1)
+        # the true lam_min must sit inside the (tiny) returned bracket
+        assert np.all(lo <= lam.min(axis=1) + 1e-6 * scale)
+        assert np.all(hi >= lam.min(axis=1) - 1e-6 * scale)
+        assert float(((hi - lo) / scale).max()) < 1e-6
+        assert float((np.abs(lmax - lam.max(axis=1)) / lam.max(axis=1)).max()) < 1e-6
+
+    @pytest.mark.parametrize("K,cond_max", [(130, 1e3), (130, 1e4), (512, 1e4)])
+    def test_selection_matches_eig_path(self, monkeypatch, K, cond_max):
+        """eps ladder selection, PSD-repair shift, and the Wilson outcome
+        must agree between the fast (bisection) and eigvalsh paths —
+        including on near-singular inputs where eps loading engages."""
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import csd_reg_params
+
+        C = jnp.asarray(self._wishart(13, 128, K, seed=4, indefinite_bins=(1,)))
+        monkeypatch.setenv("SPY_TPU_FAST_REG", "1")
+        s1, e1, c1 = [np.asarray(x) for x in
+                      csd_reg_params(C, cond_max=cond_max, eps_max=1e-1)]
+        monkeypatch.setenv("SPY_TPU_FAST_REG", "0")
+        s0, e0, c0 = [np.asarray(x) for x in
+                      csd_reg_params(C, cond_max=cond_max, eps_max=1e-1)]
+        assert np.isclose(float(e1), float(e0), rtol=1e-5)
+        scale = float(np.abs(np.asarray(C)).max())
+        assert float(np.abs(s1 - s0).max()) < 1e-6 * scale
+        # ini_cond is a diagnostic: order-of-magnitude agreement suffices,
+        # but on these PSD-dominated inputs it should be tight
+        assert np.isclose(float(c1), float(c0), rtol=1e-2)
+
+    def test_fast_reg_granger_end_to_end(self, monkeypatch):
+        """A genuine spectral density (AR(2) CSD, wide channels) must
+        factorize and produce the SAME Granger under fast regularization
+        as under the eigvalsh path."""
+        import jax.numpy as jnp
+
+        from syncopy_tpu.ops.connectivity import granger, regularize_csd, wilson_sf
+        from scipy.signal import lfilter
+
+        rng = np.random.default_rng(11)
+        n_trials, n_samp, N = 300, 128, 96
+        e = rng.normal(size=(n_trials, n_samp, N)).astype("f4")
+        x = lfilter([1.0], [1.0, -0.55, 0.8], e, axis=1)
+        win = np.hanning(n_samp)
+        win = win * np.sqrt(2.0 / (win ** 2).sum())
+        tap = (x - x.mean(axis=1, keepdims=True)) * win[None, :, None]
+        spec = np.fft.rfft(tap, axis=1)
+        csd = (np.einsum("tfi,tfj->fij", spec, np.conj(spec)) / n_trials
+               ).astype(np.complex64)
+
+        def run():
+            creg, eps, _ = regularize_csd(
+                jnp.asarray(csd), cond_max=1e4, eps_max=1e-1)
+            H, Sigma, conv, err = wilson_sf(creg, nIter=100, rtol=5e-6)
+            return np.asarray(granger(creg, H, Sigma)), bool(conv), float(err)
+
+        monkeypatch.setenv("SPY_TPU_FAST_REG", "1")
+        G1, conv1, err1 = run()
+        monkeypatch.setenv("SPY_TPU_FAST_REG", "0")
+        G0, conv0, err0 = run()
+        assert conv1 and conv0, (err1, err0)
+        assert np.abs(G1 - G0).max() < 1e-6
+
+
 class TestCompensatedCSDAccumulation:
     """Many-trial CSD sums need double-float32 accumulation: plain serial
     f32 accumulation noise (~3e-5 relative at 1000 trials) leaves the CSD
