@@ -716,37 +716,40 @@ def run_device_bench(repeats=3, n_trials=1000, n_samples=1000, n_chan=64,
     _matrix_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs)
     _jackknife_granger_row(results, repeats)
 
+    # -- Granger at the 128-channel north-star width -------------------- #
+    # (post vmap-bypass + program-split fixes this converges on-device;
+    # round 5: the Cholesky-bisection regularization — SPY_TPU_FAST_REG,
+    # auto at >=96 ch — took the factorization 2.38 s -> 0.72 s, so the
+    # row is cheap enough for the DEFAULT matrix)
+    adj128 = np.zeros((128, 128), dtype=np.float32)
+    adj128[1, 0] = 0.25
+    x128 = ar2_network_device(n_trials, AdjMat=adj128,
+                              nSamples=n_samples, seed=7)
+    jax.block_until_ready(x128)
+    gr = _granger_program(n_trials, n_samples, 128, samplerate=fs)
+    G, conv, err = gr(x128)
+    jax.block_until_ready(G)
+    dt_best = _time_best(lambda x: gr(x)[0], (x128,), repeats)
+    build_prog, factor_prog = gr.programs
+    fb, bb = _cost_metrics(build_prog, x128)
+    ff, bf = _cost_metrics(factor_prog, *build_prog(x128))
+    flops = fb + ff if fb is not None and ff is not None else None
+    nbytes = bb + bf if bb is not None and bf is not None else None
+    if flops is None:
+        F = n_samples // 2 + 1
+        flops = 9.0 * 8.0 * n_trials * F * 128 * 128
+    results["granger128_device"] = {
+        "trials_per_s": round(n_trials / dt_best, 1),
+        "wall_s": round(dt_best, 4),
+        "flops": flops,
+        "converged": bool(np.asarray(conv)),
+        "max_rel_err": float(np.asarray(err)),
+    }
+    results["granger128_device"].update(_roofline(dt_best, flops, nbytes))
+    del x128
+
     if full:
         _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs)
-
-        # -- Granger at the 128-channel north-star width ----------------- #
-        # (post vmap-bypass + program-split fixes this converges on-device;
-        # kept behind --full: the cold compile is minutes on the tunnel)
-        adj128 = np.zeros((128, 128), dtype=np.float32)
-        adj128[1, 0] = 0.25
-        x128 = ar2_network_device(n_trials, AdjMat=adj128,
-                                  nSamples=n_samples, seed=7)
-        jax.block_until_ready(x128)
-        gr = _granger_program(n_trials, n_samples, 128, samplerate=fs)
-        G, conv, err = gr(x128)
-        jax.block_until_ready(G)
-        dt_best = _time_best(lambda x: gr(x)[0], (x128,), repeats)
-        build_prog, factor_prog = gr.programs
-        fb, bb = _cost_metrics(build_prog, x128)
-        ff, bf = _cost_metrics(factor_prog, *build_prog(x128))
-        flops = fb + ff if fb is not None and ff is not None else None
-        nbytes = bb + bf if bb is not None and bf is not None else None
-        if flops is None:
-            F = n_samples // 2 + 1
-            flops = 9.0 * 8.0 * n_trials * F * 128 * 128
-        results["granger128_device"] = {
-            "trials_per_s": round(n_trials / dt_best, 1),
-            "wall_s": round(dt_best, 4),
-            "flops": flops,
-            "converged": bool(np.asarray(conv)),
-            "max_rel_err": float(np.asarray(err)),
-        }
-        results["granger128_device"].update(_roofline(dt_best, flops, nbytes))
 
         # -- wide-channel jackknife: 128-ch LOO replicates through the
         # engine's lax.map sequential_batch structure, NO host fallback in
