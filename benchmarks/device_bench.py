@@ -266,8 +266,11 @@ def _flops_fft(batch_rows, n):
     return 2.5 * batch_rows * n * np.log2(max(n, 2))
 
 
-def _record(results, name, fn, args, n_items, repeats, flops=None):
-    """Compile, time, and record one device-bound row (roofline-tagged)."""
+def _record(results, name, fn, args, n_items, repeats, flops=None, bytes_=None):
+    """Compile, time, and record one device-bound row (roofline-tagged).
+    `flops`/`bytes_` override the XLA cost model — required for Python
+    chunk loops (`corr_run`/`ppc_run`), which are not a single lowerable
+    program: pass the per-chunk `_cost_metrics` scaled by chunk count."""
     import jax
 
     jax.block_until_ready(fn(*args))
@@ -275,6 +278,8 @@ def _record(results, name, fn, args, n_items, repeats, flops=None):
     f, b = _cost_metrics(fn, *args)
     if flops is not None:
         f = flops
+    if bytes_ is not None:
+        b = bytes_
     results[name] = {
         "trials_per_s": round(n_items / dt, 1),
         "wall_s": round(dt, 4),
@@ -324,8 +329,10 @@ def _matrix_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
             acc = s if acc is None else acc + s
         return corr_finalize(acc)
 
+    corr_f, corr_b = _cost_metrics(corr_chunk_sum, x[:corr_chunk])
     _record(results, "corr_device", corr_run, (x,), n_trials, repeats,
-            flops=(_cost_flops(corr_chunk_sum, x[:corr_chunk]) or 0.0) * n_corr_chunks)
+            flops=(corr_f or 0.0) * n_corr_chunks,
+            bytes_=(corr_b or 0.0) * n_corr_chunks or None)
 
     # -- csd: per-trial multitaper CSD stack kept resident (keeptrials=True
     # production path, method='csd') ------------------------------------- #
@@ -372,8 +379,10 @@ def _matrix_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
             acc = s if acc is None else acc + s
         return ppc_finalize(acc)
 
+    ppc_f, ppc_b = _cost_metrics(ppc_chunk_sum, x[:ppc_chunk])
     _record(results, "ppc_device", ppc_run, (x,), n_trials, repeats,
-            flops=(_cost_flops(ppc_chunk_sum, x[:ppc_chunk]) or 0.0) * n_ppc_chunks)
+            flops=(ppc_f or 0.0) * n_ppc_chunks,
+            bytes_=(ppc_b or 0.0) * n_ppc_chunks or None)
 
     # -- mtmconvol: sliding-window spectrogram, config #2 shape ----------- #
     nperseg = 250
@@ -614,9 +623,10 @@ def _extended_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
             acc = s if acc is None else acc + s
         return c128_fin(acc)
 
+    c128_f, c128_b = _cost_metrics(c128_sum, x128[:c128_chunk])
     _record(results, "corr128_device", c128_run, (x128,), 500, repeats,
-            flops=(_cost_flops(c128_sum, x128[:c128_chunk]) or 0.0)
-            * (500 // c128_chunk))
+            flops=(c128_f or 0.0) * (500 // c128_chunk),
+            bytes_=(c128_b or 0.0) * (500 // c128_chunk) or None)
     return results
 
 
