@@ -335,14 +335,20 @@ def _matrix_workloads(x, results, repeats, n_trials, n_samples, n_chan, fs):
             bytes_=(corr_b or 0.0) * n_corr_chunks or None)
 
     # -- csd: per-trial multitaper CSD stack kept resident (keeptrials=True
-    # production path, method='csd') ------------------------------------- #
+    # production path, method='csd'). Mirrors the engine's compiled program
+    # tail: complex CSD + fused (re, im) boundary encode on axis=1 — a raw
+    # complex64 output writes at only ~130 GB/s on this chip vs ~207 for
+    # the encoded form (benchmarks/diagnostics/csd_outer_ab2.py), and the
+    # production program has emitted the encoded layout since the
+    # lazy-flatten change (engine/routine.py::_flatten_dev). ------------- #
     csd_batch = 128
 
     @jax.jit
     def csd_stack(xb):
-        return jax.vmap(
-            lambda t: cross_spectra_trial(t, fs, n_samples, taper="hann")[0]
+        cs = jax.vmap(
+            lambda t: cross_spectra_trial(t, fs, n_samples, taper="hann")
         )(xb)
+        return jnp.stack([cs.real, cs.imag], axis=1)
 
     _record(results, "csd_device", csd_stack, (x[:csd_batch],), csd_batch, repeats)
 

@@ -249,7 +249,7 @@ def _materialize_resident(resident):
     offsets = resident.offsets
     for rec in resident.records:
         fetched = _dispatch_with_recovery(
-            lambda rec=rec: _fetch_readback(rec.dev, rec.enc_shape),
+            lambda rec=rec: _fetch_readback(_flatten_dev(rec.dev), rec.enc_shape),
             what="deferred result readback",
         )
         arr = decode_host(fetched, resident.was_complex, axis=1)[: len(rec.positions)]
@@ -296,6 +296,19 @@ def _flatten_for_readback(x):
     if pad:
         flat = jnp.pad(flat, (0, pad))
     return flat.reshape(-1, 128)
+
+
+def _flatten_dev(res):
+    """Relayout a natural-layout encoded chunk to (N, 128) readback planes
+    ON DEVICE, immediately before a host fetch. Chunks are kept in their
+    natural layout in HBM (the in-program relayout measured ~3x the write
+    stage cost — csd_outer_ab2.py); the tunnel's narrow-trailing-dim
+    penalty is paid for with this one extra dispatch only when a chunk
+    actually crosses to the host."""
+    key = ("flatten_dev", tuple(res.shape), str(res.dtype))
+    if key not in _GLOBAL_JIT_CACHE:
+        _GLOBAL_JIT_CACHE[key] = jax.jit(_flatten_for_readback)
+    return _GLOBAL_JIT_CACHE[key](res)
 
 
 def _fetch_readback(dev2d, enc_shape):
@@ -1144,7 +1157,8 @@ class ComputationalRoutine:
 
     def _write_chunk(self, host_out, res, enc_shape, chunk_pos, n_valid, offsets, sdim, out_complex):
         fetched = _dispatch_with_recovery(
-            lambda: _fetch_readback(res, enc_shape), what="result readback"
+            lambda: _fetch_readback(_flatten_dev(res), enc_shape),
+            what="result readback",
         )
         arr = decode_host(fetched, out_complex, axis=1)[:n_valid]
         for i, pos in enumerate(chunk_pos):
@@ -1206,7 +1220,14 @@ class ComputationalRoutine:
                     res, _ = encode_in_jit(res, axis=0)
                 else:
                     res, was_complex = encode_in_jit(res, axis=1)
-                    res = _flatten_for_readback(res)
+                    # NOT flattened to readback layout here: the (N, 128)
+                    # relayout costs ~3x the write stage on TPU (72 vs
+                    # 207 GB/s measured on a 1 GB CSD stack — benchmarks/
+                    # diagnostics/csd_outer_ab2.py) and device-resident
+                    # results consumed on-device never need it. The
+                    # relayout happens lazily at host-fetch time
+                    # (_flatten_dev), where its cost vanishes against the
+                    # tunnel wire time it halves.
                     if rb16 and not was_complex and res.dtype == jnp.float32:
                         res = res.astype(jnp.float16)
                 return res if aux_info is None else (res, aux_info)

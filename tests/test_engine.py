@@ -1016,3 +1016,42 @@ class TestLOOAccuracy:
         # naive f32 arithmetic would land ~6e-5 away; the rewritten form
         # stays within a few ulp of the f64 value
         assert np.max(np.abs(got - want) / np.abs(want)) < 3e-7
+
+
+class TestLazyReadbackFlatten:
+    """keeptrials=True chunk results stay in their NATURAL encoded layout
+    in HBM (the in-program (N, 128) relayout measured ~3x the write-stage
+    cost on TPU — benchmarks/diagnostics/csd_outer_ab2.py); the readback
+    relayout happens lazily at host-fetch time via _flatten_dev."""
+
+    def test_flatten_dev_fetch_roundtrip(self):
+        from syncopy_tpu.engine.routine import _fetch_readback, _flatten_dev
+
+        rng = np.random.default_rng(7)
+        # odd sizes so the 128-lane padding path is exercised
+        nat = rng.normal(size=(3, 2, 5, 7, 11)).astype(np.float32)
+        dev = jnp.asarray(nat)
+        flat = _flatten_dev(dev)
+        assert flat.ndim == 2 and flat.shape[1] == 128
+        got = _fetch_readback(flat, nat.shape)
+        np.testing.assert_array_equal(got, nat)
+
+    def test_compiled_keeptrials_output_is_natural_layout(self):
+        """The compiled per-trial program must emit (B, ...) natural-layout
+        chunks, not pre-flattened (N, 128) planes."""
+        data = spy.AnalogData(
+            data=np.random.default_rng(0).normal(size=(64, 4)).astype(np.float32),
+            samplerate=10.0,
+        )
+        data.trialdefinition = np.array([[0, 16, 0], [16, 32, 0], [32, 48, 0],
+                                         [48, 64, 0]])
+        cr = TimesTwo()
+        cr.initialize(data, 0, keeptrials=True)
+        fn = cr._get_compiled((16, 4), None)
+        import jax
+
+        out = jax.eval_shape(
+            fn, (), jnp.zeros((4, 16, 4), jnp.float32), jnp.int32(4)
+        )
+        leaf = out[0] if isinstance(out, tuple) else out
+        assert leaf.shape[0] == 4 and leaf.shape[-1] == 4, leaf.shape
