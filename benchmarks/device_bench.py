@@ -144,7 +144,11 @@ def _time_best(fn, args, repeats=3, max_inner=32):
     _drain(probe)
     t_one = max(time.perf_counter() - t0 - drain_cost, 1e-4)
     out_bytes = sum(getattr(l, "nbytes", 0) for l in jax.tree_util.tree_leaves(res))
-    inner = max(1, min(max_inner, round(0.25 / t_one), int(2e9 // max(out_bytes, 1))))
+    # queued-result budget: ~6 GB of the 16 GB HBM (operands + workspaces
+    # take the rest). At inner=1 the drain-subtraction jitter dominates a
+    # sub-20 ms kernel (a 2 GB-output row once read 550 GB/s fiction —
+    # csd_outer_ab2.py), so multi-GB-output rows must batch >=2.
+    inner = max(1, min(max_inner, round(0.25 / t_one), int(6e9 // max(out_bytes, 1))))
     del res, probe
 
     for _ in range(repeats):

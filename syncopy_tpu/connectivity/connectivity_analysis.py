@@ -507,12 +507,27 @@ def _corr_post(ccov_avg):
 _COH_MIRROR_SIGN = {"abs": 1.0, "pow": 1.0, "real": 1.0, "imag": -1.0, "angle": -1.0}
 
 
+def _mirror_gather(n_chan):
+    """Flat gather map reconstructing an (N, N) block from its packed upper
+    triangle: ``full.ravel()[k] = tri[gather[k]]``, plus the strictly-lower
+    flat positions that need the mirror sign/conjugate. One contiguous
+    GATHER is ~3x faster on host than the two fancy-index SCATTERS it
+    replaces (the warm-call unpack was 26 ms of the ~80 ms host share)."""
+    iu0, iu1 = np.triu_indices(n_chan)
+    tri_num = np.zeros((n_chan, n_chan), dtype=np.int64)
+    tri_num[iu0, iu1] = np.arange(len(iu0))
+    tri_num[iu1, iu0] = tri_num[iu0, iu1]
+    il0, il1 = np.tril_indices(n_chan, -1)
+    return tri_num.ravel(), (il0 * n_chan + il1)
+
+
 def _make_triu_pack(n_chan, sign):
     """(pack, unpack) closures: device-side upper-triangle gather of the
     channel x channel block + host-side (anti)symmetric reconstruction —
     halves the result readback bytes losslessly (the matrix is Hermitian)."""
     iu0, iu1 = np.triu_indices(n_chan)
     flat_idx = (iu0 * n_chan + iu1).astype(np.int32)
+    gather, lower_flat = _mirror_gather(n_chan)
 
     def pack(y):
         import jax.numpy as jnp
@@ -521,10 +536,10 @@ def _make_triu_pack(n_chan, sign):
         return jnp.take(flat, jnp.asarray(flat_idx), axis=-1)
 
     def unpack(packed):
-        full = np.empty(packed.shape[:-1] + (n_chan, n_chan), dtype=packed.dtype)
-        full[..., iu1, iu0] = sign * packed
-        full[..., iu0, iu1] = packed  # second: diagonal from the direct copy
-        return full
+        full = packed[..., gather]
+        if sign != 1.0:
+            full[..., lower_flat] *= packed.dtype.type(sign)
+        return full.reshape(packed.shape[:-1] + (n_chan, n_chan))
 
     return pack, unpack
 
@@ -543,11 +558,16 @@ def _make_herm_pack(n_chan):
         tri = jnp.take(flat, jnp.asarray(flat_idx), axis=-1)
         return jnp.stack([jnp.real(tri), jnp.imag(tri)], axis=0)
 
+    gather, lower_flat = _mirror_gather(n_chan)
+
     def unpack(packed):
-        tri = packed[0] + 1j * packed[1]
-        full = np.empty(tri.shape[:-1] + (n_chan, n_chan), dtype=np.complex64)
-        full[..., iu1, iu0] = np.conj(tri)
-        full[..., iu0, iu1] = tri
+        shape = packed.shape[1:-1] + (n_chan, n_chan)
+        full = np.empty(shape, dtype=np.complex64)
+        flat = full.reshape(packed.shape[1:-1] + (n_chan * n_chan,))
+        flat.real = packed[0][..., gather]
+        im = packed[1][..., gather]
+        im[..., lower_flat] *= -1  # conjugate mirror on the lower triangle
+        flat.imag = im
         return full
 
     return pack, unpack

@@ -178,6 +178,10 @@ def clear_device_cache():
 #: compile payload limit (HTTP 413) and re-ship per chunk-size bucket.
 _DEVICE_CONST_CACHE = {}
 
+#: memoized (out_shape, dtype) of the per-trial abstract evaluation —
+#: keyed by CR class + cfg fingerprint + input/aux shapes (initialize)
+_EVAL_SHAPE_CACHE = {}
+
 
 def _device_consts_get(cr, shp, consts_np, mesh):
     """Device (replicated-on-mesh) versions of a CR's declared constants,
@@ -485,7 +489,12 @@ class ComputationalRoutine:
 
         # per-(selected-)trial input shapes after applying the selection
         sel = self.selector
-        if "sample" not in data.dimord and getattr(sel, "time", None) is None:
+        tsel = getattr(sel, "time", None)
+        # a Selector built with no explicit time/latency constraint still
+        # materializes per-trial slice(None) entries — treat that as "no
+        # time selection" or the vectorized fast path below never fires
+        trivial_time = tsel is None or all(t == slice(None) for t in tsel)
+        if "sample" not in data.dimord and trivial_time:
             # fast path: without a time selection, trials differ only in the
             # stacking-dim extent — vectorize over sampleinfo instead of
             # indexing per trial (hot for 1000s of trials)
@@ -508,20 +517,33 @@ class ComputationalRoutine:
             buckets.setdefault(shp, []).append(pos)
         self.buckets = buckets
 
-        # output shape per bucket via abstract evaluation
+        # output shape per bucket via abstract evaluation; the trace is
+        # pure in (class, cfg, shapes), so memoize it process-globally —
+        # re-tracing costs ~10 ms per warm frontend call for nothing
         self.out_per_trial_shapes = {}
         out_dtype = None
         for shp, positions in buckets.items():
             aux = self.per_trial_inputs(data, positions[:1])
             aux_structs = tuple(jax.ShapeDtypeStruct(a.shape[1:], a.dtype) for a in aux)
-            spec = jax.ShapeDtypeStruct(shp, in_dtype)
-            res = jax.eval_shape(
-                lambda x, *a: self.process_single_trial(x, *a, **self.cfg), spec, *aux_structs
+            key = (
+                self.__class__.__qualname__, "eval_shape",
+                _cfg_fingerprint(self.cfg), shp, str(in_dtype),
+                tuple((s.shape, str(s.dtype)) for s in aux_structs),
+                self.extra_cache_key(),
             )
-            if isinstance(res, tuple):  # (output, aux-info dict)
-                res = res[0]
-            self.out_per_trial_shapes[shp] = (tuple(res.shape), np.dtype(res.dtype))
-            out_dtype = np.dtype(res.dtype)
+            hit = _EVAL_SHAPE_CACHE.get(key)
+            if hit is None:
+                spec = jax.ShapeDtypeStruct(shp, in_dtype)
+                res = jax.eval_shape(
+                    lambda x, *a: self.process_single_trial(x, *a, **self.cfg),
+                    spec, *aux_structs,
+                )
+                if isinstance(res, tuple):  # (output, aux-info dict)
+                    res = res[0]
+                hit = (tuple(res.shape), np.dtype(res.dtype))
+                _EVAL_SHAPE_CACHE[key] = hit
+            self.out_per_trial_shapes[shp] = hit
+            out_dtype = hit[1]
 
         self._fast_plan = self._plan_fast_gather(data)
 

@@ -976,6 +976,15 @@ class TestSequentialBatch:
             return orig(self, trial, *aux, **cfg)
 
         monkeypatch.setattr(GrangerCausality, "process_single_trial", wrapper)
+        # evict warm GrangerCausality entries from the process-global trace
+        # caches (executables + eval_shape results): a prior test in the
+        # same process may have compiled identical shapes, in which case
+        # nothing would be re-traced and `seen` would stay empty
+        from syncopy_tpu.engine.routine import _EVAL_SHAPE_CACHE, _GLOBAL_JIT_CACHE
+
+        for cache in (_GLOBAL_JIT_CACHE, _EVAL_SHAPE_CACHE):
+            for k in [k for k in cache if "GrangerCausality" in str(k[0])]:
+                del cache[k]
         AdjMat = np.zeros((2, 2), dtype=np.float32)
         AdjMat[0, 1] = 0.25
         adata = spy.synthdata.ar2_network(
