@@ -180,7 +180,9 @@ def main():
                 "warm_trials_per_s": round(NTRIALS / min(times), 2),
                 "vs_baseline": round(NTRIALS / min(times) / base_rate, 2),
                 "note": "end-to-end frontend incl. tunnel dispatch+readback; "
-                        "documented variance band 2015-4042 trials/s",
+                        "documented variance band 2015-7041 trials/s "
+                        "(upper edge after the round-5 lazy-flatten + "
+                        "host-planning cuts)",
             }
         except Exception as exc:
             first = (str(exc).splitlines() or [repr(exc)])[0]
